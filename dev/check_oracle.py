@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB differential compare.
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each table as a DuckDB view over the sf parquet, runs every SQL in
+oracle_sql.json, loads the Spark result parquet, sorts columns by name,
+and compares cell values (doubles to 1e-9 after the queries' own 4dp
+rounding). Dev-only tool — not part of the shipped library.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.6f}"
+    if isinstance(v, (pd.Timestamp,)):
+        return str(v)
+    return str(v)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        ec, gc = sorted(exp.columns), sorted(got.columns)
+        if ec != gc:
+            print(f"FAIL {name}: columns spark={gc} oracle={ec}")
+            n_fail += 1
+            continue
+        exp, got = exp[ec].reset_index(drop=True), got[ec].reset_index(drop=True)
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        bad = None
+        for ci, c in enumerate(ec):
+            for ri in range(len(exp)):
+                a, b = exp.iat[ri, ci], got.iat[ri, ci]
+                if isinstance(a, float) or isinstance(b, float):
+                    af, bf = a, b
+                    a_nan = af is None or (isinstance(af, float) and math.isnan(af))
+                    b_nan = bf is None or (isinstance(bf, float) and math.isnan(bf))
+                    if a_nan and b_nan:
+                        continue
+                    if a_nan != b_nan or abs(float(af) - float(bf)) > 1e-9:
+                        bad = (ri, c, a, b)
+                        break
+                elif norm_cell(a) != norm_cell(b):
+                    bad = (ri, c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            ri, c, a, b = bad
+            print(f"FAIL {name}: row {ri} col {c}: oracle={a!r} spark={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(exp)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

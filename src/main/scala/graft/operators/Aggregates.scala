@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.B "Aggregations").
+  *
+  * All stock Spark hash-aggregation: partial (map-side) + final agg, no
+  * custom code. At 100 TB the partial agg bounds shuffle volume by group
+  * cardinality (9 groups for the flagship), so these plans scale with
+  * input size, not shuffle size.
+  */
+object Aggregates extends QueryModule {
+
+  /** Flagship — TPC-H Q1 shaped pricing summary (SURVEY.md §7.1).
+    * scan → filter → project → hash-agg → sort, full Catalyst lifecycle.
+    */
+  val pricingSummary: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Norm.r4(sum("l_quantity")).as("sum_qty"),
+        Norm.r4(sum("l_extendedprice")).as("sum_base_price"),
+        Norm.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        Norm.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Norm.r4(avg("l_quantity")).as("avg_qty"),
+        Norm.r4(avg("l_extendedprice")).as("avg_price"),
+        Norm.r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** count(distinct) — expands to a two-phase distinct aggregate. */
+  val aggDistinct: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ROLLUP region → nation revenue. Grouping-null keys coalesced to
+    * 'ALL' on both sides so hash-match is stable.
+    */
+  val aggRollup: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(Norm.r4(sum("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_orders"))
+      .orderBy("region", "nation")
+  }
+
+  /** CUBE over (returnflag × linestatus). */
+  val aggCube: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Norm.r4(sum("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Explicit GROUPING SETS via SQL. */
+  val aggGroupingSets: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    spark.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             round(sum(o_totalprice), 4) AS revenue,
+             count(1) AS n
+      FROM g_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY status, priority
+    """)
+  }
+
+  /** Statistical aggregates: stddev/variance/exact interpolated
+    * percentile/min/max.
+    */
+  val aggStats: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        Norm.r4(stddev_samp(col("o_totalprice"))).as("sd_price"),
+        Norm.r4(var_samp(col("o_totalprice"))).as("var_price"),
+        Norm.r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        Norm.r4(min(col("o_totalprice"))).as("min_price"),
+        Norm.r4(max(col("o_totalprice"))).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** HyperLogLog approximate distinct — no DuckDB oracle (different
+    * sketch); bounds-checked vs exact in scalatest.
+    */
+  val aggApproxDistinct: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_pricing_summary" -> pricingSummary,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_stats" -> aggStats,
+    "q_agg_approx_distinct" -> aggApproxDistinct,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" -> """
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_custs,
+             count(DISTINCT o_orderpriority) AS n_prios,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+    "q_agg_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region,
+             coalesce(n_name, 'ALL') AS nation,
+             round(sum(o_totalprice), 4) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""",
+    "q_agg_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
+    "q_agg_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             round(sum(o_totalprice), 4) AS revenue,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY status, priority""",
+    "q_agg_stats" -> """
+      SELECT o_orderstatus,
+             round(stddev_samp(o_totalprice), 4) AS sd_price,
+             round(var_samp(o_totalprice), 4) AS var_price,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             round(min(o_totalprice), 4) AS min_price,
+             round(max(o_totalprice), 4) AS max_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+  )
+}
