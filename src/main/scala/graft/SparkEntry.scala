@@ -10,7 +10,13 @@ import graft.operators._
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
+    Scans,
     Aggregates,
+    Joins,
+    Windows,
+    SetOps,
+    ScalarFuncs,
+    TimeWindows,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

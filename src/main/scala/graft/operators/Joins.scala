@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.B "Joins").
+  *
+  * Scale strategy per join:
+  *  - dims (region/nation/supplier, and customer vs a 100 TB fact) are
+  *    `broadcast()` hinted — no shuffle of the big side;
+  *  - fact⋈fact equi-joins are left to sort-merge + AQE (skew split);
+  *  - the theta/band join keeps the small side broadcast so the
+  *    nested-loop never materializes a cross product of two big sides;
+  *  - the as-of join is a union + single shuffle-by-key + one window
+  *    sort — O(n log n) per key partition, no range cross-join;
+  *  - the interval self-join buckets time into 1 h cells so each pair
+  *    is tested once (explode one side into 3 neighbor cells).
+  */
+object Joins extends QueryModule {
+
+  /** Equi inner join, small dim broadcast (orders ⋈ customer). */
+  val joinBroadcast: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_custkey"), c("c_name"),
+        c("c_mktsegment"), Norm.r4(o("o_totalprice")).as("totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** 5-way star join lineitem⋈orders⋈customer⋈nation⋈region, revenue
+    * per region/nation. Dims broadcast; lineitem⋈orders sort-merge.
+    */
+  val joinMultiway: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(
+        Norm.r4(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer with null-extension: every customer, their order count
+    * and revenue (0 for customers with no orders).
+    */
+  val joinLeft: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        Norm.r4(coalesce(sum(o("o_totalprice")), lit(0.0))).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer: per-nation customer count vs supplier count; either
+    * side may be missing a nation. Null keys coalesced pre-sort so the
+    * ordering is engine-independent.
+    */
+  val joinFull: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("nk") === s("nk"), "full")
+      .select(
+        coalesce(c("nk"), s("nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Left-semi (EXISTS): customers with at least one urgent order. */
+  val joinSemi: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti (NOT EXISTS): customers with no in-progress orders. */
+  val joinAnti: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Theta/band join: parts whose retail price falls within ±100 of a
+    * supplier's account balance. Supplier side broadcast → the
+    * BroadcastNestedLoopJoin streams `part` once; output aggregated
+    * per supplier so the result stays small at any SF.
+    */
+  val joinThetaRange: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "part")
+    val s = Tables(spark, dir, "supplier")
+    p.join(broadcast(s),
+        p("p_retailprice").between(s("s_acctbal") - 500, s("s_acctbal") + 500))
+      .groupBy(s("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts"),
+        Norm.r4(avg(p("p_retailprice"))).as("avg_price"))
+      .orderBy("s_suppkey")
+  }
+
+  /** As-of join: for each event, the latest order date of the same key
+    * (user_id = o_custkey) with o_orderdate <= ts.
+    *
+    * Spark has no native as-of join; rather than a range-condition
+    * nested-loop (quadratic per key), union both sides tagged, sort
+    * once per key by time, and carry the latest order date forward
+    * with last(_, ignoreNulls) — one shuffle, one sort, linear scan.
+    * Orders sort before events on ties (tag 0 < 1) to give >= semantics
+    * like DuckDB ASOF JOIN.
+    */
+  val joinAsof: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(1).as("tag"), lit(null).cast("timestamp").as("odate"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"),
+        col("o_orderdate").as("odate"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("matched", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        Norm.tstr(col("t")).as("ts"),
+        coalesce(Norm.dstr(col("matched")), lit("none")).as("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  /** Interval self-join: pairs of events within 1 hour of each other.
+    * Time bucketed to 1 h cells; the left side explodes into its cell
+    * and both neighbors so every qualifying pair is matched exactly
+    * once (the right event's single cell hits exactly one of the
+    * three), then the exact band predicate refines. Equi-join on the
+    * cell → shuffle-partitionable at scale, no quadratic blowup.
+    */
+  val joinInterval: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (unix_micros(col("ts")) / 1000000L).cast("double").as("sec"))
+    val left = ev
+      .withColumn("cell", explode(array(
+        floor(col("sec") / 3600) - 1, floor(col("sec") / 3600),
+        floor(col("sec") / 3600) + 1)))
+    val right = ev
+      .withColumnRenamed("event_id", "event_id2")
+      .withColumnRenamed("event_type", "event_type2")
+      .withColumnRenamed("sec", "sec2")
+      .withColumn("cell", floor(col("sec2") / 3600))
+    left.join(right, "cell")
+      .filter(col("event_id") < col("event_id2") &&
+        abs(col("sec") - col("sec2")) <= 3600)
+      .groupBy(col("event_type"), col("event_type2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type", "event_type2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_multiway" -> joinMultiway,
+    "q_join_left" -> joinLeft,
+    "q_join_full" -> joinFull,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_theta_range" -> joinThetaRange,
+    "q_join_asof" -> joinAsof,
+    "q_join_interval" -> joinInterval,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" -> """
+      SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+             round(o_totalprice, 4) AS totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+    "q_join_multiway" -> """
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+    "q_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+    "q_join_full" -> """
+      SELECT coalesce(c.nk, s.nk) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+            FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nk, count(*) AS n_supp
+            FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+      ORDER BY nationkey""",
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "q_join_theta_range" -> """
+      SELECT s_suppkey, count(*) AS n_parts,
+             round(avg(p_retailprice), 4) AS avg_price
+      FROM part JOIN supplier
+        ON p_retailprice BETWEEN s_acctbal - 500 AND s_acctbal + 500
+      GROUP BY s_suppkey
+      ORDER BY s_suppkey""",
+    "q_join_asof" -> """
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             coalesce(strftime(o.o_orderdate, '%Y-%m-%d'), 'none')
+               AS last_order_date
+      FROM events e
+      ASOF LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""",
+    "q_join_interval" -> """
+      SELECT a.event_type AS event_type, b.event_type AS event_type2,
+             count(*) AS n_pairs
+      FROM events a JOIN events b
+        ON a.event_id < b.event_id
+       AND abs(epoch(a.ts) - epoch(b.ts)) <= 3600
+      GROUP BY a.event_type, b.event_type
+      ORDER BY event_type, event_type2""",
+  )
+}

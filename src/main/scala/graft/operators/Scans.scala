@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scan / projection / filter / sink operators (SURVEY.md §2.B
+  * "Scans / sources / sinks" + "Projection / filter").
+  *
+  * Scale notes: every query here is a single-stage parquet scan with
+  * projection and predicates pushed to the reader (verified via
+  * .explain: PushedFilters + ReadSchema show only the needed columns),
+  * so at 100 TB they read only the referenced columns and skip
+  * row-groups on the pushed predicates. The final orderBy exists for
+  * oracle determinism; at scale it is a rangepartition-sort over the
+  * (small) filtered output, not the input.
+  */
+object Scans extends QueryModule {
+
+  /** Parquet scan + column pruning: read 3 of 11 lineitem columns. */
+  val scanProject: Q = (spark, dir) => {
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Norm.r4(col("l_quantity")).as("quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Predicates that reach the parquet reader (row-group skipping):
+    * timestamp comparison + double range.
+    */
+  val scanFilterPushdown: Q = (spark, dir) => {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Norm.r4(col("l_quantity")).as("quantity"),
+        Norm.dstr(col("l_shipdate")).as("shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Write + re-read roundtrip through a parquet sink; oracle compares
+    * against the source selection directly.
+    */
+  val sinkParquet: Q = (spark, dir) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        Norm.r4(col("o_totalprice")).as("totalprice"))
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).orderBy("o_orderkey")
+  }
+
+  /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
+  val filterComplex: Q = (spark, dir) => {
+    Tables(spark, dir, "orders")
+      .filter(
+        (col("o_orderstatus") === "F" &&
+          col("o_totalprice").between(50000, 200000)) ||
+        (col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_custkey") % 2 === 0))
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), Norm.r4(col("o_totalprice")).as("totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Conditional projection via when/otherwise chains. */
+  val caseWhen: Q = (spark, dir) => {
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("price_band"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))
+          .as("is_final"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> scanProject,
+    "q_scan_filter_pushdown" -> scanFilterPushdown,
+    "q_sink_parquet" -> sinkParquet,
+    "q_filter_complex" -> filterComplex,
+    "q_case_when" -> caseWhen,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" -> """
+      SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS quantity
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_filter_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS quantity,
+             strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45.0
+      ORDER BY l_orderkey, l_linenumber""",
+    "q_sink_parquet" -> """
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey""",
+    "q_filter_complex" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             round(o_totalprice, 4) AS totalprice
+      FROM orders
+      WHERE ((o_orderstatus = 'F' AND o_totalprice BETWEEN 50000 AND 200000)
+             OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey % 2 = 0))
+        AND o_custkey IS NOT NULL
+      ORDER BY o_orderkey""",
+    "q_case_when" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS price_band,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+      FROM orders
+      ORDER BY o_orderkey""",
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing, batch twins of the streaming queries
+  * (SURVEY.md §2.B "Streaming"). The exact same window()/
+  * session_window() expressions run unchanged under readStream — the
+  * streaming wave reuses these, adding watermarks; scalatest covers
+  * that path (no DuckDB streaming oracle).
+  *
+  * Scale notes: window() is a per-row projection (tumbling) or a ≤4-row
+  * explode (sliding) followed by ordinary hash-agg — partial aggs keep
+  * shuffle volume at O(windows × types), not O(events).
+  */
+object TimeWindows extends QueryModule {
+
+  /** 1 h tumbling windows × event type. */
+  val windowTumbling: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Norm.r4(sum("value")).as("sum_value"))
+      .select(Norm.tstr(col("window.start")).as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** 1 h window sliding every 15 min — each event lands in 4 windows. */
+  val windowSliding: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(Norm.tstr(col("window.start")).as("wstart"), col("n"),
+        col("n_users"))
+      .orderBy("wstart")
+  }
+
+  /** Per-user sessions with a 30 min inactivity gap. Spark merges
+    * events into a session while the next event is strictly inside
+    * [start, last+gap); the oracle's gaps-and-islands twin uses
+    * diff >= gap as the session break to match.
+    */
+  val sessionWindows: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Norm.r4(sum("value")).as("sum_value"))
+      .select(col("user_id"),
+        Norm.tstr(col("session_window.start")).as("session_start"),
+        Norm.tstr(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_tumbling" -> windowTumbling,
+    "q_window_sliding" -> windowSliding,
+    "q_session_window" -> sessionWindows,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumbling" -> """
+      SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS wstart,
+             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY wstart, event_type""",
+    "q_window_sliding" -> """
+      SELECT strftime(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - off) * 900),
+                      '%Y-%m-%d %H:%M:%S') AS wstart,
+             count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) offs
+      GROUP BY 1
+      ORDER BY wstart""",
+    "q_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+      )
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM numbered
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+  )
+}

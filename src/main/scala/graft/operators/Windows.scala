@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators + global sort/limit (SURVEY.md §2.B
+  * "Window functions", "Sort / limit / top-k").
+  *
+  * Scale notes: every window partitions by a key (custkey/user/brand) —
+  * one hash shuffle then per-partition sort; no global sort in the hot
+  * path. The global top-k compiles to TakeOrderedAndProject (per
+  * partition heap + driver merge of k rows), never a full sort at scale.
+  */
+object Windows extends QueryModule {
+
+  /** rank() per customer by order value; ties share a rank so output is
+    * deterministic without a tiebreak column.
+    */
+  val windowRank: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"),
+        Norm.r4(col("o_totalprice")).as("totalprice"),
+        rank().over(w).as("rnk"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** Running revenue per customer in order-date order. */
+  val windowRunning: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        Norm.dstr(col("o_orderdate")).as("orderdate"),
+        Norm.r4(sum("o_totalprice").over(w)).as("running_revenue"))
+      .orderBy("o_custkey", "orderdate", "o_orderkey")
+  }
+
+  /** lag/lead: value delta between consecutive events per user. */
+  val windowLagLead: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        Norm.r4(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)))
+          .as("delta_prev"),
+        coalesce(lead("event_id", 1).over(w), lit(-1L)).as("next_event"))
+      .orderBy("event_id")
+  }
+
+  /** 7-day trailing average order value per customer — RANGE frame over
+    * epoch seconds (6 days preceding .. current row's time).
+    */
+  val windowRangeFrame: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("sec", unix_timestamp(col("o_orderdate")))
+    val w = Window.partitionBy("o_custkey").orderBy("sec")
+      .rangeBetween(-6L * 86400, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        Norm.dstr(col("o_orderdate")).as("orderdate"),
+        Norm.r4(avg("o_totalprice").over(w)).as("avg_7d"))
+      .orderBy("o_custkey", "orderdate", "o_orderkey")
+  }
+
+  /** Top-3 parts by retail price per brand (row_number ≤ 3). */
+  val topkPerGroup: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "part")
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.select(col("p_brand"), col("p_partkey"),
+        Norm.r4(col("p_retailprice")).as("retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Global top-10 orders by value (tie-broken) — TakeOrderedAndProject:
+    * per-partition heaps, k rows to the driver, no global sort.
+    */
+  val sortLimit: Q = (spark, dir) => {
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), Norm.r4(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_window_rank" -> windowRank,
+    "q_window_running" -> windowRunning,
+    "q_window_lag_lead" -> windowLagLead,
+    "q_window_range_frame" -> windowRangeFrame,
+    "q_topk_per_group" -> topkPerGroup,
+    "q_sort_limit" -> sortLimit,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" -> """
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+      ORDER BY o_custkey, rnk, o_orderkey""",
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_revenue
+      FROM orders
+      ORDER BY o_custkey, orderdate, o_orderkey""",
+    "q_window_lag_lead" -> """
+      SELECT user_id, event_id,
+             round(value - coalesce(lag(value, 1) OVER w, 0), 4) AS delta_prev,
+             coalesce(lead(event_id, 1) OVER w, -1) AS next_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+    "q_window_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+      FROM orders
+      ORDER BY o_custkey, orderdate, o_orderkey""",
+    "q_topk_per_group" -> """
+      SELECT p_brand, p_partkey, round(p_retailprice, 4) AS retailprice, rn
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 3
+      ORDER BY p_brand, rn""",
+    "q_sort_limit" -> """
+      SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+      FROM orders
+      ORDER BY round(o_totalprice, 4) DESC, o_orderkey
+      LIMIT 10""",
+  )
+}
