@@ -17,6 +17,7 @@ object SparkEntry {
     SetOps,
     ScalarFuncs,
     TimeWindows,
+    Crypto,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

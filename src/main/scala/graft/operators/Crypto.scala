@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Crypto operators — the reference's actual surface re-expressed on
+  * Spark (salrashid123/dataflow_pubsub_message_encryption: AES payload
+  * encryption + KMS-wrapped DEK in a message attribute + HMAC-SHA256
+  * signature; SURVEY.md §2.A).
+  *
+  * Oracle strategy ("roundtrip trick", SURVEY.md §2.B): every query
+  * decrypts what it encrypted, so the expected output equals the
+  * plaintext and the DuckDB oracle just selects the source columns —
+  * no crypto needed on the oracle side. Only deterministic ECB is used
+  * in oracle-checked queries; GCM (random IV) is covered by scalatest
+  * roundtrips.
+  *
+  * Scale notes: all queries are pure per-row map pipelines — zero
+  * shuffles, one WholeStageCodegen span over the scan (hmac_sha256 is
+  * a codegen'd Catalyst expression, not a UDF). The reference's
+  * per-message KMS RPC + DEK cache disappears: the KEK is local, so
+  * unwrap is CPU-only AES and needs no executor-side cache.
+  */
+object Crypto extends QueryModule {
+
+  // Fixed 16-byte test keys (hex of ASCII "0123456789abcdef" / "graftkek...").
+  private def dek = lit("0123456789abcdef".getBytes("UTF-8"))
+  private def kek = lit("kek-graft-000001".getBytes("UTF-8"))
+
+  /** AES-ECB encrypt→decrypt roundtrip over documents.text. */
+  val cryptoRoundtrip: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        aes_decrypt(
+          aes_encrypt(col("text").cast("binary"), dek, lit("ECB")),
+          dek, lit("ECB")).cast("string").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Sign each payload with HMAC-SHA256, then verify: recompute and
+    * compare — the reference DoFn's integrity check (§2.A A4).
+    */
+  val hmacVerify: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"),
+        hmac_sha256(dek, col("text").cast("binary")).as("sig"))
+      .select(col("doc_id"),
+        length(col("sig")).as("sig_len"),
+        (col("sig") === hmac_sha256(dek, col("text").cast("binary")))
+          .as("verified"))
+      .orderBy("doc_id")
+  }
+
+  /** Full envelope roundtrip with a per-row DEK: derive DEK, wrap with
+    * the KEK (local stand-in for kms.encrypt), unwrap, decrypt the
+    * payload that was encrypted with the original DEK — output equals
+    * plaintext iff wrap/unwrap are true inverses.
+    */
+  val envelopeRoundtrip: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("row_dek",
+        unhex(substring(sha2(col("doc_id").cast("string"), 256), 1, 32)))
+    d.select(col("doc_id"),
+        aes_decrypt(
+          aes_encrypt(col("text").cast("binary"), col("row_dek"), lit("ECB")),
+          unwrap_dek(kek, wrap_dek(kek, col("row_dek"))),
+          lit("ECB")).cast("string").as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** The reference pipeline end-to-end in batch (§2.A A1–A6): build the
+    * message (encrypted JSON payload + attributes carrying the wrapped
+    * DEK and signature), then the consumer side: unwrap DEK from the
+    * attribute, decrypt, verify HMAC, parse JSON, project fields.
+    */
+  val messagePipeline: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    // Publisher side (reference publisher.py semantics).
+    val messages = docs.select(
+      col("doc_id"),
+      aes_encrypt(
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+          .cast("binary"),
+        dek, lit("ECB")).as("value"),
+      map(
+        lit("wrapped_dek"), base64(wrap_dek(kek, dek)),
+        lit("sig"), base64(hmac_sha256(dek,
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .cast("binary")))).as("attributes"))
+    // Consumer side (reference Dataflow DoFn semantics).
+    val opened = messages.select(
+      col("doc_id"),
+      aes_decrypt(col("value"),
+        unwrap_dek(kek, unbase64(element_at(col("attributes"), "wrapped_dek"))),
+        lit("ECB")).cast("string").as("payload"),
+      col("value"), col("attributes"))
+    opened.select(
+        col("doc_id"),
+        from_json(col("payload"), lit("doc_id LONG, lang STRING, n_chars LONG"))
+          .as("msg"),
+        (base64(hmac_sha256(
+          unwrap_dek(kek, unbase64(element_at(col("attributes"), "wrapped_dek"))),
+          col("payload").cast("binary")))
+          === element_at(col("attributes"), "sig")).as("verified"))
+      .select(col("doc_id"), col("msg.lang").as("lang"),
+        col("msg.n_chars").as("n_chars"), col("verified"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_crypto_roundtrip" -> cryptoRoundtrip,
+    "q_hmac_verify" -> hmacVerify,
+    "q_envelope_roundtrip" -> envelopeRoundtrip,
+    "q_msg_pipeline" -> messagePipeline,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_crypto_roundtrip" -> """
+      SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_hmac_verify" -> """
+      SELECT doc_id, 32 AS sig_len, true AS verified
+      FROM documents ORDER BY doc_id""",
+    "q_envelope_roundtrip" -> """
+      SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_msg_pipeline" -> """
+      SELECT doc_id, lang, n_chars, true AS verified
+      FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{CryptoCodecs, GraftFunctions}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Crypto kernels + expressions: RFC 4231 HMAC vectors, envelope
+  * wrap/unwrap inverses, and GCM roundtrips (GCM is excluded from the
+  * oracle path — random IV — so it is covered here).
+  */
+class CryptoSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("hmac_sha256 matches RFC 4231 test case 1") {
+    val key = Array.fill[Byte](20)(0x0b)
+    val out = CryptoCodecs.hmacSha256(key, "Hi There".getBytes("UTF-8"))
+    assert(hex(out) ===
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+  }
+
+  test("hmac_sha256 matches RFC 4231 test case 2") {
+    val out = CryptoCodecs.hmacSha256("Jefe".getBytes("UTF-8"),
+      "what do ya want for nothing?".getBytes("UTF-8"))
+    assert(hex(out) ===
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("HmacSha256 expression agrees with kernel, via codegen plan") {
+    import spark.implicits._
+    val df = Seq(("k1", "hello"), ("k2", "world")).toDF("k", "v")
+      .select(col("k"), col("v"),
+        GraftFunctions.hmac_sha256(col("k").cast("binary"),
+          col("v").cast("binary")).as("sig"))
+    df.collect().foreach { case Row(k: String, v: String, sig: Array[Byte]) =>
+      assert(sig === CryptoCodecs.hmacSha256(
+        k.getBytes("UTF-8"), v.getBytes("UTF-8")))
+    }
+  }
+
+  test("hmac_sha256 registered as SQL function via extensions") {
+    val n = spark.sql(
+      "SELECT hex(hmac_sha256(cast('Jefe' as binary), " +
+        "cast('what do ya want for nothing?' as binary))) AS h")
+      .collect().head.getString(0).toLowerCase
+    assert(n ===
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("GCM encrypt/decrypt roundtrip over pseudo-random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val msgs = List.fill(100)(rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+    val df = msgs.toDF("m")
+      .select(col("m"),
+        aes_decrypt(
+          aes_encrypt(col("m").cast("binary"),
+            lit("0123456789abcdef".getBytes), lit("GCM")),
+          lit("0123456789abcdef".getBytes), lit("GCM"))
+          .cast("string").as("rt"))
+    assert(df.filter(col("m") =!= col("rt")).count() === 0)
+  }
+
+  test("wrap_dek/unwrap_dek are inverses for 16/24/32-byte DEKs") {
+    import spark.implicits._
+    val deks = Seq(16, 24, 32).map(n => ("x" * n).getBytes("UTF-8"))
+    val df = deks.toDF("dek")
+      .select(col("dek"),
+        GraftFunctions.unwrap_dek(lit("kek-graft-000001".getBytes),
+          GraftFunctions.wrap_dek(lit("kek-graft-000001".getBytes),
+            col("dek"))).as("rt"))
+    df.collect().foreach { case Row(d: Array[Byte], rt: Array[Byte]) =>
+      assert(d === rt)
+    }
+  }
+
+  test("tampered payload fails hmac verification") {
+    import spark.implicits._
+    val df = Seq("payload-a").toDF("m")
+      .select(
+        GraftFunctions.hmac_sha256(lit("key0".getBytes),
+          col("m").cast("binary")).as("sig"),
+        GraftFunctions.hmac_sha256(lit("key0".getBytes),
+          concat(col("m"), lit("x")).cast("binary")).as("sig_tampered"))
+    val r = df.collect().head
+    assert(!java.util.Arrays.equals(
+      r.getAs[Array[Byte]]("sig"), r.getAs[Array[Byte]]("sig_tampered")))
+  }
+}
