@@ -18,6 +18,10 @@ object SparkEntry {
     ScalarFuncs,
     TimeWindows,
     Crypto,
+    Dedup,
+    Similarity,
+    TextAnalysis,
+    Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

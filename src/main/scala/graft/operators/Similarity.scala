@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import graft.functions.CentroidAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity / vector operators (builder-prompt LLM surface:
+  * brute-force cosine top-k baseline, LSH-bucketed ANN scale path,
+  * blocked similarity join, centroid UDAF, multimodal join).
+  *
+  * Scale notes:
+  *  - cosine top-k broadcasts the single query vector and compiles to
+  *    scan → project → TakeOrderedAndProject: embarrassingly parallel,
+  *    no shuffle of the vectors;
+  *  - the blocked join shuffles once on the block key; within-block
+  *    pairing is quadratic, so blocks must stay bounded (here: label ×
+  *    deterministic 1-in-5 subsample) — the ANN query is the unbounded
+  *    alternative;
+  *  - ANN hashes every vector to a sign-LSH bucket (8 deterministic
+  *    hyperplanes) and only compares within buckets: candidate count
+  *    per query drops ~256× vs brute force, the classic IVF/LSH
+  *    trade-off;
+  *  - the centroid UDAF ships one 64-double buffer per label per
+  *    partition (see CentroidAgg).
+  */
+object Similarity extends QueryModule {
+
+  /** Array<float> → array<double> for bit-stable fold arithmetic. */
+  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential left fold dot product — same add order as the DuckDB
+    * oracle's per-group sum, so doubles agree before rounding.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("emb", dbl(col("embedding")))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  val simCosineTopk: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Most-similar pair per label block (deterministic 1-in-5 subsample
+    * keeps the per-block pair count bounded at every SF).
+    */
+  val simBlockedJoin: Q = (spark, dir) => {
+    val e = emb(spark, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"), col("emb"))
+    val a = e.select(col("label"), col("vec_id").as("v1"), col("emb").as("e1"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("v2"),
+      col("emb").as("e2"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+    a.join(b, a("label") === b("label_b") && a("v1") < b("v2"))
+      .select(col("label"), col("v1"), col("v2"),
+        Norm.r4(cosine(col("e1"), col("e2"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("v1"), col("v2"), col("cos_sim"))
+      .orderBy("label")
+  }
+
+  /** Elementwise mean embedding per label via the typed Aggregator,
+    * posexploded to (label, pos, mean_val) long format so the oracle
+    * compares scalars, not list encodings.
+    */
+  val centroidPerLabel: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    e.groupBy(col("label"))
+      .agg(CentroidAgg.column(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos0", "mval")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        Norm.r4(col("mval")).as("mean_val"))
+      .orderBy("label", "pos")
+  }
+
+  /** ANN via sign-LSH: 8 deterministic pseudo-random hyperplanes (seeded
+    * xxhash64 weights), vectors bucketed by the 8-bit sign pattern;
+    * queries (every 50th vector) compare only within their bucket.
+    * No oracle — xxhash weights aren't DuckDB-reproducible; the spec
+    * asserts each query's top hit is itself and recall vs brute force.
+    */
+  val simAnnLsh: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), 0, (acc, k) -> acc * 2 +
+          |  CASE WHEN aggregate(zip_with(emb,
+          |    transform(sequence(0, 63), i ->
+          |      (pmod(xxhash64(k * 64 + i), 1000) / 1000.0) - 0.5),
+          |    (x, w) -> x * w), 0.0D, (s, v) -> s + v) > 0
+          |  THEN 1 ELSE 0 END)""".stripMargin))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(queries, "bucket")
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** Multimodal join: text stats + vector norm in one row
+    * (documents ⋈ embeddings on doc_id = vec_id).
+    */
+  val multimodalJoin: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val e = emb(spark, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), d("lang"), d("n_chars"),
+        size(split(d("text"), " ")).as("n_tokens"),
+        Norm.r4(sqrt(dot(col("emb"), col("emb")))).as("l2_norm"),
+        e("label"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine_topk" -> simCosineTopk,
+    "q_sim_blocked_join" -> simBlockedJoin,
+    "q_centroid_per_label" -> centroidPerLabel,
+    "q_sim_ann_lsh" -> simAnnLsh,
+    "q_multimodal_join" -> multimodalJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" -> """
+      WITH z AS (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               unnest(CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                 AS DOUBLE[])) AS y
+        FROM embeddings),
+      s AS (SELECT vec_id, sum(x*y) AS dot, sum(x*x) AS na, sum(y*y) AS nb
+            FROM z GROUP BY vec_id)
+      SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+      FROM s
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 10""",
+    "q_sim_blocked_join" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings WHERE vec_id % 5 = 0),
+      pairs AS (
+        SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])),
+                 (s, v) -> s + v) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])),
+                 (s, v) -> s + v)) AS na,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
+                 (s, v) -> s + v)) AS nb
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT label, v1, v2, round(dot / (na * nb), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY round(dot / (na * nb), 4) DESC, v1, v2) AS rn
+        FROM pairs)
+      SELECT label, v1, v2, cos_sim FROM scored WHERE rn = 1
+      ORDER BY label""",
+    "q_centroid_per_label" -> """
+      SELECT label, pos, round(avg(v), 4) AS mean_val
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings)
+      GROUP BY label, pos
+      ORDER BY label, pos""",
+    "q_multimodal_join" -> """
+      WITH z AS (SELECT vec_id AS zid, sum(x*x) AS nsq
+                 FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+                       FROM embeddings)
+                 GROUP BY vec_id)
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             round(sqrt(nsq), 4) AS l2_norm, label
+      FROM documents
+      JOIN embeddings ON doc_id = vec_id
+      JOIN z ON doc_id = zid
+      ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.{Norm, QueryModule, Tables}
+import graft.functions.TokenizePos
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * LLM surface): tokenization (incl. the custom Generator), tf-idf,
+  * language stats, data-driven language ID, quality scoring, and
+  * rolling-hash fingerprinting.
+  *
+  * Scale notes: token explosion multiplies rows ~50×, so every
+  * aggregation after explode is partial-agg'd before its shuffle
+  * (stock hash-agg); the language-ID profile is tiny (langs × 10) and
+  * broadcast; fingerprints/quality are pure per-row fold expressions —
+  * no shuffle, no UDF.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+
+  /** Global term counts (explode + hash-agg). */
+  val textTokenize: Q = (spark, dir) => {
+    tokens(spark, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("term")
+  }
+
+  /** Positional tokenization through the custom Generator (UDTF
+    * surface): first 5 tokens of each document with their positions.
+    */
+  val textTokenizePos: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+        Bridge.column(TokenizePos(Bridge.expression(col("text"))))
+          .as(Seq("pos", "token")))
+      .filter(col("pos") < 5)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** tf-idf, top-3 terms per document (ranked on the rounded score so
+    * cross-engine ordering is stable).
+    */
+  val textTfidf: Q = (spark, dir) => {
+    val tok = tokens(spark, dir)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        Norm.r4(col("tf") * log(col("n").cast("double") / col("df")))
+          .as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Per-language corpus stats. */
+  val textLangStats: Q = (spark, dir) => {
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        Norm.r4(avg(col("n_chars"))).as("avg_chars"),
+        Norm.r4(avg(col("n_tokens"))).as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** Data-driven language ID: build per-language profiles (top-10
+    * terms by frequency), score each document by distinct-token overlap
+    * with each profile, predict the argmax (ties → lang asc). The
+    * profile is the "training" step; both run in one plan.
+    */
+  val textLangid: Q = (spark, dir) => {
+    val tok = tokens(spark, dir)
+    val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    val profile = tok.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 10)
+      .select(col("lang").as("p_lang"), col("term"))
+    val docTerms = tok.select("doc_id", "term").distinct()
+    val wd = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("p_lang"))
+    val best = docTerms.join(broadcast(profile), "term")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+    docs(spark, dir).join(best, "doc_id")
+      .select(col("doc_id"), col("lang").as("actual"),
+        col("p_lang").as("predicted"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token stats, stopword ratio, alpha ratio, and a
+    * composite score — the standard cheap pre-filter for LLM corpora.
+    */
+  val textQuality: Q = (spark, dir) => {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+      // Raw (unrounded) ratios; rounding happens only on output columns
+      // so the composite score is computed from full precision on both
+      // engines identically.
+      .withColumn("stop_r",
+        size(filter(col("toks"), t => t.isInCollection(stops)))
+          .cast("double") / size(col("toks")))
+      .withColumn("alpha_r",
+        size(filter(col("toks"), t => t.rlike("^[a-z]+$")))
+          .cast("double") / size(col("toks")))
+    d.select(col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        Norm.r4(col("n_chars").cast("double") / size(col("toks")))
+          .as("avg_token_len"),
+        Norm.r4(col("stop_r")).as("stopword_ratio"),
+        Norm.r4(col("alpha_r")).as("alpha_ratio"),
+        Norm.r4(col("alpha_r") * (lit(1.0) - col("stop_r")) *
+          least(size(col("toks")).cast("double") / 50.0, lit(1.0)))
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish
+    * subword estimate (alnum runs + ceil(len/4) pieces per run).
+    */
+  val textTokenCount: Q = (spark, dir) => {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    d.select(col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        expr("""aggregate(toks, 0L,
+          |  (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))"""
+          .stripMargin).as("n_bpe_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over the token stream (Rabin-Karp
+    * shape): fold (h*131 + code(t)) mod p — identical integer fold on
+    * the DuckDB side, so it is oracle-checkable unlike the xxhash
+    * signatures.
+    */
+  val textFingerprint: Q = (spark, dir) => {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    d.select(col("doc_id"),
+        expr("""aggregate(
+          |  transform(toks, t -> CAST(ascii(substring(t, 1, 1)) * 31
+          |    + length(t) AS LONG)),
+          |  0L, (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin)
+          .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_tokenize" -> textTokenize,
+    "q_text_tokenize_pos" -> textTokenizePos,
+    "q_text_tfidf" -> textTfidf,
+    "q_text_lang_stats" -> textLangStats,
+    "q_text_langid" -> textLangid,
+    "q_text_quality" -> textQuality,
+    "q_text_token_count" -> textTokenCount,
+    "q_text_fingerprint" -> textFingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize" -> """
+      SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+      ORDER BY term""",
+    "q_text_tokenize_pos" -> """
+      SELECT doc_id, CAST(pos AS INT) AS pos, token FROM (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      WHERE pos < 5
+      ORDER BY doc_id, pos""",
+    "q_text_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term, round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, rn""",
+    "q_text_lang_stats" -> """
+      SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+             round(avg(n_chars), 4) AS avg_chars,
+             round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+             sum(n_chars) AS total_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+    "q_text_langid" -> """
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      profile AS (
+        SELECT lang AS p_lang, term FROM (
+          SELECT lang, term, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY count(*) DESC, term) AS rn
+          FROM tok GROUP BY lang, term)
+        WHERE rn <= 10),
+      doc_terms AS (SELECT DISTINCT doc_id, term FROM tok),
+      scores AS (
+        SELECT doc_id, p_lang, count(*) AS score
+        FROM doc_terms JOIN profile USING (term)
+        GROUP BY doc_id, p_lang),
+      best AS (
+        SELECT doc_id, p_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, p_lang) AS rn
+        FROM scores)
+      SELECT d.doc_id, d.lang AS actual, b.p_lang AS predicted, b.score
+      FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+      ORDER BY d.doc_id""",
+    "q_text_quality" -> """
+      WITH q AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents)
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS INT) AS n_tokens,
+             round(CAST(n_chars AS DOUBLE) / len(toks), 4) AS avg_token_len,
+             round(CAST(len(list_filter(toks, t -> list_contains(
+               ['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+               / len(toks), 4) AS stopword_ratio,
+             round(CAST(len(list_filter(toks, t -> regexp_full_match(
+               t, '[a-z]+'))) AS DOUBLE) / len(toks), 4) AS alpha_ratio,
+             round(
+               (CAST(len(list_filter(toks, t -> regexp_full_match(
+                  t, '[a-z]+'))) AS DOUBLE) / len(toks)) *
+               (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+                  ['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+                  / len(toks)) *
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 4) AS quality
+      FROM q
+      ORDER BY doc_id""",
+    "q_text_token_count" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+               (acc, c) -> acc + c) AS n_bpe_pieces
+      FROM documents
+      ORDER BY doc_id""",
+    "q_text_fingerprint" -> """
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(unicode(substring(t, 1, 1)) * 31
+                   + length(t) AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+      FROM documents
+      ORDER BY doc_id""",
+  )
+}
