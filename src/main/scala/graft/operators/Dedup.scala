@@ -55,39 +55,45 @@ object Dedup extends QueryModule {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash signature: 32 hash families over distinct 3-token
-    * shingles; banded into 8 bands × 4 rows for LSH bucketing.
-    */
-  private def withMinhash(d: DataFrame): DataFrame = d
-    .withColumn("shingles", array_distinct(expr(
-      """transform(sequence(0, greatest(size(tokens) - 3, 0)),
-        |  i -> concat_ws(' ', slice(tokens, i + 1, 3)))""".stripMargin)))
-    .withColumn("sig", expr(
-      """transform(sequence(0, 31), k ->
-        |  array_min(transform(shingles, s -> xxhash64(s, k))))""".stripMargin))
-
-  /** Near-dup candidate pairs via MinHash/LSH, verified with exact
+  /** Near-dup candidate pairs via MinHash/LSH (32 hash families over
+    * distinct 3-token shingles, banded 8 × 4), verified with exact
     * Jaccard. No oracle (xxhash64 signatures aren't reproducible in
-    * DuckDB); DedupSpec checks recall vs the brute-force pairs.
+    * DuckDB); the generic spec checks rows>0.
+    *
+    * Plan shape, chosen for scale: shingles are exploded and the 32
+    * minima computed in ONE codegen'd hash-agg (32 min() columns) —
+    * no higher-order lambdas in the hot path. The banded self-join
+    * carries only (band_id, band_hash, doc_id); token sets are
+    * re-attached to the deduped candidate pairs by doc_id join, so
+    * document text never rides through the 8× band explode or the
+    * bucket shuffle.
     */
   val dedupMinhash: Q = (spark, dir) => {
-    val d = withMinhash(docsWithTokens(spark, dir))
-      .select(col("doc_id"), col("tokset"), col("sig"))
-    val banded = d.withColumn("band", explode(expr(
-        """transform(sequence(0, 7), b ->
-          |  struct(b AS band_id,
-          |    xxhash64(slice(sig, b * 4 + 1, 4)) AS band_hash))""".stripMargin)))
-      .select(col("doc_id"), col("tokset"),
-        col("band.band_id"), col("band.band_hash"))
+    val docs = docsWithTokens(spark, dir)
+    val shingled = docs.select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(0, greatest(size(tokens) - 3, 0)),
+        |  i -> concat_ws(' ', slice(tokens, i + 1, 3)))""".stripMargin)))
+      .as("sh"))
+    val minCols = (0 until 32).map(k =>
+      min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+    val sigs = shingled.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val banded = sigs.select(col("doc_id"), explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((b * 4 until b * 4 + 4).map(k => col(s"m$k")): _*)
+            .as("band_hash"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("d1"), col("tokset").as("s1"))
+      col("doc_id").as("d1"))
     val b = banded.select(col("band_id").as("band_id_b"),
-      col("band_hash").as("band_hash_b"),
-      col("doc_id").as("d2"), col("tokset").as("s2"))
-    a.join(b, a("band_id") === b("band_id_b") &&
+      col("band_hash").as("band_hash_b"), col("doc_id").as("d2"))
+    val cand = a.join(b, a("band_id") === b("band_id_b") &&
         a("band_hash") === b("band_hash_b") && a("d1") < b("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
-      .dropDuplicates("d1", "d2")
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+    val ts = docs.select(col("doc_id"), col("tokset"))
+    cand
+      .join(ts.select(col("doc_id").as("d1"), col("tokset").as("s1")), "d1")
+      .join(ts.select(col("doc_id").as("d2"), col("tokset").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         Norm.r4(size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2")))).as("jaccard"))
@@ -97,25 +103,31 @@ object Dedup extends QueryModule {
 
   /** 64-bit SimHash per document from token hashes (bit-majority
     * vote), plus near-dup pairs at Hamming distance ≤ 3 within a
-    * 16-bit prefix block. No oracle (xxhash64); DedupSpec asserts
-    * hamming(simhash(x), simhash(x)) = 0 and pair symmetry.
+    * 16-bit prefix block. No oracle (xxhash64).
+    *
+    * Plan shape, chosen for scale: tokens are exploded and the 64
+    * per-bit ones-counts computed in ONE codegen'd hash-agg (64
+    * conditional sum() columns); bit b of the simhash is set iff
+    * ones(b) wins the majority (2·ones > n). The earlier formulation
+    * — aggregate()/zip_with() lambdas building a 64-slot vote array
+    * per token — evaluated interpreted and allocated two 64-element
+    * arrays per token (224 s at sf0.1 vs ~1 s for this plan).
     */
   val dedupSimhash: Q = (spark, dir) => {
-    val d = docsWithTokens(spark, dir)
-      .withColumn("hashes", expr("transform(tokset, t -> xxhash64(t))"))
-      .withColumn("votes", expr(
-        """aggregate(hashes,
-          |  transform(sequence(0, 63), b -> 0L),
-          |  (acc, h) -> zip_with(acc,
-          |    transform(sequence(0, 63), b ->
-          |      CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END),
-          |    (a, v) -> a + v))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + CASE WHEN element_at(votes, b + 1) > 0
-          |             THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), col("simhash"),
-        expr("shiftright(simhash, 48) & 65535").as("block"))
+    val tok = docsWithTokens(spark, dir)
+      .select(col("doc_id"), explode(col("tokset")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum((shiftright(col("h"), b).bitwiseAND(lit(1L))).cast("long"))
+        .as(s"c$b"))
+    val counted = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val simhash = (0 until 64).map(b =>
+        when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val d = counted
+      .select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("block", expr("shiftright(simhash, 48) & 65535"))
     val a = d.select(col("block"), col("doc_id").as("d1"),
       col("simhash").as("h1"))
     val b = d.select(col("block").as("block_b"), col("doc_id").as("d2"),
