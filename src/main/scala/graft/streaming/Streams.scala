@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Running per-user counters carried across micro-batches. */
+case class UserAggState(nEvents: Long, sumValue: Double)
+
+/** Structured Streaming wave (SURVEY.md §2.B `s_*`): the reference is a
+  * streaming pipeline (Pub/Sub → decrypt DoFn → sink), so this module
+  * re-expresses its unbounded path on Structured Streaming, plus the
+  * stateful operators a production stream needs (watermarked windows,
+  * streaming dedup, custom state).
+  *
+  * Every transform is `DataFrame => DataFrame` over an *unbounded*
+  * input, so the identical plan runs from any source — the file source
+  * here, `MemoryStream` in StreamingSpec, Kafka on a real cluster.
+  * There is no DuckDB streaming oracle; StreamingSpec drives
+  * micro-batches and asserts semantics (late-drop, dedup, state,
+  * decrypt roundtrip).
+  *
+  * Scale notes: all stateful ops key their state by the shuffle key
+  * (window×type, event_id, user_id), so state is partition-local and
+  * scales horizontally with executors; watermarks bound state size —
+  * without them, windowed state grows forever at 100 TB/day rates.
+  */
+object Streams {
+
+  /** events.parquet raw schema — ts read as raw int64 nanos
+    * (timestamp[ns] parquet, same workaround as Tables.events) and
+    * converted after load; file-source streams need an explicit schema.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** A1: unbounded source — file-based `readStream` over the events
+    * table (the batch stand-in for a Pub/Sub/Kafka subscription).
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file source wants a directory; the sf dir holds one parquet
+    // file per table, so glob-filter to just the events file.
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** s_watermark_late: tumbling-window counts per event type; events
+    * more than 10 min behind the max seen ts are dropped, and a window
+    * finalizes (append-mode emit) once the watermark passes its end.
+    */
+  def watermarkedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** s_dedup_stream: drop replayed event_ids; the watermark bounds how
+    * long each id is remembered, so state stays O(ids per 10 min).
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** s_stateful_count: running per-user (n_events, sum_value) via
+    * flatMapGroupsWithState — the engine's analogue of the reference
+    * DoFn's in-process mutable state, but fault-tolerant (StateStore)
+    * and partitioned by key.
+    */
+  def statefulUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserAggState]) =>
+          val prev = state.getOption.getOrElse(UserAggState(0L, 0.0))
+          var n = prev.nEvents
+          var s = prev.sumValue
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update(UserAggState(n, s))
+          Iterator((userId, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Publisher side of the reference (§2.A A7), streaming: JSON-encode
+    * the row, AES-encrypt with the DEK, attach attributes carrying the
+    * KEK-wrapped DEK and the HMAC signature.
+    */
+  def encryptMessages(rows: DataFrame, dek: Array[Byte],
+                      kek: Array[Byte]): DataFrame = {
+    val payload = to_json(struct(rows.columns.map(col).toSeq: _*))
+      .cast("binary")
+    rows.select(
+      col("id"),
+      col("ts"),
+      aes_encrypt(payload, lit(dek), lit("ECB")).as("value"),
+      map(
+        lit("wrapped_dek"), base64(wrap_dek(lit(kek), lit(dek))),
+        lit("sig"), base64(hmac_sha256(lit(dek), payload))
+      ).as("attributes"))
+  }
+
+  /** s_decrypt_pipeline, consumer side (§2.A A2–A6): unwrap the DEK
+    * from the attribute, decrypt the payload, recompute + verify the
+    * HMAC, parse the JSON — one stateless codegen'd map stage, then a
+    * watermarked windowed count as the sink aggregation.
+    */
+  def decryptPipeline(messages: DataFrame, kek: Array[Byte],
+                      payloadSchema: String): DataFrame = {
+    val rowDek = unwrap_dek(lit(kek),
+      unbase64(element_at(col("attributes"), "wrapped_dek")))
+    val plain = messages.select(
+      col("id"), col("ts"),
+      aes_decrypt(col("value"), rowDek, lit("ECB")).as("payload"),
+      (base64(hmac_sha256(rowDek,
+        aes_decrypt(col("value"), rowDek, lit("ECB"))))
+        === element_at(col("attributes"), "sig")).as("verified"))
+    plain
+      .filter(col("verified"))
+      .select(col("id"), col("ts"),
+        from_json(col("payload").cast("string"), lit(payloadSchema))
+          .as("msg"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_messages"))
+      .select(col("window.start").as("wstart"), col("n_messages"))
+  }
+}

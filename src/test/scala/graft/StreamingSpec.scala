@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Micro-batch-driven checks for the streaming wave (no DuckDB oracle —
+  * SURVEY.md §5.2 item 4). Each test feeds explicit batches through a
+  * MemoryStream, runs processAllAvailable between adds so watermarks
+  * advance deterministically, and asserts on the memory sink.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+case class Msg(id: Long, ts: Timestamp, lang: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def run(df: DataFrame, name: String, mode: String)
+                 (feed: (StreamingQuery => Unit)): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try feed(q) finally q.stop()
+    spark.table(name)
+  }
+
+  test("s_watermark_late drops events behind the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.watermarkedCounts(in.toDF), "wm", "append") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 10:20:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      // Advances the watermark to 11:50 → the 10:00 window finalizes.
+      in.addData(Ev(3, t("2024-01-01 12:00:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      // Late by 105 min (watermark 11:50) → must be dropped.
+      in.addData(Ev(4, t("2024-01-01 10:10:00"), 3, "click", 9.0))
+      q.processAllAvailable()
+      // Close the 12:00 window too so the sink has both finalized rows.
+      in.addData(Ev(5, t("2024-01-01 14:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val w10 = out.filter("wstart = '2024-01-01 10:00:00'").collect()
+    assert(w10.length === 1)
+    assert(w10.head.getAs[Long]("n") === 2) // late event 4 not counted
+  }
+
+  test("s_dedup_stream emits each event_id once within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.streamingDedup(in.toDF), "dedup", "append") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, t("2024-01-01 10:00:30"), 1, "click", 1.0), // same batch dup
+        Ev(2, t("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, t("2024-01-01 10:02:00"), 1, "click", 1.0)) // replay
+      q.processAllAvailable()
+    }
+    assert(out.count() === 2)
+    assert(out.select("event_id").distinct().count() === 2)
+  }
+
+  test("s_stateful_count carries per-user state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.statefulUserCounts(in.toDF), "state", "update") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.5),
+        Ev(2, t("2024-01-01 10:01:00"), 7, "click", 2.5))
+      q.processAllAvailable()
+      in.addData(Ev(3, t("2024-01-01 10:02:00"), 7, "view", 4.0))
+      q.processAllAvailable()
+    }
+    // Last update for user 7 must reflect all three events.
+    val last = out.filter("user_id = 7 and n_events = 3").collect()
+    assert(last.length === 1)
+    assert(math.abs(last.head.getAs[Double]("sum_value") - 8.0) < 1e-9)
+  }
+
+  test("s_decrypt_pipeline decrypts, verifies, and window-counts a stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dek = "0123456789abcdef".getBytes("UTF-8")
+    val kek = "kek-graft-000001".getBytes("UTF-8")
+    val in = MemoryStream[Msg]
+    val encrypted = Streams.encryptMessages(in.toDF, dek, kek)
+    val piped = Streams.decryptPipeline(encrypted, kek,
+      "id LONG, ts TIMESTAMP, lang STRING")
+    val out = run(piped, "pipe", "append") { q =>
+      in.addData(
+        Msg(1, t("2024-01-01 10:05:00"), "en"),
+        Msg(2, t("2024-01-01 10:25:00"), "fr"),
+        Msg(3, t("2024-01-01 11:10:00"), "en"))
+      q.processAllAvailable()
+      in.addData(Msg(4, t("2024-01-01 13:00:00"), "de")) // advance watermark
+      q.processAllAvailable()
+    }
+    val w10 = out.filter("wstart = '2024-01-01 10:00:00'").collect()
+    assert(w10.length === 1)
+    assert(w10.head.getAs[Long]("n_messages") === 2)
+  }
+
+  test("streaming file source reads the events table end-to-end") {
+    val stream = Streams.eventsFileStream(spark, sfDir)
+    assert(stream.isStreaming)
+    val out = run(
+      Streams.watermarkedCounts(stream), "filesrc", "append") { q =>
+      q.processAllAvailable()
+    }
+    // Append mode only emits windows the watermark has passed; the
+    // final window stays open, so expect at least most of the 30 days
+    // × 24 h × 5 types worth of windows.
+    assert(out.count() > 100)
+  }
+
+  test("tampered ciphertext fails HMAC verification and is filtered out") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dek = "0123456789abcdef".getBytes("UTF-8")
+    val kek = "kek-graft-000001".getBytes("UTF-8")
+    val in = MemoryStream[Msg]
+    // Flip the signature attribute → verified=false → row filtered.
+    val tampered = Streams.encryptMessages(in.toDF, dek, kek)
+      .withColumn("attributes",
+        map(lit("wrapped_dek"), element_at(col("attributes"), "wrapped_dek"),
+            lit("sig"), lit("AAAA")))
+    val piped = Streams.decryptPipeline(tampered, kek,
+      "id LONG, ts TIMESTAMP, lang STRING")
+    val out = run(piped, "tampered", "append") { q =>
+      in.addData(Msg(1, t("2024-01-01 10:05:00"), "en"))
+      q.processAllAvailable()
+      in.addData(Msg(2, t("2024-01-01 13:00:00"), "fr"))
+      q.processAllAvailable()
+    }
+    assert(out.count() === 0)
+  }
+}
