@@ -139,11 +139,45 @@ object Dedup extends QueryModule {
       .orderBy("d1", "d2")
   }
 
+  /** Embedding-cosine near-dup: candidate pairs meet only inside a
+    * sign-LSH block (the 8-bit sign pattern of the first 8 dims — near
+    * -identical vectors share it), then exact cosine ranks them; top-20
+    * emitted. The testdata plants no near-dups (max cos ≈ 0.51), so a
+    * production-style `cos ≥ τ` filter would be empty — emitting the
+    * ranked candidates keeps the query non-empty and oracle-checkable
+    * while exercising the same block→score→rank plan.
+    *
+    * Scale: one shuffle on the block key; within-block pairing is
+    * quadratic but block count (2^8, extendable to 2^k) bounds pair
+    * density, the same trade as MinHash banding above.
+    */
+  val dedupEmbedding: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+      .withColumn("block", expr(
+        """aggregate(slice(emb, 1, 8), 0,
+          |  (acc, v) -> acc * 2 + CASE WHEN v > 0 THEN 1 ELSE 0 END)"""
+          .stripMargin))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val a = e.select(col("block"), col("vec_id").as("v1"), col("emb").as("e1"))
+    val b = e.select(col("block").as("block_b"), col("vec_id").as("v2"),
+      col("emb").as("e2"))
+    a.join(b, a("block") === b("block_b") && a("v1") < b("v2"))
+      .select(col("v1"), col("v2"),
+        Norm.r4(dot(col("e1"), col("e2")) /
+          (sqrt(dot(col("e1"), col("e1"))) * sqrt(dot(col("e2"), col("e2")))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_embedding" -> dedupEmbedding,
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,5 +199,36 @@ object Dedup extends QueryModule {
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8
       ORDER BY d1, d2""",
+    "q_dedup_embedding" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+      blocked AS (
+        SELECT vec_id, emb,
+               list_reduce(list_prepend(0,
+                 list_transform(emb[1:8],
+                   v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)),
+                 (acc, x) -> acc * 2 + x) AS block
+        FROM e),
+      pairs AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2, a.emb AS ea, b.emb AS eb
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT v1, v2,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> ea[i] * eb[i])),
+                   (s, v) -> s + v)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> ea[i] * ea[i])),
+                      (s, v) -> s + v))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> eb[i] * eb[i])),
+                      (s, v) -> s + v))), 4) AS cos_sim
+        FROM pairs)
+      SELECT v1, v2, cos_sim FROM scored
+      ORDER BY cos_sim DESC, v1, v2
+      LIMIT 20""",
   )
 }
