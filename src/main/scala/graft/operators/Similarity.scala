@@ -87,21 +87,26 @@ object Similarity extends QueryModule {
       .orderBy("label", "pos")
   }
 
-  /** ANN via sign-LSH: 8 deterministic pseudo-random hyperplanes (seeded
-    * xxhash64 weights), vectors bucketed by the 8-bit sign pattern;
-    * queries (every 50th vector) compare only within their bucket.
-    * No oracle — xxhash weights aren't DuckDB-reproducible; the spec
-    * asserts each query's top hit is itself and recall vs brute force.
+  /** ANN via sign-LSH: 8 deterministic pseudo-random hyperplanes
+    * (fixed-seed, materialized as literal arrays so the per-row work is
+    * 8 zip_with folds over constants — the earlier formulation rebuilt
+    * all 512 hash-derived weights per row in nested interpreted
+    * lambdas), vectors bucketed by the 8-bit sign pattern; queries
+    * (every 50th vector) compare only within their bucket. No oracle —
+    * DedupSimSpec asserts each query's top hit is itself and recall vs
+    * brute force.
     */
   val simAnnLsh: Q = (spark, dir) => {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(8)(Seq.fill(64)(rnd.nextDouble() - 0.5))
+    val planeLit = typedLit(planes)
     val e = emb(spark, dir)
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), 0, (acc, k) -> acc * 2 +
-          |  CASE WHEN aggregate(zip_with(emb,
-          |    transform(sequence(0, 63), i ->
-          |      (pmod(xxhash64(k * 64 + i), 1000) / 1000.0) - 0.5),
-          |    (x, w) -> x * w), 0.0D, (s, v) -> s + v) > 0
-          |  THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("bucket", (0 until 8).map(k =>
+          when(aggregate(zip_with(col("emb"), planeLit.getItem(k),
+            (x, wv) => x * wv), lit(0.0), (s, v) => s + v) > 0,
+            lit(1 << (7 - k))).otherwise(lit(0)))
+        .reduce(_ + _))
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qv"), col("bucket"))
     val w = Window.partitionBy("qid")

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quality checks for the approximate operators (no DuckDB oracle —
+  * SURVEY.md §2.B marks them `—`): MinHash/LSH recall vs brute-force
+  * Jaccard ground truth, SimHash structural invariants, ANN self-hit,
+  * cosine bounds. All inputs are deterministic (fixed hash seeds), so
+  * these are exact assertions, not flaky statistical ones.
+  */
+class QualitySpec extends SparkSpec {
+
+  /** Brute-force ground truth: doc_ids that have SOME earlier doc at
+    * token-set Jaccard ≥ 0.9 — exactly the greedy min-id dup rule the
+    * minhash query approximates via LSH candidates.
+    */
+  private lazy val bruteForceDups: Set[Long] = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val a = d.select(col("doc_id").as("d1"), col("ts").as("s1"))
+    val b = d.select(col("doc_id").as("d2"), col("ts").as("s2"))
+    a.join(b, col("d1") < col("d2"))
+      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))) >= 0.9)
+      .select("d2").distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("q_dedup_minhash flags only true >=0.9-Jaccard dups (precision 1)") {
+    val flagged = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .filter(col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty)
+    val falsePos = flagged.diff(bruteForceDups)
+    assert(falsePos.isEmpty, s"${falsePos.size} false positives")
+  }
+
+  test("q_dedup_minhash recalls >=90% of brute-force >=0.9-Jaccard dups") {
+    val flagged = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .filter(col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bruteForceDups.nonEmpty)
+    val recall = bruteForceDups.count(flagged.contains).toDouble /
+      bruteForceDups.size
+    assert(recall >= 0.9,
+      s"minhash recall $recall over ${bruteForceDups.size} dup docs")
+  }
+
+  test("q_dedup_simhash pairs are within Hamming distance 3, ordered") {
+    val rows = SparkEntry.queries("q_dedup_simhash")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
+  test("simhash of a duplicated document equals itself (hamming 0 pair)") {
+    // The testdata plants no exact dups, so synthesize one: run the
+    // same simhash plan over documents ∪ {copy of doc 0 with new id}.
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val clone = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(999999L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sim").toString
+    docs.unionByName(clone).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, tmp)
+      .filter(col("d1") === 0 && col("d2") === 999999L).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Int]("hamming") === 0)
+  }
+
+  test("q_sim_ann_lsh rank-1 hit for every query is the query itself") {
+    val r1 = SparkEntry.queries("q_sim_ann_lsh")(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-3)
+    }
+  }
+
+  test("q_dedup_embedding cosines are in [-1,1] and sorted descending") {
+    val sims = SparkEntry.queries("q_dedup_embedding")(spark, sfDir)
+      .select("cos_sim").collect().map(_.getDouble(0))
+    assert(sims.length === 20)
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+}
