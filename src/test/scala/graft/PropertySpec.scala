@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2 item 3) driven by seeded
+  * scalacheck generators — deterministic, so failures are reproducible.
+  * Data-plane properties are evaluated THROUGH Spark plans (not plain
+  * Scala) so they exercise codegen'd expression evaluation.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(params, Seed(seed))
+
+  test("aes decrypt(encrypt(m,k),k) == m for arbitrary byte payloads") {
+    import spark.implicits._
+    val payloads = (1 to 100).map { i =>
+      sample(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)), i).toArray
+    }.filter(_.nonEmpty)
+    for (keyLen <- Seq(16, 24, 32); mode <- Seq("ECB", "GCM")) {
+      val key = ("k" * keyLen).getBytes("UTF-8")
+      val bad = payloads.toDF("m")
+        .select(col("m"),
+          aes_decrypt(aes_encrypt(col("m"), lit(key), lit(mode)),
+            lit(key), lit(mode)).as("rt"))
+        .filter(not(col("m") === col("rt"))).count()
+      assert(bad === 0, s"roundtrip failed for keyLen=$keyLen mode=$mode")
+    }
+  }
+
+  test("hmac_sha256 is deterministic and key-sensitive on random inputs") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.hmac_sha256
+    val msgs = (1 to 50).map(i =>
+      sample(Gen.alphaNumStr, i * 7 + 1)).filter(_.nonEmpty)
+    val df = msgs.toDF("m").select(
+      hmac_sha256(lit("key-a".getBytes), col("m").cast("binary")).as("s1"),
+      hmac_sha256(lit("key-a".getBytes), col("m").cast("binary")).as("s2"),
+      hmac_sha256(lit("key-b".getBytes), col("m").cast("binary")).as("s3"))
+    assert(df.filter(not(col("s1") === col("s2"))).count() === 0)
+    assert(df.filter(col("s1") === col("s3")).count() === 0)
+  }
+
+  test("every random timestamp lands in exactly one tumbling window") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val offsets = (1 to 200).map(i =>
+      sample(Gen.choose(0L, 30L * 24 * 3600 * 1000), i))
+    val df = offsets.map(o => new java.sql.Timestamp(base + o)).toDF("ts")
+      .select(col("ts"), window(col("ts"), "1 hour").as("w"))
+    // containment: ts ∈ [start, end) for the single window it got
+    assert(df.filter(col("ts") < col("w.start") ||
+      col("ts") >= col("w.end")).count() === 0)
+    // partition: per-window counts sum back to the row count
+    val total = df.groupBy("w").count().agg(sum("count")).head.getLong(0)
+    assert(total === offsets.size)
+  }
+
+  test("session windows partition events and last at least the gap") {
+    val e = Tables(spark, sfDir, "events")
+    val sessions = e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+    val totalEvents = e.count()
+    assert(sessions.agg(sum("n")).head.getLong(0) === totalEvents)
+    assert(sessions.count() <= totalEvents)
+    // end = last event + gap ⇒ every session spans >= the 30 min gap
+    assert(sessions.filter(
+      col("sw.end").cast("long") - col("sw.start").cast("long") <
+        30L * 60).count() === 0)
+  }
+
+  test("exact dedup is a partition of the corpus and idempotent") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
+    // groups partition the docs: sizes sum to the corpus
+    assert(out.agg(sum("n_dups")).head.getLong(0) === docs.count())
+    // one group per distinct text
+    assert(out.count() === docs.select("text").distinct().count())
+    // canonical ids are distinct docs (idempotence: re-dedup is a no-op)
+    assert(out.select("doc_id").distinct().count() === out.count())
+  }
+
+  test("cosine similarity is bounded and sim(v,v)=1 on real embeddings") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val self = e.select(
+      (dot(col("emb"), col("emb")) /
+        (sqrt(dot(col("emb"), col("emb"))) *
+         sqrt(dot(col("emb"), col("emb"))))).as("c"))
+    assert(self.filter(abs(col("c") - 1.0) > 1e-9).count() === 0)
+  }
+}
