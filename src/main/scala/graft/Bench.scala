@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up pass: JVM/codegen JIT, parquet footer caches, and
+    // broadcast paths all pay first-use costs that would otherwise land
+    // on whichever query happens to run first (observed: +4 s on a
+    // 0.4 s query). The timed pass below measures steady state.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
