@@ -35,22 +35,39 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Exact token-set Jaccard over pairs blocked by (source, lang).
+  /** Exact token-set Jaccard ≥ 0.8 pairs, blocked by (source, lang).
     * The DuckDB twin verifies the set arithmetic; the MinHash query
     * approximates exactly this measure without the blocking.
+    *
+    * Plan shape, chosen for scale: an inverted-index token join —
+    * explode distinct tokens, equi-join on (source, lang, token),
+    * count shared tokens per pair, then
+    * `jaccard = common / (|s1| + |s2| - common)`. Identical result to
+    * pairwise `array_intersect/union`, but every stage is a codegen'd
+    * hash join/agg instead of interpreted per-pair array scans, and
+    * pairs with zero overlap are never materialized at all (they
+    * can't reach any positive threshold).
     */
   val dedupNgramJaccard: Q = (spark, dir) => {
     val d = docsWithTokens(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("tokset"))
-    val a = d.select(col("source"), col("lang"), col("doc_id").as("d1"),
-      col("tokset").as("s1"))
-    val b = d.select(col("source").as("source_b"), col("lang").as("lang_b"),
-      col("doc_id").as("d2"), col("tokset").as("s2"))
-    a.join(b, a("source") === b("source_b") && a("lang") === b("lang_b") &&
+    val sizes = d.select(col("doc_id"), size(col("tokset")).as("sz"))
+    val tok = d.select(col("source"), col("lang"), col("doc_id"),
+      explode(col("tokset")).as("tok"))
+    val a = tok.select(col("source"), col("lang"), col("tok"),
+      col("doc_id").as("d1"))
+    val b = tok.select(col("source").as("source_b"), col("lang").as("lang_b"),
+      col("tok").as("tok_b"), col("doc_id").as("d2"))
+    val common = a.join(b, a("source") === b("source_b") &&
+        a("lang") === b("lang_b") && a("tok") === b("tok_b") &&
         a("d1") < b("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .select(col("d1"), col("d2"),
-        Norm.r4(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+        Norm.r4(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("d1", "d2")
   }
@@ -146,6 +163,9 @@ object Dedup extends QueryModule {
     val d = counted
       .select(col("doc_id"), simhash.as("simhash"))
       .withColumn("block", expr("shiftright(simhash, 48) & 65535"))
+      // One row of (long, long, long) per doc; materialize so the
+      // self-join doesn't recompute the 64-column vote agg twice.
+      .localCheckpoint()
     val a = d.select(col("block"), col("doc_id").as("d1"),
       col("simhash").as("h1"))
     val b = d.select(col("block").as("block_b"), col("doc_id").as("d2"),
