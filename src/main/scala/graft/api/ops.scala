@@ -1,0 +1,254 @@
+package graft.api
+
+import graft.functions.{CentroidAgg, GraftFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's user-facing, table-agnostic API: every operator takes
+  * and returns a `DataFrame`, parameterized by `Column`s, so it runs on
+  * any schema — the `graft.operators.*` query modules are thin
+  * adapters binding these to the driver testdata for the oracle gate.
+  *
+  * All transforms are pure logical-plan builders: no actions, no
+  * collect, no driver-side loops — Catalyst sees the whole pipeline
+  * and AQE re-plans shuffles at runtime, on any cluster size.
+  *
+  * {{{
+  * import graft.api.ops._
+  * docs.dedupExact($"doc_id", $"text")
+  * docs.minhashDedupFlags($"doc_id", array_distinct(split($"text", " ")))
+  * vecs.cosineTopK($"vec_id", $"embedding", queryVec, k = 10)
+  * }}}
+  */
+object ops {
+
+  /** Sequential left-fold dot product over two double arrays — fixed
+    * evaluation order so results are bit-stable across engines.
+    */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    // ───────────────────────── dedup ─────────────────────────
+
+    /** Exact-duplicate groups by content hash. One hash-shuffle; the
+      * 32-byte sha2 shuffles, the content never does. Output:
+      * (doc_id = min id per group, n_dups).
+      */
+    def dedupExact(id: Column, content: Column): DataFrame =
+      df.groupBy(sha2(content, 256).as("content_hash"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+
+    /** Exact Jaccard-similar pairs over a token-set column, restricted
+      * to equal values of `block`, via an inverted-index token join —
+      * every stage a codegen'd hash join/agg; zero-overlap pairs are
+      * never materialized. Output: (d1, d2, jaccard) with d1 < d2.
+      */
+    def jaccardPairs(id: Column, tokset: Column, block: Column,
+                     threshold: Double): DataFrame = {
+      val base = df.select(block.as("blk"), id.as("did"), tokset.as("ts"))
+      val sizes = base.select(col("did"), size(col("ts")).as("sz"))
+      val tok = base.select(col("blk"), col("did"),
+        explode(col("ts")).as("tok"))
+      val a = tok.select(col("blk"), col("tok"), col("did").as("d1"))
+      val b = tok.select(col("blk").as("blk_b"), col("tok").as("tok_b"),
+        col("did").as("d2"))
+      val common = a.join(b, a("blk") === b("blk_b") &&
+          a("tok") === b("tok_b") && a("d1") < b("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("did").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("did").as("d2"), col("sz").as("sz2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("common").cast("double") /
+            (col("sz1") + col("sz2") - col("common")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)
+      * output). A row is a dup iff some banded-LSH candidate with a
+      * smaller id verifies at exact token-set Jaccard ≥ `threshold`
+      * (greedy min-id canonicalization). Signatures are computed in one
+      * codegen'd hash-agg of `numHashes` min() columns over the
+      * exploded token sets; candidates carry only ids through the band
+      * shuffle. Output: (doc_id, is_dup).
+      */
+    def minhashDedupFlags(id: Column, tokset: Column,
+                          threshold: Double = 0.9,
+                          numHashes: Int = 128,
+                          bands: Int = 8): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val rows = numHashes / bands
+      val base = df.select(id.as("did"), tokset.as("ts"))
+      val shingled = base.select(col("did"), explode(col("ts")).as("sh"))
+      val minCols = (0 until numHashes).map(k =>
+        min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+      val sigs = shingled.groupBy("did").agg(minCols.head, minCols.tail: _*)
+      val banded = sigs.select(col("did"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            xxhash64((b * rows until (b + 1) * rows)
+              .map(k => col(s"m$k")): _*).as("band_hash"))): _*)).as("band"))
+        .select(col("did"), col("band.band_id"), col("band.band_hash"))
+      val a = banded.select(col("band_id"), col("band_hash"),
+        col("did").as("d1"))
+      val b = banded.select(col("band_id").as("band_id_b"),
+        col("band_hash").as("band_hash_b"), col("did").as("d2"))
+      val cand = a.join(b, a("band_id") === b("band_id_b") &&
+          a("band_hash") === b("band_hash_b") && a("d1") < b("d2"))
+        .select("d1", "d2").dropDuplicates("d1", "d2")
+      val ts = base.select(col("did"), col("ts"))
+      val dupIds = cand
+        .join(ts.select(col("did").as("d1"), col("ts").as("s1")), "d1")
+        .join(ts.select(col("did").as("d2"), col("ts").as("s2")), "d2")
+        .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))) >= threshold)
+        .select(col("d2").as("did")).distinct()
+      base.select(col("did").as("doc_id"))
+        .join(dupIds.withColumn("is_dup", lit(true))
+          .withColumnRenamed("did", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    }
+
+    /** 64-bit SimHash per row from a token-set column (bit-majority
+      * vote, computed as one codegen'd hash-agg of 64 conditional
+      * sums). Output: (doc_id, simhash, block = top-16-bit prefix).
+      */
+    def simhash64(id: Column, tokset: Column): DataFrame = {
+      val tok = df.select(id.as("doc_id"), explode(tokset).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val bitCols = (0 until 64).map(b =>
+        sum((shiftright(col("h"), b).bitwiseAND(lit(1L))).cast("long"))
+          .as(s"c$b"))
+      val counted = tok.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitCols: _*)
+      val sim = (0 until 64).map(b =>
+          when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      counted.select(col("doc_id"), sim.as("simhash"))
+        .withColumn("block", expr("shiftright(simhash, 48) & 65535"))
+    }
+
+    /** Near-dup pairs at Hamming distance ≤ `maxHamming` between
+      * simhashes, candidates blocked on the 16-bit prefix. Call on the
+      * output of [[simhash64]] (or any (doc_id, simhash, block) frame
+      * — pass a materialized frame to avoid recomputing the sketch on
+      * both join sides). Output: (d1, d2, hamming).
+      */
+    def simhashPairs(maxHamming: Int): DataFrame = {
+      val a = df.select(col("block"), col("doc_id").as("d1"),
+        col("simhash").as("h1"))
+      val b = df.select(col("block").as("block_b"), col("doc_id").as("d2"),
+        col("simhash").as("h2"))
+      a.join(b, a("block") === b("block_b") && a("d1") < b("d2"))
+        .select(col("d1"), col("d2"),
+          expr("bit_count(h1 ^ h2)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+
+    // ─────────────────────── similarity ───────────────────────
+
+    /** Brute-force top-k rows by cosine similarity to one query vector
+      * (broadcast): scan → project → TakeOrderedAndProject, no shuffle
+      * of the vectors. `vec` must be a numeric array column.
+      */
+    def cosineTopK(id: Column, vec: Column, query: Seq[Double],
+                   k: Int): DataFrame = {
+      val qv = typedLit(query)
+      df.select(id.as("vec_id"),
+          round(cosineSim(transform(vec, _.cast("double")), qv), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    }
+
+    /** Sign-LSH bucket id for a numeric array column: the `planes.size`
+      * -bit sign pattern of dot products with fixed hyperplanes (pass a
+      * fixed-seed-generated matrix for determinism). Candidates for
+      * ANN search only need comparing within equal buckets.
+      */
+    def withSignLshBucket(vec: Column, planes: Seq[Seq[Double]],
+                          out: String = "bucket"): DataFrame = {
+      val planeLit = typedLit(planes)
+      val v = transform(vec, _.cast("double"))
+      df.withColumn(out, planes.indices.map(k =>
+          when(dotd(v, planeLit.getItem(k)) > 0,
+            lit(1 << (planes.size - 1 - k))).otherwise(lit(0)))
+        .reduce(_ + _))
+    }
+
+    /** Elementwise mean vector per key via the typed Aggregator UDAF.
+      * Output: (key, centroid: array<double>).
+      */
+    def centroidPerKey(key: Column, vec: Column): DataFrame =
+      df.groupBy(key.as("key"))
+        .agg(CentroidAgg.column(vec).as("centroid"))
+
+    // ───────────────────────── text ─────────────────────────
+
+    /** Global term counts over a token column produced by the caller
+      * (explode + two-phase hash-agg). Output: (term, n, n_docs).
+      */
+    def termCounts(id: Column, tokens: Column): DataFrame =
+      df.select(id.as("did"), explode(tokens).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"), countDistinct(col("did")).as("n_docs"))
+
+    /** tf-idf, top-`k` terms per document (document frequency joined
+      * broadcast; ranked on the rounded score for cross-engine
+      * stability). Output: (doc_id, term, tfidf, rn).
+      */
+    def tfidfTopTerms(id: Column, tokens: Column, k: Int): DataFrame = {
+      val tok = df.select(id.as("did"), explode(tokens).as("term"))
+      val tf = tok.groupBy("did", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("term")
+        .agg(countDistinct(col("did")).as("df"))
+      val n = df.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .select(col("did").as("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+            .as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+    }
+
+    // ───────────────────────── crypto ─────────────────────────
+
+    /** Publisher side of the reference pipeline: AES-encrypt `payload`
+      * with `dek`, attach attributes carrying the KEK-wrapped DEK and
+      * the HMAC-SHA256 signature. Inverse of [[openEnvelope]].
+      */
+    def sealEnvelope(payload: Column, dek: Array[Byte],
+                     kek: Array[Byte]): DataFrame =
+      df.withColumn("value",
+          aes_encrypt(payload, lit(dek), lit("ECB")))
+        .withColumn("attributes", map(
+          lit("wrapped_dek"),
+          base64(GraftFunctions.wrap_dek(lit(kek), lit(dek))),
+          lit("sig"), base64(GraftFunctions.hmac_sha256(lit(dek), payload))))
+
+    /** Consumer side: unwrap the DEK from the attributes map, decrypt
+      * `value`, recompute and compare the HMAC. Adds (payload BINARY,
+      * verified BOOLEAN). One stateless codegen'd map stage.
+      */
+    def openEnvelope(kek: Array[Byte]): DataFrame = {
+      val rowDek = GraftFunctions.unwrap_dek(lit(kek),
+        unbase64(element_at(col("attributes"), "wrapped_dek")))
+      df.withColumn("payload",
+          aes_decrypt(col("value"), rowDek, lit("ECB")))
+        .withColumn("verified",
+          base64(GraftFunctions.hmac_sha256(rowDek, col("payload")))
+            === element_at(col("attributes"), "sig"))
+    }
+  }
+}

@@ -75,34 +75,23 @@ object Crypto extends QueryModule {
     * attribute, decrypt, verify HMAC, parse JSON, project fields.
     */
   val messagePipeline: Q = (spark, dir) => {
+    import graft.api.ops._
+    val dekB = "0123456789abcdef".getBytes("UTF-8")
+    val kekB = "kek-graft-000001".getBytes("UTF-8")
     val docs = Tables(spark, dir, "documents")
     // Publisher side (reference publisher.py semantics).
-    val messages = docs.select(
-      col("doc_id"),
-      aes_encrypt(
+    val messages = docs
+      .withColumn("pt",
         to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
-          .cast("binary"),
-        dek, lit("ECB")).as("value"),
-      map(
-        lit("wrapped_dek"), base64(wrap_dek(kek, dek)),
-        lit("sig"), base64(hmac_sha256(dek,
-          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
-            .cast("binary")))).as("attributes"))
+          .cast("binary"))
+      .sealEnvelope(col("pt"), dekB, kekB)
+      .select(col("doc_id"), col("value"), col("attributes"))
     // Consumer side (reference Dataflow DoFn semantics).
-    val opened = messages.select(
-      col("doc_id"),
-      aes_decrypt(col("value"),
-        unwrap_dek(kek, unbase64(element_at(col("attributes"), "wrapped_dek"))),
-        lit("ECB")).cast("string").as("payload"),
-      col("value"), col("attributes"))
-    opened.select(
-        col("doc_id"),
-        from_json(col("payload"), lit("doc_id LONG, lang STRING, n_chars LONG"))
-          .as("msg"),
-        (base64(hmac_sha256(
-          unwrap_dek(kek, unbase64(element_at(col("attributes"), "wrapped_dek"))),
-          col("payload").cast("binary")))
-          === element_at(col("attributes"), "sig")).as("verified"))
+    messages.openEnvelope(kekB)
+      .select(col("doc_id"),
+        from_json(col("payload").cast("string"),
+          lit("doc_id LONG, lang STRING, n_chars LONG")).as("msg"),
+        col("verified"))
       .select(col("doc_id"), col("msg.lang").as("lang"),
         col("msg.n_chars").as("n_chars"), col("verified"))
       .orderBy("doc_id")

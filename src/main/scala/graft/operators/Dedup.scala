@@ -1,23 +1,16 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
+import graft.api.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (builder-prompt
-  * LLM surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
-  *
-  * Scale notes:
-  *  - exact dedup is one hash-shuffle on sha2(text) — the canonical
-  *    100 TB dedup plan (hash is 32 bytes regardless of doc size, so
-  *    the shuffle never moves document text);
-  *  - Jaccard runs inside (source, lang) blocks — within-block
-  *    quadratic, so block size bounds cost; MinHash/LSH is the
-  *    unblocked scale path: candidates meet only when a band bucket
-  *    collides, turning all-pairs O(n²) into O(n·bands) shuffle +
-  *    skew-bounded bucket joins;
-  *  - signatures/buckets are computed with higher-order array
-  *    functions over the token array — per-row, no UDF, codegen'd.
+  * LLM surface): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. Thin adapters binding the generic
+  * [[graft.api.ops]] transforms to the driver's `documents` /
+  * `embeddings` tables for the DuckDB oracle gate; scale notes live on
+  * the API methods.
   */
 object Dedup extends QueryModule {
 
@@ -27,155 +20,50 @@ object Dedup extends QueryModule {
       .withColumn("tokset", array_distinct(col("tokens")))
 
   /** Exact duplicate groups by content hash; canonical = min doc_id. */
-  val dedupExact: Q = (spark, dir) => {
+  val dedupExact: Q = (spark, dir) =>
     Tables(spark, dir, "documents")
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-      .select(col("doc_id"), col("n_dups"))
+      .dedupExact(col("doc_id"), col("text"))
       .orderBy("doc_id")
-  }
 
-  /** Exact token-set Jaccard ≥ 0.8 pairs, blocked by (source, lang).
-    * The DuckDB twin verifies the set arithmetic; the MinHash query
-    * approximates exactly this measure without the blocking.
-    *
-    * Plan shape, chosen for scale: an inverted-index token join —
-    * explode distinct tokens, equi-join on (source, lang, token),
-    * count shared tokens per pair, then
-    * `jaccard = common / (|s1| + |s2| - common)`. Identical result to
-    * pairwise `array_intersect/union`, but every stage is a codegen'd
-    * hash join/agg instead of interpreted per-pair array scans, and
-    * pairs with zero overlap are never materialized at all (they
-    * can't reach any positive threshold).
+  /** Exact token-set Jaccard ≥ 0.8 pairs, blocked by (source, lang),
+    * via the inverted-index token join. The DuckDB twin verifies the
+    * set arithmetic; the MinHash query approximates exactly this
+    * measure without the blocking.
     */
-  val dedupNgramJaccard: Q = (spark, dir) => {
-    val d = docsWithTokens(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), col("tokset"))
-    val sizes = d.select(col("doc_id"), size(col("tokset")).as("sz"))
-    val tok = d.select(col("source"), col("lang"), col("doc_id"),
-      explode(col("tokset")).as("tok"))
-    val a = tok.select(col("source"), col("lang"), col("tok"),
-      col("doc_id").as("d1"))
-    val b = tok.select(col("source").as("source_b"), col("lang").as("lang_b"),
-      col("tok").as("tok_b"), col("doc_id").as("d2"))
-    val common = a.join(b, a("source") === b("source_b") &&
-        a("lang") === b("lang_b") && a("tok") === b("tok_b") &&
-        a("d1") < b("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .select(col("d1"), col("d2"),
-        Norm.r4(col("common").cast("double") /
-          (col("sz1") + col("sz2") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+  val dedupNgramJaccard: Q = (spark, dir) =>
+    docsWithTokens(spark, dir)
+      .jaccardPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.8)
       .orderBy("d1", "d2")
-  }
 
-  /** MinHash/LSH near-dup dedup: per-document keep/discard decision.
-    * A document is a dup iff some LSH candidate with a smaller doc_id
-    * verifies at token-set Jaccard ≥ 0.9 (greedy min-id canonical, the
-    * standard approximation of connected-component dedup). Output is
-    * one row per document — O(n), never O(n²): in this testdata ~8% of
-    * ALL pairs are ≥0.9-similar (tiny synthetic vocabulary, background
-    * median Jaccard 0.62), so any pair-emitting formulation is
-    * quadratic in the data no matter how good the LSH is.
-    *
-    * The signatures hash the *distinct tokens* — the sets whose Jaccard
-    * the verify step computes — so the banding s-curve applies to the
-    * measure actually thresholded. (Signing 3-token shingles instead
-    * drops recall to ~0: the testdata's near-dups share vocabulary, not
-    * word order.) 128 hashes banded 8 × 16 give a steep curve:
-    * P(candidate) ≈ 1-(1-s^16)^8 → 0.4% at the 0.62 background vs ~85%
-    * at s=0.9 — needed because background similarity here is far above
-    * what real corpora show. No oracle (xxhash64 isn't reproducible in
-    * DuckDB); QualitySpec checks flag precision/recall vs brute force.
-    *
-    * Plan shape, chosen for scale: tokens are exploded and the 128
-    * minima computed in ONE codegen'd hash-agg (128 min() columns) —
-    * no higher-order lambdas in the hot path. The banded self-join
-    * carries only (band_id, band_hash, doc_id); token sets are
-    * re-attached to the deduped candidate pairs by doc_id join, so
-    * document text never rides through the 8× band explode or the
-    * bucket shuffle.
+  /** MinHash/LSH near-dup dedup → per-doc keep/discard flag. 128
+    * hashes banded 8 × 16 — a steep s-curve, needed because this
+    * synthetic corpus has background token-set Jaccard ≈ 0.62 (tiny
+    * vocabulary), far above real corpora: P(candidate) ≈ 1-(1-s^16)^8
+    * → 0.4% at the background vs ~85% at s=0.9. Signing 3-token
+    * shingles instead would drop recall to ~0 — the testdata's
+    * near-dups share vocabulary, not word order. No oracle (xxhash64
+    * isn't reproducible in DuckDB); QualitySpec checks precision=1 and
+    * recall ≥0.9 vs brute force.
     */
-  val dedupMinhash: Q = (spark, dir) => {
-    val numHashes = 128
-    val bands = 8
-    val rows = numHashes / bands
-    val docs = docsWithTokens(spark, dir)
-    val shingled = docs.select(col("doc_id"),
-      explode(col("tokset")).as("sh"))
-    val minCols = (0 until numHashes).map(k =>
-      min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
-    val sigs = shingled.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_id"),
-          xxhash64((b * rows until (b + 1) * rows).map(k => col(s"m$k")): _*)
-            .as("band_hash"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("d1"))
-    val b = banded.select(col("band_id").as("band_id_b"),
-      col("band_hash").as("band_hash_b"), col("doc_id").as("d2"))
-    val cand = a.join(b, a("band_id") === b("band_id_b") &&
-        a("band_hash") === b("band_hash_b") && a("d1") < b("d2"))
-      .select("d1", "d2").dropDuplicates("d1", "d2")
-    val ts = docs.select(col("doc_id"), col("tokset"))
-    val dupIds = cand
-      .join(ts.select(col("doc_id").as("d1"), col("tokset").as("s1")), "d1")
-      .join(ts.select(col("doc_id").as("d2"), col("tokset").as("s2")), "d2")
-      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-        size(array_union(col("s1"), col("s2"))) >= 0.9)
-      .select(col("d2").as("doc_id")).distinct()
-    docs.select(col("doc_id"))
-      .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  val dedupMinhash: Q = (spark, dir) =>
+    docsWithTokens(spark, dir)
+      .minhashDedupFlags(col("doc_id"), col("tokset"),
+        threshold = 0.9, numHashes = 128, bands = 8)
       .orderBy("doc_id")
-  }
 
-  /** 64-bit SimHash per document from token hashes (bit-majority
-    * vote), plus near-dup pairs at Hamming distance ≤ 3 within a
-    * 16-bit prefix block. No oracle (xxhash64).
-    *
-    * Plan shape, chosen for scale: tokens are exploded and the 64
-    * per-bit ones-counts computed in ONE codegen'd hash-agg (64
-    * conditional sum() columns); bit b of the simhash is set iff
-    * ones(b) wins the majority (2·ones > n). The earlier formulation
-    * — aggregate()/zip_with() lambdas building a 64-slot vote array
-    * per token — evaluated interpreted and allocated two 64-element
-    * arrays per token (224 s at sf0.1 vs ~1 s for this plan).
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ 3, blocked on the
+    * 16-bit prefix. The sketch (3 longs/doc) is localCheckpoint'd so
+    * the self-join reads it instead of recomputing the 64-column vote
+    * agg on both sides. No oracle (xxhash64); QualitySpec asserts the
+    * Hamming bound and that a planted clone yields a hamming-0 pair.
     */
-  val dedupSimhash: Q = (spark, dir) => {
-    val tok = docsWithTokens(spark, dir)
-      .select(col("doc_id"), explode(col("tokset")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitCols = (0 until 64).map(b =>
-      sum((shiftright(col("h"), b).bitwiseAND(lit(1L))).cast("long"))
-        .as(s"c$b"))
-    val counted = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitCols: _*)
-    val simhash = (0 until 64).map(b =>
-        when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val d = counted
-      .select(col("doc_id"), simhash.as("simhash"))
-      .withColumn("block", expr("shiftright(simhash, 48) & 65535"))
-      // One row of (long, long, long) per doc; materialize so the
-      // self-join doesn't recompute the 64-column vote agg twice.
+  val dedupSimhash: Q = (spark, dir) =>
+    docsWithTokens(spark, dir)
+      .simhash64(col("doc_id"), col("tokset"))
       .localCheckpoint()
-    val a = d.select(col("block"), col("doc_id").as("d1"),
-      col("simhash").as("h1"))
-    val b = d.select(col("block").as("block_b"), col("doc_id").as("d2"),
-      col("simhash").as("h2"))
-    a.join(b, a("block") === b("block_b") && a("d1") < b("d2"))
-      .select(col("d1"), col("d2"),
-        expr("bit_count(h1 ^ h2)").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .simhashPairs(maxHamming = 3)
       .orderBy("d1", "d2")
-  }
 
   /** Embedding-cosine near-dup: candidate pairs meet only inside a
     * sign-LSH block (the 8-bit sign pattern of the first 8 dims — near
@@ -184,10 +72,6 @@ object Dedup extends QueryModule {
     * production-style `cos ≥ τ` filter would be empty — emitting the
     * ranked candidates keeps the query non-empty and oracle-checkable
     * while exercising the same block→score→rank plan.
-    *
-    * Scale: one shuffle on the block key; within-block pairing is
-    * quadratic but block count (2^8, extendable to 2^k) bounds pair
-    * density, the same trade as MinHash banding above.
     */
   val dedupEmbedding: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings")
@@ -196,16 +80,12 @@ object Dedup extends QueryModule {
         """aggregate(slice(emb, 1, 8), 0,
           |  (acc, v) -> acc * 2 + CASE WHEN v > 0 THEN 1 ELSE 0 END)"""
           .stripMargin))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val a = e.select(col("block"), col("vec_id").as("v1"), col("emb").as("e1"))
     val b = e.select(col("block").as("block_b"), col("vec_id").as("v2"),
       col("emb").as("e2"))
     a.join(b, a("block") === b("block_b") && a("v1") < b("v2"))
       .select(col("v1"), col("v2"),
-        Norm.r4(dot(col("e1"), col("e2")) /
-          (sqrt(dot(col("e1"), col("e1"))) * sqrt(dot(col("e2"), col("e2")))))
-          .as("cos_sim"))
+        Norm.r4(graft.api.ops.cosineSim(col("e1"), col("e2"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
       .limit(20)
   }

@@ -30,14 +30,10 @@ object Similarity extends QueryModule {
   /** Array<float> → array<double> for bit-stable fold arithmetic. */
   private def dbl(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential left fold dot product — same add order as the DuckDB
-    * oracle's per-group sum, so doubles agree before rounding.
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = graft.api.ops.dotd(a, b)
 
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.api.ops.cosineSim(a, b)
 
   private def emb(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -78,10 +74,11 @@ object Similarity extends QueryModule {
     * compares scalars, not list encodings.
     */
   val centroidPerLabel: Q = (spark, dir) => {
-    val e = Tables(spark, dir, "embeddings")
-    e.groupBy(col("label"))
-      .agg(CentroidAgg.column(col("embedding")).as("centroid"))
-      .select(col("label"), posexplode(col("centroid")).as(Seq("pos0", "mval")))
+    import graft.api.ops._
+    Tables(spark, dir, "embeddings")
+      .centroidPerKey(col("label"), col("embedding"))
+      .select(col("key").as("label"),
+        posexplode(col("centroid")).as(Seq("pos0", "mval")))
       .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
         Norm.r4(col("mval")).as("mean_val"))
       .orderBy("label", "pos")
@@ -97,16 +94,11 @@ object Similarity extends QueryModule {
     * brute force.
     */
   val simAnnLsh: Q = (spark, dir) => {
+    import graft.api.ops._
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
       Seq.fill(8)(Seq.fill(64)(rnd.nextDouble() - 0.5))
-    val planeLit = typedLit(planes)
-    val e = emb(spark, dir)
-      .withColumn("bucket", (0 until 8).map(k =>
-          when(aggregate(zip_with(col("emb"), planeLit.getItem(k),
-            (x, wv) => x * wv), lit(0.0), (s, v) => s + v) > 0,
-            lit(1 << (7 - k))).otherwise(lit(0)))
-        .reduce(_ + _))
+    val e = emb(spark, dir).withSignLshBucket(col("emb"), planes)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qv"), col("bucket"))
     val w = Window.partitionBy("qid")

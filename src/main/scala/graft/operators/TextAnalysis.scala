@@ -29,9 +29,9 @@ object TextAnalysis extends QueryModule {
 
   /** Global term counts (explode + hash-agg). */
   val textTokenize: Q = (spark, dir) => {
-    tokens(spark, dir)
-      .groupBy("term")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+    import graft.api.ops._
+    docs(spark, dir)
+      .termCounts(col("doc_id"), split(col("text"), " "))
       .orderBy("term")
   }
 
@@ -51,18 +51,9 @@ object TextAnalysis extends QueryModule {
     * cross-engine ordering is stable).
     */
   val textTfidf: Q = (spark, dir) => {
-    val tok = tokens(spark, dir)
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"),
-        Norm.r4(col("tf") * log(col("n").cast("double") / col("df")))
-          .as("tfidf"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    import graft.api.ops._
+    docs(spark, dir)
+      .tfidfTopTerms(col("doc_id"), split(col("text"), " "), k = 3)
       .orderBy("doc_id", "rn")
   }
 

@@ -107,16 +107,11 @@ object Streams {
     */
   def encryptMessages(rows: DataFrame, dek: Array[Byte],
                       kek: Array[Byte]): DataFrame = {
+    import graft.api.ops._
     val payload = to_json(struct(rows.columns.map(col).toSeq: _*))
       .cast("binary")
-    rows.select(
-      col("id"),
-      col("ts"),
-      aes_encrypt(payload, lit(dek), lit("ECB")).as("value"),
-      map(
-        lit("wrapped_dek"), base64(wrap_dek(lit(kek), lit(dek))),
-        lit("sig"), base64(hmac_sha256(lit(dek), payload))
-      ).as("attributes"))
+    rows.sealEnvelope(payload, dek, kek)
+      .select(col("id"), col("ts"), col("value"), col("attributes"))
   }
 
   /** s_decrypt_pipeline, consumer side (§2.A A2–A6): unwrap the DEK
@@ -126,15 +121,8 @@ object Streams {
     */
   def decryptPipeline(messages: DataFrame, kek: Array[Byte],
                       payloadSchema: String): DataFrame = {
-    val rowDek = unwrap_dek(lit(kek),
-      unbase64(element_at(col("attributes"), "wrapped_dek")))
-    val plain = messages.select(
-      col("id"), col("ts"),
-      aes_decrypt(col("value"), rowDek, lit("ECB")).as("payload"),
-      (base64(hmac_sha256(rowDek,
-        aes_decrypt(col("value"), rowDek, lit("ECB"))))
-        === element_at(col("attributes"), "sig")).as("verified"))
-    plain
+    import graft.api.ops._
+    messages.openEnvelope(kek)
       .filter(col("verified"))
       .select(col("id"), col("ts"),
         from_json(col("payload").cast("string"), lit(payloadSchema))

@@ -1,0 +1,122 @@
+package graft
+
+import graft.api.ops._
+import org.apache.spark.sql.functions._
+
+/** The public DataFrame-level API ([[graft.api.ops]]) on schemas that
+  * are NOT the driver testdata — proof the operators are table-agnostic
+  * library surface, not query-shaped one-offs.
+  */
+class ApiSpec extends SparkSpec {
+
+  test("dedupExact groups arbitrary content columns") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
+      .toDF("id", "payload")
+    val out = df.dedupExact(col("id"), col("payload"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhashDedupFlags flags an exact clone on a custom schema") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Seq("x", "y", "z", "w")),
+      (20L, Seq("x", "y", "z", "w")),          // clone of 10
+      (30L, Seq("p", "q", "r", "s"))
+    ).toDF("k", "toks")
+    val out = df.minhashDedupFlags(col("k"), col("toks"), threshold = 0.9)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((10L, false), (20L, true), (30L, false)))
+  }
+
+  test("jaccardPairs finds the overlapping pair within its block") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b1", Seq("a", "b", "c", "d", "e")),
+      (2L, "b1", Seq("a", "b", "c", "d", "f")),  // j = 4/6 ≈ 0.667
+      (3L, "b2", Seq("a", "b", "c", "d", "e"))   // other block
+    ).toDF("id", "blk", "toks")
+    val out = df.jaccardPairs(col("id"), col("toks"), col("blk"), 0.6)
+      .collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
+  }
+
+  test("simhash64 + simhashPairs pairs identical token sets at hamming 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("m", "n", "o")),
+      (2L, Seq("m", "n", "o")),
+      (3L, Seq("completely", "different", "words", "here"))
+    ).toDF("id", "toks")
+    val pairs = df.simhash64(col("id"), col("toks"))
+      .simhashPairs(maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0))
+    ).toDF("id", "v")
+    val out = df.cosineTopK(col("id"), col("v"), Seq(1.0, 0.0, 0.0), 2)
+      .collect()
+    assert(out.head.getLong(0) === 1L)
+    assert(math.abs(out.head.getDouble(1) - 1.0) < 1e-9)
+    assert(out(1).getLong(0) === 3L)
+  }
+
+  test("withSignLshBucket is deterministic and equal for equal vectors") {
+    import spark.implicits._
+    val planes = Seq(Seq(0.5, -0.25, 0.1), Seq(-0.3, 0.4, 0.2))
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "v")
+    val buckets = df.withSignLshBucket(col("v"), planes)
+      .select("bucket").collect().map(_.getInt(0))
+    assert(buckets(0) === buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 4)
+  }
+
+  test("centroidPerKey averages elementwise on any key type") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(7.0f, 9.0f))
+    ).toDF("g", "v")
+    val out = df.centroidPerKey(col("g"), col("v"))
+      .orderBy("key").collect()
+    assert(out(0).getSeq[Double](1) === Seq(2.0, 4.0))
+    assert(out(1).getSeq[Double](1) === Seq(7.0, 9.0))
+  }
+
+  test("tfidfTopTerms surfaces the distinguishing term first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("shared", "shared", "rare")),
+      (2L, Seq("shared", "common")),
+      (3L, Seq("shared", "common"))
+    ).toDF("id", "toks")
+    val top1 = df.tfidfTopTerms(col("id"), col("toks"), k = 1)
+      .filter(col("doc_id") === 1L).collect()
+    assert(top1.head.getAs[String]("term") === "rare")
+  }
+
+  test("sealEnvelope/openEnvelope roundtrip and verify on any frame") {
+    import spark.implicits._
+    val dek = "0123456789abcdef".getBytes("UTF-8")
+    val kek = "kek-graft-000001".getBytes("UTF-8")
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "msg")
+    val out = df.sealEnvelope(col("msg").cast("binary"), dek, kek)
+      .drop("msg")
+      .openEnvelope(kek)
+      .select(col("id"), col("payload").cast("string").as("rt"),
+        col("verified"))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("hello", "world"))
+    assert(out.forall(_.getBoolean(2)))
+  }
+}
