@@ -222,6 +222,25 @@ object ops {
         .filter(col("rn") <= k)
     }
 
+    // ──────────────────────── skew tools ────────────────────────
+
+    /** Inner equi-join robust to heavy key skew, for when AQE's skew
+      * split can't help (e.g. the skew is in the build side of a
+      * non-broadcastable join): the probe rows are salted uniformly
+      * into `salt` sub-keys and the build side is replicated once per
+      * sub-key, so a hot key's rows spread across `salt` reducers
+      * instead of stalling one. Costs `salt`× replication of the
+      * build side — use with a dimension-sized `right`.
+      */
+    def saltedJoin(right: DataFrame, key: String, salt: Int): DataFrame = {
+      val probe = df.withColumn("_salt",
+        pmod(spark_partition_id().cast("long") * 31 +
+          monotonically_increasing_id(), lit(salt)).cast("int"))
+      val build = right.withColumn("_salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+      probe.join(build, Seq(key, "_salt")).drop("_salt")
+    }
+
     // ───────────────────────── crypto ─────────────────────────
 
     /** Publisher side of the reference pipeline: AES-encrypt `payload`

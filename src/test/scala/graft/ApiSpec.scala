@@ -105,6 +105,19 @@ class ApiSpec extends SparkSpec {
     assert(top1.head.getAs[String]("term") === "rare")
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail, joined to a small dim.
+    val probe = ((1 to 10000).map(_ => 1) ++ (1 to 100).map(i => i % 7 + 2))
+      .toDF("k")
+    val dim = (1 to 10).map(k => (k, s"v$k")).toDF("k", "payload")
+    val plain = probe.join(dim, "k")
+    val salted = probe.saltedJoin(dim, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.groupBy("k").count().orderBy("k").collect().toSeq ===
+      plain.groupBy("k").count().orderBy("k").collect().toSeq)
+  }
+
   test("sealEnvelope/openEnvelope roundtrip and verify on any frame") {
     import spark.implicits._
     val dek = "0123456789abcdef".getBytes("UTF-8")
