@@ -50,6 +50,36 @@ object Scans extends QueryModule {
     spark.read.parquet(tmp).orderBy("o_orderkey")
   }
 
+  /** CSV sink + source roundtrip with an explicit read schema (no
+    * inference — determinism under the oracle). Text formats lose
+    * types, so the read schema is the contract.
+    */
+  val sinkCsv: Q = (spark, dir) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv"
+    Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON-lines sink + source roundtrip with an explicit read schema. */
+  val sinkJson: Q = (spark, dir) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json"
+    Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Norm.r4(col("c_acctbal")).as("acctbal"))
+      .write.mode("overwrite").json(tmp)
+    spark.read
+      .schema("c_custkey LONG, c_mktsegment STRING, acctbal DOUBLE")
+      .json(tmp)
+      .select("c_custkey", "c_mktsegment", "acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
   val filterComplex: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
@@ -80,6 +110,8 @@ object Scans extends QueryModule {
     "q_scan_project" -> scanProject,
     "q_scan_filter_pushdown" -> scanFilterPushdown,
     "q_sink_parquet" -> sinkParquet,
+    "q_sink_csv" -> sinkCsv,
+    "q_sink_json" -> sinkJson,
     "q_filter_complex" -> filterComplex,
     "q_case_when" -> caseWhen,
   )
@@ -100,6 +132,15 @@ object Scans extends QueryModule {
       FROM orders
       WHERE o_orderstatus = 'F'
       ORDER BY o_orderkey""",
+    "q_sink_csv" -> """
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation
+      ORDER BY n_nationkey""",
+    "q_sink_json" -> """
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS acctbal
+      FROM customer
+      WHERE c_acctbal > 0
+      ORDER BY c_custkey""",
     "q_filter_complex" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
              round(o_totalprice, 4) AS totalprice

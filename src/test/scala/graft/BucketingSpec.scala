@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — at 100 TB the shuffle in a fact⋈fact
+  * join dominates the query; bucketing both tables on the join key at
+  * write time removes it entirely (both sides are already hash-
+  * partitioned on disk). This spec proves the engine's plans exploit
+  * that: the bucketed join has NO Exchange ahead of the join, and the
+  * result is identical to the shuffled join.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact join runs shuffle-free and matches the plain join") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_b")
+    try {
+      // Force the shuffle-join comparison point: no broadcast.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(bucketed.count() === plain.count())
+      val b = bucketed.agg(sum("l_quantity"), sum("o_totalprice")).head
+      val p = plain.agg(sum("l_quantity"), sum("o_totalprice")).head
+      assert(math.abs(b.getDouble(0) - p.getDouble(0)) < 1e-6)
+      assert(math.abs(b.getDouble(1) - p.getDouble(1)) < 1e-4)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
