@@ -119,8 +119,31 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Mergeable HLL sketches — the pattern behind incremental distinct
+    * counts at 100 TB: per-group sketches built in one pass
+    * (`hll_sketch_agg`), then merged across groups (`hll_union_agg`)
+    * WITHOUT rescanning the data — a re-aggregation over kilobyte
+    * sketches instead of terabytes of raw rows. Output compares the
+    * merged estimate to the global sketch estimate. No oracle (sketch
+    * internals differ across engines); bounds-checked in scalatest.
+    */
+  val aggHllSketch: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        count(lit(1)).as("n"))
+    perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("merged_distinct_users"),
+        sum(col("n")).as("total_events"))
+      .crossJoin(e.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("direct_distinct_users")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
+    "q_agg_hll_sketch" -> aggHllSketch,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,

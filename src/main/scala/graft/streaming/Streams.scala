@@ -1,13 +1,41 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Running per-user counters carried across micro-batches. */
 case class UserAggState(nEvents: Long, sumValue: Double)
+
+/** The same running counters on Spark 4's arbitrary-state API
+  * (`transformWithState`): named `ValueState` with optional TTL,
+  * timers, and a state-store schema of its own — the successor to
+  * `flatMapGroupsWithState`. Requires the RocksDB state-store
+  * provider (set in [[Streams.statefulUserCountsTws]]).
+  */
+class UserCountsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state: ValueState[UserAggState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserAggState]("agg",
+      Encoders.product[UserAggState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    val prev = if (state.exists()) state.get() else UserAggState(0L, 0.0)
+    var n = prev.nEvents
+    var s = prev.sumValue
+    rows.foreach { r => n += 1; s += r._2 }
+    state.update(UserAggState(n, s))
+    Iterator((key, n, s))
+  }
+}
 
 /** Structured Streaming wave (SURVEY.md §2.B `s_*`): the reference is a
   * streaming pipeline (Pub/Sub → decrypt DoFn → sink), so this module
@@ -98,6 +126,24 @@ object Streams {
           state.update(UserAggState(n, s))
           Iterator((userId, n, s))
       }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** s_stateful_tws: [[statefulUserCounts]] re-expressed on
+    * `transformWithState` (see [[UserCountsProcessor]]). State lives in
+    * RocksDB per partition — bounded memory at any key cardinality.
+    */
+  def statefulUserCountsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
   }
 

@@ -80,6 +80,18 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_agg_hll_sketch merged estimate within 5% of exact distinct") {
+    val r = SparkEntry.queries("q_agg_hll_sketch")(spark, sfDir).head
+    val exact = Tables(spark, sfDir, "events")
+      .agg(countDistinct("user_id")).head.getLong(0)
+    val merged = r.getAs[Long]("merged_distinct_users")
+    val direct = r.getAs[Long]("direct_distinct_users")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+    // Union of per-type sketches covers the same id set as one global
+    // sketch — identical algorithm, so identical estimate.
+    assert(merged === direct)
+  }
+
   test("q_dedup_embedding cosines are in [-1,1] and sorted descending") {
     val sims = SparkEntry.queries("q_dedup_embedding")(spark, sfDir)
       .select("cos_sim").collect().map(_.getDouble(0))
