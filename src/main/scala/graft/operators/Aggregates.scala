@@ -141,9 +141,26 @@ object Aggregates extends QueryModule {
           .as("direct_distinct_users")))
   }
 
+  /** Correlated scalar subquery — orders 1.5× above their customer's
+    * average. Catalyst decorrelates this (RewriteCorrelatedScalarSubquery)
+    * into an aggregate + join, so it runs as two shuffles, not a
+    * per-row subquery execution.
+    */
+  val subqueryCorrelated: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice
+      FROM orders_v o
+      WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders_v o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
+    "q_subquery_correlated" -> subqueryCorrelated,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
@@ -153,6 +170,13 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_subquery_correlated" -> """
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice
+      FROM orders o
+      WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
     "q_agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 4) AS sum_qty,

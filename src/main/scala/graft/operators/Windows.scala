@@ -86,8 +86,24 @@ object Windows extends QueryModule {
       .limit(10)
   }
 
+  /** Distribution window functions: quartile (ntile), percent_rank and
+    * cume_dist of each order within its priority class.
+    */
+  val windowDistribution: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        Norm.r4(col("o_totalprice")).as("totalprice"),
+        ntile(4).over(w).as("quartile"),
+        Norm.r4(percent_rank().over(w)).as("pct_rank"),
+        Norm.r4(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> windowRank,
+    "q_window_distribution" -> windowDistribution,
     "q_window_running" -> windowRunning,
     "q_window_lag_lead" -> windowLagLead,
     "q_window_range_frame" -> windowRangeFrame,
@@ -96,6 +112,16 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_distribution" -> """
+      SELECT o_orderpriority, o_orderkey,
+             round(o_totalprice, 4) AS totalprice,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 4) AS pct_rank,
+             round(cume_dist() OVER w, 4) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""",
     "q_window_rank" -> """
       SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
              rank() OVER (PARTITION BY o_custkey
