@@ -157,10 +157,40 @@ object Aggregates extends QueryModule {
       ORDER BY o_orderkey""")
   }
 
+  /** Pivot: per-user event counts, one column per event type. The
+    * value list is explicit — at scale, pivot without it requires an
+    * extra distinct pass over the data to discover the columns.
+    */
+  val aggPivot: Q = (spark, dir) => {
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** Unpivot (melt): the pivoted wide frame back to long format —
+    * roundtrip proves pivot/unpivot are inverses (zero-count cells
+    * dropped to match the plain group-by).
+    */
+  val aggUnpivot: Q = (spark, dir) => {
+    aggPivot(spark, dir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
     "q_subquery_correlated" -> subqueryCorrelated,
+    "q_agg_pivot" -> aggPivot,
+    "q_agg_unpivot" -> aggUnpivot,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
@@ -170,6 +200,21 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_unpivot" -> """
+      SELECT user_id, event_type, count(*) AS n
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+    "q_agg_pivot" -> """
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'error') AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'view') AS view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
     "q_subquery_correlated" -> """
       SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice
       FROM orders o
