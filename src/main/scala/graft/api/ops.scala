@@ -209,8 +209,9 @@ object ops {
     def tfidfTopTerms(id: Column, tokens: Column, k: Int): DataFrame = {
       val tok = df.select(id.as("did"), explode(tokens).as("term"))
       val tf = tok.groupBy("did", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.groupBy("term")
-        .agg(countDistinct(col("did")).as("df"))
+      // df(term) = row count of tf — tf's key is already (doc, term)
+      // distinct, so this is a plain count, not a countDistinct expand.
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = df.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
