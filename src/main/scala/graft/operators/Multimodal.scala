@@ -73,10 +73,21 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Resize through the same typed mapPartitions path as decode — the
+    * STUB kernel stride-samples every 2nd payload byte (a real scaler
+    * slots in unchanged); output is the new size + a checksum the
+    * oracle can recompute.
+    */
+  val multimodalResize: Q = (spark, dir) => {
+    MediaDecode.resizeHalf(media(spark, dir))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_frames" -> multimodalFrames,
     "q_multimodal_decode" -> multimodalDecode,
+    "q_multimodal_resize" -> multimodalResize,
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,6 +109,18 @@ object Multimodal extends QueryModule {
                      AS fid
             FROM documents)
       ORDER BY doc_id, frame_id""",
+    "q_multimodal_resize" -> """
+      WITH b AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text), 2)) AS pos
+        FROM documents)
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_bytes_out,
+             CAST(sum(unicode(substring(text, CAST(pos AS INT), 1)))
+               % 1000000007 AS BIGINT) AS checksum
+      FROM b
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "q_multimodal_decode" -> """
       WITH b AS (
         SELECT doc_id, text,
@@ -157,6 +180,33 @@ object MediaDecode {
       it.map { r =>
         val (n, bright, mn, mx) = decodeStub(r.getAs[Array[Byte]]("media"))
         Row(r.getLong(0), n, bright, mn, mx)
+      }
+    }(enc)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes_out", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB resize kernel: stride-sample every 2nd byte (a real bilinear
+    * scaler replaces this body; partition iteration unchanged).
+    */
+  private def resizeStub(payload: Array[Byte]): (Int, Long) = {
+    var i = 0; var n = 0; var sum = 0L
+    while (i < payload.length) {
+      sum += payload(i) & 0xff; n += 1; i += 2
+    }
+    (n, sum % 1000000007L)
+  }
+
+  def resizeHalf(mediaDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(resizeSchema)
+    mediaDf.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val (n, sum) = resizeStub(r.getAs[Array[Byte]]("media"))
+        Row(r.getLong(0), n, sum)
       }
     }(enc)
   }
