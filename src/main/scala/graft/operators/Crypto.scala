@@ -97,8 +97,28 @@ object Crypto extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** DEK rotation (reference publisher semantics: reuse one DEK for a
+    * batch of N messages, then rotate): batch = doc_id div 100, the
+    * batch DEK derived deterministically, wrapped once per batch in
+    * principle (here per row — same plan shape), unwrapped and used to
+    * decrypt. Output equals plaintext iff the per-batch keys roundtrip.
+    */
+  val envelopeRotation: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("dek_id", (col("doc_id") / 100).cast("long"))
+      .withColumn("batch_dek",
+        unhex(substring(sha2(concat(lit("dek"), col("dek_id")), 256), 1, 32)))
+    d.select(col("doc_id"), col("dek_id"),
+        aes_decrypt(
+          aes_encrypt(col("text").cast("binary"), col("batch_dek"), lit("ECB")),
+          unwrap_dek(kek, wrap_dek(kek, col("batch_dek"))),
+          lit("ECB")).cast("string").as("text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_crypto_roundtrip" -> cryptoRoundtrip,
+    "q_envelope_rotation" -> envelopeRotation,
     "q_hmac_verify" -> hmacVerify,
     "q_envelope_roundtrip" -> envelopeRoundtrip,
     "q_msg_pipeline" -> messagePipeline,
@@ -107,6 +127,9 @@ object Crypto extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_crypto_roundtrip" -> """
       SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_envelope_rotation" -> """
+      SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS dek_id, text
+      FROM documents ORDER BY doc_id""",
     "q_hmac_verify" -> """
       SELECT doc_id, 32 AS sig_len, true AS verified
       FROM documents ORDER BY doc_id""",
