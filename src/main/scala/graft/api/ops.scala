@@ -223,6 +223,58 @@ object ops {
         .filter(col("rn") <= k)
     }
 
+    /** Data-driven language/label ID: build per-label token profiles
+      * (top `profileSize` terms by frequency — the "training" step),
+      * score every row by distinct-token overlap with each profile,
+      * predict the argmax (ties → label asc). Profiles are tiny
+      * (labels × profileSize) and broadcast. Output:
+      * (doc_id, predicted, score).
+      */
+    def languageId(id: Column, tokens: Column, label: Column,
+                   profileSize: Int = 10): DataFrame = {
+      val tok = df.select(id.as("doc_id"), label.as("lbl"),
+        explode(tokens).as("term"))
+      val wp = Window.partitionBy("lbl").orderBy(col("cnt").desc, col("term"))
+      val profile = tok.groupBy("lbl", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= profileSize)
+        .select(col("lbl").as("p_lang"), col("term"))
+      val wd = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("p_lang"))
+      tok.select("doc_id", "term").distinct()
+        .join(broadcast(profile), "term")
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang").as("predicted"), col("score"))
+    }
+
+    /** Quality scoring — the standard cheap pre-filter for LLM corpora:
+      * token stats, stopword/alpha ratios, and a composite score, all
+      * pure per-row fold expressions (no shuffle, no UDF). Ratios are
+      * computed at full precision; only output columns are rounded.
+      */
+    def qualityScores(id: Column, tokens: Column, nChars: Column,
+                      stopwords: Seq[String]): DataFrame = {
+      val d = df.select(id.as("doc_id"), nChars.as("n_chars"),
+          tokens.as("toks"))
+        .withColumn("stop_r",
+          size(filter(col("toks"), t => t.isInCollection(stopwords)))
+            .cast("double") / size(col("toks")))
+        .withColumn("alpha_r",
+          size(filter(col("toks"), t => t.rlike("^[a-z]+$")))
+            .cast("double") / size(col("toks")))
+      d.select(col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        round(col("n_chars").cast("double") / size(col("toks")), 4)
+          .as("avg_token_len"),
+        round(col("stop_r"), 4).as("stopword_ratio"),
+        round(col("alpha_r"), 4).as("alpha_ratio"),
+        round(col("alpha_r") * (lit(1.0) - col("stop_r")) *
+          least(size(col("toks")).cast("double") / 50.0, lit(1.0)), 4)
+          .as("quality"))
+    }
+
     // ──────────────────────── skew tools ────────────────────────
 
     /** Inner equi-join robust to heavy key skew, for when AQE's skew

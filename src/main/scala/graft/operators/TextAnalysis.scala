@@ -76,22 +76,13 @@ object TextAnalysis extends QueryModule {
     * profile is the "training" step; both run in one plan.
     */
   val textLangid: Q = (spark, dir) => {
-    val tok = tokens(spark, dir)
-    val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
-    val profile = tok.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 10)
-      .select(col("lang").as("p_lang"), col("term"))
-    val docTerms = tok.select("doc_id", "term").distinct()
-    val wd = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("p_lang"))
-    val best = docTerms.join(broadcast(profile), "term")
-      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
-      .withColumn("rn", row_number().over(wd))
-      .filter(col("rn") === 1)
-    docs(spark, dir).join(best, "doc_id")
+    import graft.api.ops._
+    val d = docs(spark, dir)
+    d.select(col("doc_id"), col("lang"))
+      .join(d.languageId(col("doc_id"), split(col("text"), " "),
+        col("lang"), profileSize = 10), "doc_id")
       .select(col("doc_id"), col("lang").as("actual"),
-        col("p_lang").as("predicted"), col("score"))
+        col("predicted"), col("score"))
       .orderBy("doc_id")
   }
 
@@ -99,26 +90,10 @@ object TextAnalysis extends QueryModule {
     * composite score — the standard cheap pre-filter for LLM corpora.
     */
   val textQuality: Q = (spark, dir) => {
-    val stops = Seq("the", "a", "of", "and", "to", "in")
-    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
-      // Raw (unrounded) ratios; rounding happens only on output columns
-      // so the composite score is computed from full precision on both
-      // engines identically.
-      .withColumn("stop_r",
-        size(filter(col("toks"), t => t.isInCollection(stops)))
-          .cast("double") / size(col("toks")))
-      .withColumn("alpha_r",
-        size(filter(col("toks"), t => t.rlike("^[a-z]+$")))
-          .cast("double") / size(col("toks")))
-    d.select(col("doc_id"), col("n_chars"),
-        size(col("toks")).as("n_tokens"),
-        Norm.r4(col("n_chars").cast("double") / size(col("toks")))
-          .as("avg_token_len"),
-        Norm.r4(col("stop_r")).as("stopword_ratio"),
-        Norm.r4(col("alpha_r")).as("alpha_ratio"),
-        Norm.r4(col("alpha_r") * (lit(1.0) - col("stop_r")) *
-          least(size(col("toks")).cast("double") / 50.0, lit(1.0)))
-          .as("quality"))
+    import graft.api.ops._
+    docs(spark, dir)
+      .qualityScores(col("doc_id"), split(col("text"), " "), col("n_chars"),
+        stopwords = Seq("the", "a", "of", "and", "to", "in"))
       .orderBy("doc_id")
   }
 

@@ -105,6 +105,31 @@ class ApiSpec extends SparkSpec {
     assert(top1.head.getAs[String]("term") === "rare")
   }
 
+  test("languageId recovers the label from disjoint vocabularies") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa", Seq("foo", "bar", "baz")),
+      (2L, "aa", Seq("foo", "bar", "qux")),
+      (3L, "bb", Seq("uno", "dos", "tres")),
+      (4L, "bb", Seq("uno", "dos", "cuatro"))
+    ).toDF("id", "lbl", "toks")
+    val pred = df.languageId(col("id"), col("toks"), col("lbl"))
+      .orderBy("doc_id").collect()
+    assert(pred.map(_.getString(1)).toSeq === Seq("aa", "aa", "bb", "bb"))
+  }
+
+  test("qualityScores computes ratios on a custom schema") {
+    import spark.implicits._
+    val df = Seq((1L, 20L, Seq("the", "quick", "fox", "the")))
+      .toDF("id", "nc", "toks")
+    val r = df.qualityScores(col("id"), col("toks"), col("nc"),
+      stopwords = Seq("the")).head
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha_ratio") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 5.0) < 1e-9)
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a small dim.
