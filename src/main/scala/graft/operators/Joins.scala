@@ -156,18 +156,28 @@ object Joins extends QueryModule {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
         (unix_micros(col("ts")) / 1000000L).cast("double").as("sec"))
-    val left = ev
-      .withColumn("cell", explode(array(
-        floor(col("sec") / 3600) - 1, floor(col("sec") / 3600),
-        floor(col("sec") / 3600) + 1)))
-    val right = ev
-      .withColumnRenamed("event_id", "event_id2")
-      .withColumnRenamed("event_type", "event_type2")
-      .withColumnRenamed("sec", "sec2")
-      .withColumn("cell", floor(col("sec2") / 3600))
-    left.join(right, "cell")
-      .filter(col("event_id") < col("event_id2") &&
-        abs(col("sec") - col("sec2")) <= 3600)
+      .withColumn("cell", floor(col("sec") / 3600))
+    val b = ev.select(col("cell").as("cell2"),
+      col("event_id").as("event_id2"), col("event_type").as("event_type2"),
+      col("sec").as("sec2"))
+    // Same-cell pairs: the cell width equals the band width, so the
+    // time predicate is implied — pure equi-join, no filter, and no
+    // explode (the earlier 3-cell-neighborhood formulation shuffled
+    // every row three times and tested each pair from both sides).
+    val same = ev.join(b, col("cell") === col("cell2") &&
+        col("event_id") < col("event_id2"))
+      .select(col("event_type"), col("event_type2"))
+    // Adjacent-cell pairs: only the forward direction (cell -> cell+1)
+    // exists, refined by the exact band; the pair's type columns are
+    // ordered by event_id to match the same-cell convention.
+    val adj = ev.join(b, col("cell") + 1 === col("cell2") &&
+        col("sec2") - col("sec") <= 3600)
+      .select(
+        when(col("event_id") < col("event_id2"), col("event_type"))
+          .otherwise(col("event_type2")).as("event_type"),
+        when(col("event_id") < col("event_id2"), col("event_type2"))
+          .otherwise(col("event_type")).as("event_type2"))
+    same.unionByName(adj)
       .groupBy(col("event_type"), col("event_type2"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("event_type", "event_type2")
