@@ -158,8 +158,8 @@ object ScalarFuncs extends QueryModule {
       ORDER BY vec_id""",
     "q_map_funcs" -> """
       SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
              CAST(count(DISTINCT event_type) AS INT) AS n_types
       FROM events
       GROUP BY user_id

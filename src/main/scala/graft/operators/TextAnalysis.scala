@@ -57,15 +57,20 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id", "rn")
   }
 
-  /** Per-language corpus stats. */
+  /** Per-language corpus stats. Averages are rounded with the tie-proof
+    * floor identity (floor(x*1e4 + 0.5)/1e4) instead of round(), because
+    * Spark rounds HALF_UP and DuckDB half-even — a tie at the 4th decimal
+    * would hash-mismatch; floor on the same IEEE double cannot.
+    */
   val textLangStats: Q = (spark, dir) => {
+    def r4tie(c: Column): Column = floor(c * 10000 + 0.5) / 10000
     docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
-        Norm.r4(avg(col("n_chars"))).as("avg_chars"),
-        Norm.r4(avg(col("n_tokens"))).as("avg_tokens"),
+        r4tie(avg(col("n_chars"))).as("avg_chars"),
+        r4tie(avg(col("n_tokens"))).as("avg_tokens"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
   }
@@ -169,9 +174,10 @@ object TextAnalysis extends QueryModule {
       ORDER BY doc_id, rn""",
     "q_text_lang_stats" -> """
       SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
-             round(avg(n_chars), 4) AS avg_chars,
-             round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-             sum(n_chars) AS total_chars
+             floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars,
+             floor(avg(len(string_split(text, ' '))) * 10000 + 0.5) / 10000
+               AS avg_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
