@@ -44,6 +44,18 @@ object Norm {
     */
   def r4(c: Column): Column = round(c.cast("double"), 4)
 
+  /** Tie-proof 4dp rounding for NON-NEGATIVE doubles:
+    * floor(x*1e4 + 0.5)/1e4 on the same IEEE double in both engines.
+    * Use instead of [[r4]] whenever the value is an average (or any
+    * quotient) that could land exactly on a .00005 tie — Spark `round`
+    * is HALF_UP, DuckDB half-even, so a tie at the 4th decimal would
+    * hash-mismatch; floor of the identical double cannot. Rounds
+    * half-toward-+inf, which differs from round() for NEGATIVE inputs —
+    * callers must guarantee c >= 0. Oracle twin:
+    * floor(x * 10000 + 0.5) / 10000.
+    */
+  def r4tie(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string; avoids engine-level
     * timestamp encoding differences in the compare. Oracle twin:
     * strftime(ts, '%Y-%m-%d %H:%M:%S').

@@ -33,6 +33,34 @@ object ops {
   def cosineSim(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
 
+  /** Deterministic hyperplane matrix for sign-LSH: `numPlanes` rows of
+    * `dim` coordinates from a seeded PRNG. Bucket count = 2^numPlanes,
+    * so size numPlanes ≈ log2(n / targetBucketSize) and GROW it with
+    * the corpus — a constant plane count makes every bucket's
+    * population (and the within-bucket quadratic join) grow linearly
+    * with n. Planes are generated sequentially, so `lshPlanes(k)` is a
+    * prefix of `lshPlanes(k + m)` for the same seed: buckets at more
+    * planes strictly refine buckets at fewer (multi-probe/recall
+    * tuning can therefore drop suffix planes without rehashing).
+    */
+  def lshPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+  }
+
+  /** Sign-prefix block id for embedding near-dup blocking: the sign
+    * pattern of the first `bits` coordinates (near-identical vectors
+    * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`
+    * must grow with corpus size (≈ log2(n / targetBucketSize)) or the
+    * within-block candidate join turns quadratic. Long-typed, so bits
+    * up to 62 are valid.
+    */
+  def signPrefixBlock(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    aggregate(slice(vec, 1, bits), lit(0L),
+      (acc, v) => acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
   implicit class GraftDataFrameOps(private val df: DataFrame) {
 
     // ───────────────────────── dedup ─────────────────────────
@@ -50,13 +78,30 @@ object ops {
       * to equal values of `block`, via an inverted-index token join —
       * every stage a codegen'd hash join/agg; zero-overlap pairs are
       * never materialized. Output: (d1, d2, jaccard) with d1 < d2.
+      *
+      * `maxDf` is the stopword-skew guard: a token present in n docs of
+      * a block emits O(n²) candidate rows, so one ultra-common token
+      * makes one reducer quadratic at corpus scale. Tokens with
+      * per-block document frequency > maxDf are dropped from the
+      * inverted index (one window count on the same (blk, tok) key the
+      * pair join shuffles on). Pairs sharing ONLY cut tokens stop being
+      * candidates and `common` counts kept tokens only, so the computed
+      * jaccard is a lower bound while the cut is active; set maxDf
+      * above the corpus max df for exact results.
       */
     def jaccardPairs(id: Column, tokset: Column, block: Column,
-                     threshold: Double): DataFrame = {
+                     threshold: Double,
+                     maxDf: Int = Int.MaxValue): DataFrame = {
       val base = df.select(block.as("blk"), id.as("did"), tokset.as("ts"))
       val sizes = base.select(col("did"), size(col("ts")).as("sz"))
-      val tok = base.select(col("blk"), col("did"),
+      val tokAll = base.select(col("blk"), col("did"),
         explode(col("ts")).as("tok"))
+      val tok =
+        if (maxDf == Int.MaxValue) tokAll
+        else tokAll
+          .withColumn("_df",
+            count(lit(1)).over(Window.partitionBy("blk", "tok")))
+          .filter(col("_df") <= maxDf).drop("_df")
       val a = tok.select(col("blk"), col("tok"), col("did").as("d1"))
       val b = tok.select(col("blk").as("blk_b"), col("tok").as("tok_b"),
         col("did").as("d2"))
@@ -120,7 +165,7 @@ object ops {
 
     /** 64-bit SimHash per row from a token-set column (bit-majority
       * vote, computed as one codegen'd hash-agg of 64 conditional
-      * sums). Output: (doc_id, simhash, block = top-16-bit prefix).
+      * sums). Output: (doc_id, simhash).
       */
     def simhash64(id: Column, tokset: Column): DataFrame = {
       val tok = df.select(id.as("doc_id"), explode(tokset).as("t"))
@@ -134,24 +179,41 @@ object ops {
           when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       counted.select(col("doc_id"), sim.as("simhash"))
-        .withColumn("block", expr("shiftright(simhash, 48) & 65535"))
     }
 
     /** Near-dup pairs at Hamming distance ≤ `maxHamming` between
-      * simhashes, candidates blocked on the 16-bit prefix. Call on the
-      * output of [[simhash64]] (or any (doc_id, simhash, block) frame
-      * — pass a materialized frame to avoid recomputing the sketch on
-      * both join sides). Output: (d1, d2, hamming).
+      * simhashes, with EXACT recall via rotate-block candidate
+      * generation: the 64-bit sketch is cut into `tables` equal slices
+      * and a pair is a candidate iff SOME slice matches — by
+      * pigeonhole, any pair with at most `tables - 1` differing bits
+      * must agree on at least one slice, so no true pair is missed
+      * (a single-prefix block misses pairs whose differing bits fall
+      * in the prefix). Candidates carry only (id, sketch) through the
+      * `tables`× slice shuffle. Call on the output of [[simhash64]]
+      * (pass a materialized frame to avoid recomputing the sketch on
+      * both join sides). Output: (d1, d2, hamming) with d1 < d2.
       */
-    def simhashPairs(maxHamming: Int): DataFrame = {
-      val a = df.select(col("block"), col("doc_id").as("d1"),
-        col("simhash").as("h1"))
-      val b = df.select(col("block").as("block_b"), col("doc_id").as("d2"),
-        col("simhash").as("h2"))
-      a.join(b, a("block") === b("block_b") && a("d1") < b("d2"))
+    def simhashPairs(maxHamming: Int, tables: Int = 4): DataFrame = {
+      require(64 % tables == 0, "tables must divide 64")
+      require(maxHamming < tables,
+        s"pigeonhole recall guarantee needs maxHamming < tables " +
+          s"($maxHamming >= $tables)")
+      val width = 64 / tables
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val sliced = df.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("simhash"), t * width)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("tbl", "slice")))
+      val a = sliced.select(col("tbl"), col("slice"),
+        col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sliced.select(col("tbl").as("tbl_b"), col("slice").as("slice_b"),
+        col("doc_id").as("d2"), col("simhash").as("h2"))
+      a.join(b, a("tbl") === b("tbl_b") && a("slice") === b("slice_b") &&
+          a("d1") < b("d2"))
         .select(col("d1"), col("d2"),
           expr("bit_count(h1 ^ h2)").as("hamming"))
         .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("d1", "d2")
     }
 
     // ─────────────────────── similarity ───────────────────────

@@ -116,8 +116,32 @@ object Crypto extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Decrypt-error handling (the reference's consumer faces bad
+    * ciphertext; its runner retries — a relational engine surfaces it
+    * as NULL and keeps going): corrupt every 10th message's ciphertext
+    * (truncate the last byte, which breaks the GCM auth tag), then
+    * `try_aes_decrypt` — tampered rows yield NULL instead of failing
+    * the job, and `survived` counts the rest. GCM's random IV is safe
+    * here because only the decrypted output (plaintext or NULL) is
+    * compared, never the ciphertext; tag verification makes the
+    * tamper→NULL outcome deterministic, unlike ECB padding checks.
+    */
+  val tryDecryptCorrupt: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("ct",
+        aes_encrypt(col("text").cast("binary"), dek, lit("GCM")))
+      .withColumn("ct",
+        when(col("doc_id") % 10 === 0,
+          expr("substring(ct, 1, length(ct) - 1)")).otherwise(col("ct")))
+    d.select(col("doc_id"),
+        try_aes_decrypt(col("ct"), dek, lit("GCM")).cast("string").as("text"))
+      .withColumn("survived", col("text").isNotNull)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_crypto_roundtrip" -> cryptoRoundtrip,
+    "q_crypto_try_decrypt" -> tryDecryptCorrupt,
     "q_envelope_rotation" -> envelopeRotation,
     "q_hmac_verify" -> hmacVerify,
     "q_envelope_roundtrip" -> envelopeRoundtrip,
@@ -127,6 +151,11 @@ object Crypto extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_crypto_roundtrip" -> """
       SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_crypto_try_decrypt" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text,
+             doc_id % 10 <> 0 AS survived
+      FROM documents ORDER BY doc_id""",
     "q_envelope_rotation" -> """
       SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS dek_id, text
       FROM documents ORDER BY doc_id""",

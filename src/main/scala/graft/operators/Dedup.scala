@@ -28,12 +28,16 @@ object Dedup extends QueryModule {
   /** Exact token-set Jaccard ≥ 0.8 pairs, blocked by (source, lang),
     * via the inverted-index token join. The DuckDB twin verifies the
     * set arithmetic; the MinHash query approximates exactly this
-    * measure without the blocking.
+    * measure without the blocking. maxDf = 1000 keeps the stopword-skew
+    * guard on the scored plan while staying far above this corpus's max
+    * per-block df (≤ block size ≈ 50 at sf0.1), so the oracle result is
+    * exact — at real corpus scale the cut is what bounds the candidate
+    * join (see [[graft.api.ops.GraftDataFrameOps.jaccardPairs]]).
     */
   val dedupNgramJaccard: Q = (spark, dir) =>
     docsWithTokens(spark, dir)
       .jaccardPairs(col("doc_id"), col("tokset"),
-        struct(col("source"), col("lang")), threshold = 0.8)
+        struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
       .orderBy("d1", "d2")
 
   /** MinHash/LSH near-dup dedup → per-doc keep/discard flag. 128
@@ -52,34 +56,38 @@ object Dedup extends QueryModule {
         threshold = 0.9, numHashes = 128, bands = 8)
       .orderBy("doc_id")
 
-  /** 64-bit SimHash near-dup pairs at Hamming ≤ 3, blocked on the
-    * 16-bit prefix. The sketch (3 longs/doc) is localCheckpoint'd so
-    * the self-join reads it instead of recomputing the 64-column vote
-    * agg on both sides. No oracle (xxhash64); QualitySpec asserts the
-    * Hamming bound and that a planted clone yields a hamming-0 pair.
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ 3 via 4×16-bit
+    * rotate-block candidates — pigeonhole guarantees EXACT recall at
+    * ≤ 3 differing bits (maxHamming < tables). The sketch (2 longs/doc)
+    * is localCheckpoint'd so the self-join reads it instead of
+    * recomputing the 64-column vote agg on both sides. No oracle
+    * (xxhash64); QualitySpec asserts recall = brute force exactly.
     */
   val dedupSimhash: Q = (spark, dir) =>
     docsWithTokens(spark, dir)
       .simhash64(col("doc_id"), col("tokset"))
       .localCheckpoint()
-      .simhashPairs(maxHamming = 3)
+      .simhashPairs(maxHamming = 3, tables = 4)
       .orderBy("d1", "d2")
 
   /** Embedding-cosine near-dup: candidate pairs meet only inside a
-    * sign-LSH block (the 8-bit sign pattern of the first 8 dims — near
-    * -identical vectors share it), then exact cosine ranks them; top-20
-    * emitted. The testdata plants no near-dups (max cos ≈ 0.51), so a
-    * production-style `cos ≥ τ` filter would be empty — emitting the
-    * ranked candidates keeps the query non-empty and oracle-checkable
-    * while exercising the same block→score→rank plan.
+    * sign-LSH block (the sign pattern of the first `bits` dims — near
+    * -identical vectors share it at any `bits`), then exact cosine
+    * ranks them; top-20 emitted. `bits` sizes the bucket count (2^bits)
+    * and must grow ≈ log2(n / targetBucketSize) with the corpus — see
+    * [[graft.api.ops.signPrefixBlock]]; blocks at more bits strictly
+    * refine blocks at fewer, so raising `bits` only removes candidate
+    * pairs (QualitySpec pins this and clone recall). The testdata
+    * plants no near-dups (max cos ≈ 0.51), so a production-style
+    * `cos ≥ τ` filter would be empty — emitting the ranked candidates
+    * keeps the query non-empty and oracle-checkable while exercising
+    * the same block→score→rank plan.
     */
-  val dedupEmbedding: Q = (spark, dir) => {
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       bits: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
       .withColumn("emb", transform(col("embedding"), _.cast("double")))
-      .withColumn("block", expr(
-        """aggregate(slice(emb, 1, 8), 0,
-          |  (acc, v) -> acc * 2 + CASE WHEN v > 0 THEN 1 ELSE 0 END)"""
-          .stripMargin))
+      .withColumn("block", graft.api.ops.signPrefixBlock(col("emb"), bits))
     val a = e.select(col("block"), col("vec_id").as("v1"), col("emb").as("e1"))
     val b = e.select(col("block").as("block_b"), col("vec_id").as("v2"),
       col("emb").as("e2"))
@@ -89,6 +97,9 @@ object Dedup extends QueryModule {
       .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
       .limit(20)
   }
+
+  /** Scored entry: bits = 8 to match the DuckDB twin's blocking. */
+  val dedupEmbedding: Q = (spark, dir) => embeddingNearDup(spark, dir, 8)
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,

@@ -84,20 +84,21 @@ object Similarity extends QueryModule {
       .orderBy("label", "pos")
   }
 
-  /** ANN via sign-LSH: 8 deterministic pseudo-random hyperplanes
-    * (fixed-seed, materialized as literal arrays so the per-row work is
-    * 8 zip_with folds over constants — the earlier formulation rebuilt
-    * all 512 hash-derived weights per row in nested interpreted
-    * lambdas), vectors bucketed by the 8-bit sign pattern; queries
-    * (every 50th vector) compare only within their bucket. No oracle —
-    * DedupSimSpec asserts each query's top hit is itself and recall vs
-    * brute force.
+  /** ANN via sign-LSH: `numPlanes` deterministic pseudo-random
+    * hyperplanes ([[graft.api.ops.lshPlanes]], fixed seed, materialized
+    * as literal arrays so the per-row work is `numPlanes` zip_with
+    * folds over constants), vectors bucketed by the sign pattern;
+    * queries (every 50th vector) compare only within their bucket.
+    * Bucket count = 2^numPlanes — size numPlanes to the corpus
+    * (≈ log2(n / targetBucketSize)); the seeded planes are
+    * prefix-nested, so buckets at more planes strictly refine buckets
+    * at fewer (QualitySpec pins refinement + planted-clone recall).
+    * No oracle — QualitySpec asserts each query's top hit is itself.
     */
-  val simAnnLsh: Q = (spark, dir) => {
+  def annLsh(spark: org.apache.spark.sql.SparkSession, dir: String,
+             numPlanes: Int): DataFrame = {
     import graft.api.ops._
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(8)(Seq.fill(64)(rnd.nextDouble() - 0.5))
+    val planes = lshPlanes(numPlanes, dim = 64)
     val e = emb(spark, dir).withSignLshBucket(col("emb"), planes)
     val queries = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qv"), col("bucket"))
@@ -110,6 +111,9 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= 3)
       .orderBy("qid", "rank")
   }
+
+  /** Scored entry: 8 planes = 256 buckets, sized to this corpus. */
+  val simAnnLsh: Q = (spark, dir) => annLsh(spark, dir, numPlanes = 8)
 
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).

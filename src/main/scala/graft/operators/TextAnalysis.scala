@@ -58,12 +58,11 @@ object TextAnalysis extends QueryModule {
   }
 
   /** Per-language corpus stats. Averages are rounded with the tie-proof
-    * floor identity (floor(x*1e4 + 0.5)/1e4) instead of round(), because
-    * Spark rounds HALF_UP and DuckDB half-even — a tie at the 4th decimal
-    * would hash-mismatch; floor on the same IEEE double cannot.
+    * [[Norm.r4tie]] identity instead of round() — see its doc for the
+    * HALF_UP vs half-even rationale (inputs here are non-negative).
     */
   val textLangStats: Q = (spark, dir) => {
-    def r4tie(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    import Norm.r4tie
     docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .groupBy("lang")

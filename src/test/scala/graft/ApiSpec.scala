@@ -45,6 +45,24 @@ class ApiSpec extends SparkSpec {
     assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
   }
 
+  test("jaccardPairs df-cut bounds candidates from a planted hot token") {
+    import spark.implicits._
+    // 50 docs share ONLY the hot token "the" (a quadratic candidate
+    // bomb without the cut); one true dup pair shares real content.
+    val docs = (1L to 50L).map(i => (i, "b", Seq("the", s"u$i", s"v$i"))) ++
+      Seq((100L, "b", Seq("the", "x", "y", "z")),
+          (101L, "b", Seq("the", "x", "y", "z")))
+    val df = docs.toDF("id", "blk", "toks")
+    val out = df.jaccardPairs(col("id"), col("toks"), col("blk"),
+      threshold = 0.5, maxDf = 10).collect()
+    // Hot token df = 52 > 10 → cut: hot-only pairs never become
+    // candidates; the dup pair's jaccard is the kept-token lower bound
+    // 3/(4+4-3) = 0.6 instead of 1.0.
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((100L, 101L)))
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 0.6) < 1e-9)
+  }
+
   test("simhash64 + simhashPairs pairs identical token sets at hamming 0") {
     import spark.implicits._
     val df = Seq(

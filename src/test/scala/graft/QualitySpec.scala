@@ -54,6 +54,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_simhash rotate-block recall is exact vs brute-force Hamming<=3") {
+    import graft.api.ops._
+    // Pigeonhole: 4 tables, maxHamming 3 → every true pair agrees on
+    // some 16-bit slice, so LSH candidates must equal brute force.
+    val sketches = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+      .simhash64(col("doc_id"), col("ts"))
+      .localCheckpoint()
+    val a = sketches.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sketches.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 3)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh === brute,
+      s"missed=${brute.diff(lsh).size} extra=${lsh.diff(brute).size}")
+  }
+
   test("simhash of a duplicated document equals itself (hamming 0 pair)") {
     // The testdata plants no exact dups, so synthesize one: run the
     // same simhash plan over documents ∪ {copy of doc 0 with new id}.
@@ -78,6 +100,59 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
       assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-3)
     }
+  }
+
+  test("ann sign-LSH buckets refine as planes grow (nested prefix planes)") {
+    import graft.api.ops._
+    // lshPlanes(8) is a prefix of lshPlanes(12) (same seed), and
+    // withSignLshBucket puts plane k at bit (numPlanes-1-k), so every
+    // 12-plane bucket maps onto its 8-plane bucket by >> 4: raising
+    // the plane count only splits buckets, never merges or reshuffles
+    // them — the safe way to re-size buckets to a grown corpus.
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val both = e
+      .withSignLshBucket(col("emb"), lshPlanes(8, 64), out = "b8")
+      .withSignLshBucket(col("emb"), lshPlanes(12, 64), out = "b12")
+      .select("b8", "b12").collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(1) >> 4 === r.getInt(0)))
+  }
+
+  test("ann finds a planted clone at cos~1 at a non-default plane count") {
+    // Identical vectors share every sign bucket, so recall of exact
+    // clones is 1 at ANY plane count — pin it at 12 planes (4096
+    // buckets) to prove the parameterization is real.
+    val e = Tables(spark, sfDir, "embeddings")
+    val clone = e.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    e.unionByName(clone).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val hits = graft.operators.Similarity.annLsh(spark, tmp, numPlanes = 12)
+      .filter(col("qid") === 0 && col("vec_id") === 999999L).collect()
+    assert(hits.length === 1)
+    assert(math.abs(hits.head.getAs[Double]("cos_sim") - 1.0) < 1e-3)
+  }
+
+  test("embedding near-dup blocks refine as bits grow, clone always found") {
+    import graft.api.ops._
+    // Sign-prefix blocks are prefix-nested too: 16-bit blocks split
+    // 8-bit blocks, so candidate pairs at 16 bits are a subset of
+    // candidates at 8 bits; an exact clone shares the block at any
+    // bits. Candidate counts must shrink (or hold) as bits grow.
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+      .withColumn("blk8", signPrefixBlock(col("emb"), 8))
+      .withColumn("blk16", signPrefixBlock(col("emb"), 16))
+      .select("blk8", "blk16").collect()
+    e.foreach(r => assert(r.getLong(1) >> 8 === r.getLong(0)))
+    def pairCount(blocks: Seq[Long]): Long =
+      blocks.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val p8 = pairCount(e.map(_.getLong(0)).toSeq)
+    val p16 = pairCount(e.map(_.getLong(1)).toSeq)
+    assert(p16 <= p8)
+    assert(p16 > 0 || p8 === 0)
   }
 
   test("q_agg_hll_sketch merged estimate within 5% of exact distinct") {
