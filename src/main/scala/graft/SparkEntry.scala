@@ -18,6 +18,7 @@ object SparkEntry {
     ScalarFuncs,
     TimeWindows,
     Crypto,
+    StreamScored,
     Dedup,
     Similarity,
     TextAnalysis,

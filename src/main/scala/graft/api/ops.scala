@@ -361,15 +361,25 @@ object ops {
     /** Publisher side of the reference pipeline: AES-encrypt `payload`
       * with `dek`, attach attributes carrying the KEK-wrapped DEK and
       * the HMAC-SHA256 signature. Inverse of [[openEnvelope]].
+      *
+      * Ciphertext and signature are computed in ONE projection over the
+      * input frame, so a `payload` expression that references a column
+      * named `value` still reads the original — two stacked withColumns
+      * would sign a payload whose `value` was already replaced by the
+      * ciphertext, and every message would fail verification.
       */
     def sealEnvelope(payload: Column, dek: Array[Byte],
-                     kek: Array[Byte]): DataFrame =
-      df.withColumn("value",
-          aes_encrypt(payload, lit(dek), lit("ECB")))
-        .withColumn("attributes", map(
-          lit("wrapped_dek"),
-          base64(GraftFunctions.wrap_dek(lit(kek), lit(dek))),
-          lit("sig"), base64(GraftFunctions.hmac_sha256(lit(dek), payload))))
+                     kek: Array[Byte]): DataFrame = {
+      val value = aes_encrypt(payload, lit(dek), lit("ECB"))
+      val attrs = map(
+        lit("wrapped_dek"),
+        base64(GraftFunctions.wrap_dek(lit(kek), lit(dek))),
+        lit("sig"), base64(GraftFunctions.hmac_sha256(lit(dek), payload)))
+      val others = df.columns
+        .filterNot(c => c == "value" || c == "attributes").map(col)
+      df.select(others.toSeq :+ value.as("value") :+
+        attrs.as("attributes"): _*)
+    }
 
     /** Consumer side: unwrap the DEK from the attributes map, decrypt
       * `value`, recompute and compare the HMAC. Adds (payload BINARY,

@@ -139,9 +139,63 @@ object Crypto extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Kafka-wire-shaped pipeline (§2.A A1 faithfully): the reference's
+    * subscription delivers (payload bytes, attributes map); on Kafka
+    * that is the record value plus headers. Build the EXACT schema a
+    * `spark.readStream.format("kafka")` source produces — (key BINARY,
+    * value BINARY, topic STRING, partition INT, offset LONG,
+    * timestamp TIMESTAMP, timestampType INT, headers ARRAY<STRUCT<key
+    * STRING, value BINARY>>) — carrying the KEK-wrapped DEK and the
+    * HMAC signature as headers, then consume: headers → attributes
+    * map → unwrap → decrypt → verify → parse. The consumer side runs
+    * unchanged against a real broker because only the scan differs.
+    */
+  val kafkaPipeline: Q = (spark, dir) => {
+    import graft.api.ops._
+    val kekB = "kek-graft-000001".getBytes("UTF-8")
+    val docs = Tables(spark, dir, "documents")
+    // Producer: one Kafka record per document.
+    val records = docs
+      .withColumn("pt",
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+          .cast("binary"))
+      .select(
+        col("doc_id"),
+        col("doc_id").cast("string").cast("binary").as("key"),
+        aes_encrypt(col("pt"), dek, lit("ECB")).as("value"),
+        lit("graft.docs").as("topic"),
+        pmod(col("doc_id"), lit(32)).cast("int").as("partition"),
+        col("doc_id").as("offset"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"),
+        lit(0).as("timestampType"),
+        array(
+          struct(lit("wrapped_dek").as("key"),
+            wrap_dek(kek, dek).as("value")),
+          struct(lit("sig").as("key"),
+            hmac_sha256(dek, col("pt")).as("value"))).as("headers"))
+    // Consumer: lift headers into the attributes map the envelope
+    // opener expects (base64, mirroring Pub/Sub string attributes).
+    records
+      .withColumn("attributes", map_from_entries(
+        transform(col("headers"),
+          h => struct(h.getField("key"),
+            base64(h.getField("value"))))))
+      .openEnvelope(kekB)
+      .select(col("doc_id"), col("topic"), col("partition"),
+        col("offset").as("koffset"),
+        from_json(col("payload").cast("string"),
+          lit("doc_id LONG, lang STRING, n_chars LONG")).as("msg"),
+        col("verified"))
+      .select(col("doc_id"), col("topic"), col("partition"),
+        col("koffset"), col("msg.lang").as("lang"),
+        col("msg.n_chars").as("n_chars"), col("verified"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_crypto_roundtrip" -> cryptoRoundtrip,
     "q_crypto_try_decrypt" -> tryDecryptCorrupt,
+    "q_kafka_pipeline" -> kafkaPipeline,
     "q_envelope_rotation" -> envelopeRotation,
     "q_hmac_verify" -> hmacVerify,
     "q_envelope_roundtrip" -> envelopeRoundtrip,
@@ -155,6 +209,11 @@ object Crypto extends QueryModule {
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text,
              doc_id % 10 <> 0 AS survived
+      FROM documents ORDER BY doc_id""",
+    "q_kafka_pipeline" -> """
+      SELECT doc_id, 'graft.docs' AS topic,
+             CAST(doc_id % 32 AS INT) AS "partition",
+             doc_id AS koffset, lang, n_chars, true AS verified
       FROM documents ORDER BY doc_id""",
     "q_envelope_rotation" -> """
       SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS dek_id, text

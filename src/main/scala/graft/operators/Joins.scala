@@ -183,7 +183,31 @@ object Joins extends QueryModule {
       .orderBy("event_type", "event_type2")
   }
 
+  /** Skew-robust salted join on a deliberately hot key: every 'click'
+    * event (~1/5 of the table) maps to nation 7, the rest spread over
+    * user_id % 25 — the classic one-reducer-stalls shape. The probe
+    * goes through [[graft.api.ops.GraftDataFrameOps.saltedJoin]], so
+    * the join key becomes (nk, _salt) and the hot key's rows land on
+    * `salt` reducers instead of one (PlanSpec pins the composite key).
+    * Salting is result-invisible: the oracle is the plain join.
+    */
+  val joinSalted: Q = (spark, dir) => {
+    import graft.api.ops._
+    val e = Tables(spark, dir, "events")
+      .withColumn("nk",
+        when(col("event_type") === "click", lit(7))
+          .otherwise(pmod(col("user_id"), lit(25)).cast("int")))
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    e.saltedJoin(n, "nk", salt = 16)
+      .groupBy("nk", "n_name")
+      .agg(count(lit(1)).as("n_events"),
+        Norm.r4(sum("value")).as("sum_value"))
+      .orderBy("nk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_salted" -> joinSalted,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_multiway" -> joinMultiway,
     "q_join_left" -> joinLeft,
@@ -196,6 +220,16 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_salted" -> """
+      WITH e AS (
+        SELECT CASE WHEN event_type = 'click' THEN 7
+                    ELSE CAST(user_id % 25 AS INT) END AS nk, value
+        FROM events)
+      SELECT e.nk, n_name, count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM e JOIN nation ON e.nk = n_nationkey
+      GROUP BY e.nk, n_name
+      ORDER BY nk""",
     "q_join_broadcast" -> """
       SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
              round(o_totalprice, 4) AS totalprice

@@ -161,6 +161,23 @@ class ApiSpec extends SparkSpec {
       plain.groupBy("k").count().orderBy("k").collect().toSeq)
   }
 
+  test("sealEnvelope verifies when the frame already has a value column") {
+    import spark.implicits._
+    // Regression: the payload expression reads `value`; the seal must
+    // sign the ORIGINAL value, not the ciphertext that replaces it.
+    val dek = "0123456789abcdef".getBytes("UTF-8")
+    val kek = "kek-graft-000001".getBytes("UTF-8")
+    val df = Seq((1L, 2.5), (2L, -3.25)).toDF("id", "value")
+    val out = df.sealEnvelope(
+        to_json(struct(col("id"), col("value"))).cast("binary"), dek, kek)
+      .openEnvelope(kek)
+      .select(col("id"), col("verified"),
+        col("payload").cast("string").as("pt"))
+      .orderBy("id").collect()
+    assert(out.forall(_.getBoolean(1)))
+    assert(out.head.getString(2).contains("2.5"))
+  }
+
   test("sealEnvelope/openEnvelope roundtrip and verify on any frame") {
     import spark.implicits._
     val dek = "0123456789abcdef".getBytes("UTF-8")

@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p)
   }
 
+  test("q_join_salted joins on the composite (key, salt) sub-key") {
+    // The hot key must spread across _salt partitions: the physical
+    // join (or its partial-agg shuffle) keys on _salt, and the plan
+    // stays an equi-join, never a cartesian fallback.
+    val p = plan("q_join_salted")
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_join_interval is an equi-join on the time bucket, not NLJ") {
     val p = plan("q_join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
