@@ -97,9 +97,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_join_interval is an equi-join on the time bucket, not NLJ") {
+  test("q_join_interval enumerates no pairs: window counts, no join") {
+    // The interval query must stay O(n log n) per cell — any Join
+    // operator in the plan means the quadratic pair enumeration the
+    // window rewrite removed has crept back.
     val p = plan("q_join_interval")
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }
