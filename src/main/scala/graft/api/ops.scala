@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
 object ops {
 
   /** Sequential left-fold dot product over two double arrays — fixed
-    * evaluation order so results are bit-stable across engines.
+    * evaluation order so results are bit-stable across engines. Backed
+    * by the native codegen'd `dot_arrays` expression (bit-identical to
+    * the `aggregate(zip_with(...))` fold it replaced, but a tight
+    * primitive loop inside WholeStageCodegen instead of interpreted
+    * per-element lambdas + an intermediate array per row).
     */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    GraftFunctions.dot_arrays(a, b)
 
-  /** Cosine similarity of two double-array columns. */
+  /** Cosine similarity of two double-array columns — native one-pass
+    * expression (dot and both norms in a single loop).
+    */
   def cosineSim(a: Column, b: Column): Column =
-    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+    GraftFunctions.cosine_sim(a, b)
 
   /** Deterministic hyperplane matrix for sign-LSH: `numPlanes` rows of
     * `dim` coordinates from a seeded PRNG. Bucket count = 2^numPlanes,

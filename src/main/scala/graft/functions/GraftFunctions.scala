@@ -23,6 +23,16 @@ object GraftFunctions {
     Bridge.column(
       HmacSha256(Bridge.expression(key), Bridge.expression(data)))
 
+  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns (native
+    * codegen'd expression — see VectorExpressions).
+    */
+  def dot_arrays(a: Column, b: Column): Column =
+    Bridge.column(DotArrays(Bridge.expression(a), Bridge.expression(b)))
+
+  /** One-pass cosine similarity of two ARRAY<DOUBLE> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
   /** KMS-style key wrap, local + deterministic: AES-ECB(kek, dek). */
   def wrap_dek(kek: Column, dek: Column): Column =
     aes_encrypt(dek, kek, lit("ECB"))
@@ -35,17 +45,27 @@ object GraftFunctions {
     * works; injectable via SparkSession.builder.withExtensions or
     * callable on an existing session.
     */
-  def registerExtensions(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(hmacFunction)
-  }
+  def registerExtensions(ext: SparkSessionExtensions): Unit =
+    allFunctions.foreach(ext.injectFunction)
 
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = hmacFunction
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    allFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 
-  private val hmacFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("hmac_sha256"),
-    new ExpressionInfo(classOf[HmacSha256].getName, "hmac_sha256"),
-    (children: Seq[Expression]) => HmacSha256(children(0), children(1)))
+  private type FunctionEntry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def entry(name: String, cls: Class[_],
+                    builder: Seq[Expression] => Expression): FunctionEntry =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+
+  private val allFunctions: Seq[FunctionEntry] = Seq(
+    entry("hmac_sha256", classOf[HmacSha256],
+      c => HmacSha256(c(0), c(1))),
+    entry("dot_arrays", classOf[DotArrays],
+      c => DotArrays(c(0), c(1))),
+    entry("cosine_sim", classOf[CosineSim],
+      c => CosineSim(c(0), c(1))))
 }

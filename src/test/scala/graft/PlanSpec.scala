@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("CryptoCodecs.hmacSha256"), s.take(500))
   }
 
+  test("q_sim_cosine_topk cosine fuses into whole-stage codegen") {
+    val s = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir).queryExecution
+        .explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // The generated code must call the native kernel — proof the vector
+    // expression fused instead of interpreted zip_with/aggregate lambdas.
+    assert(s.contains("VectorKernels"), s.take(500))
+  }
+
   test("q_dedup_exact shuffles the 32-byte hash, not the document text") {
     val p = plan("q_dedup_exact")
     // Partial agg keyed by sha2 means the exchange carries the hash;
