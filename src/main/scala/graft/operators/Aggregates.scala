@@ -141,6 +141,27 @@ object Aggregates extends QueryModule {
           .as("direct_distinct_users")))
   }
 
+  /** Approximate quantile sketch (Greenwald-Khanna style
+    * `approx_percentile`) — the mergeable alternative to exact
+    * `percentile`, which must buffer every value per group: the sketch
+    * is O(1/ε) per partition and merges at partial-agg time, so p50/p95
+    * over 100 TB cost one scan + kilobyte-sized shuffle. No oracle
+    * (sketch boundaries are implementation-specific and merge-order
+    * dependent); QualitySpec bounds both quantiles against the exact
+    * percentiles' surrounding ranks.
+    */
+  val aggApproxQuantile: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        Norm.r4(expr("approx_percentile(o_totalprice, 0.5, 10000)"))
+          .as("p50_price"),
+        Norm.r4(expr("approx_percentile(o_totalprice, 0.95, 10000)"))
+          .as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Correlated scalar subquery — orders 1.5× above their customer's
     * average. Catalyst decorrelates this (RewriteCorrelatedScalarSubquery)
     * into an aggregate + join, so it runs as two shuffles, not a
@@ -197,6 +218,7 @@ object Aggregates extends QueryModule {
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_agg_stats" -> aggStats,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_approx_quantile" -> aggApproxQuantile,
   )
 
   val oracle: Map[String, String] = Map(

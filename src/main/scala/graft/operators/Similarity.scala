@@ -115,6 +115,58 @@ object Similarity extends QueryModule {
   /** Scored entry: 8 planes = 256 buckets, sized to this corpus. */
   val simAnnLsh: Q = (spark, dir) => annLsh(spark, dir, numPlanes = 8)
 
+  /** Multi-probe ANN: the recall lever that does NOT shrink the bucket
+    * count. Each query searches its own bucket plus the `probes`
+    * buckets reached by flipping its least-confident sign bits (the
+    * planes with the smallest |dot| margin — where a true neighbor most
+    * likely landed on the other side). Candidate volume grows only
+    * (probes+1)× per query while bucket count stays 2^numPlanes, so at
+    * corpus scale you raise numPlanes for bounded buckets AND probes
+    * for recall, instead of trading one for the other. Every vector
+    * still lives in exactly one bucket — probing is query-side only,
+    * no index duplication. QualitySpec pins recall(multi) ≥
+    * recall(single) per query vs brute-force ground truth.
+    */
+  def annLshMultiProbe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, numPlanes: Int,
+                       probes: Int): DataFrame = {
+    import graft.api.ops._
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, $numPlanes], got $probes")
+    val planes = lshPlanes(numPlanes, dim = 64)
+    val planeLit = typedLit(planes)
+    // Bit k (plane k) sits at position (numPlanes-1-k) in the bucket id.
+    val maskLit = typedLit((0 until numPlanes).map(k =>
+      1 << (numPlanes - 1 - k)))
+    val e = emb(spark, dir).withSignLshBucket(col("emb"), planes)
+    // Per query: (|margin|, plane) pairs sorted ascending → flip the
+    // `probes` least-confident bits. Struct sort is lexicographic, so
+    // ties break deterministically on the plane index.
+    val conf = array((0 until numPlanes).map(k =>
+      struct(abs(dotd(col("qv"), planeLit.getItem(k))).as("a"),
+        lit(k).as("k"))): _*)
+    val probeBuckets = concat(array(col("bucket")),
+      transform(slice(array_sort(conf), 1, probes),
+        f => col("bucket")
+          .bitwiseXOR(element_at(maskLit, f.getField("k") + 1))))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"), col("bucket"))
+      .select(col("qid"), col("qv"),
+        explode(probeBuckets).as("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(queries, "bucket")
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** Scored entry: 8 planes, 2 probe flips per query. */
+  val simAnnMultiProbe: Q = (spark, dir) =>
+    annLshMultiProbe(spark, dir, numPlanes = 8, probes = 2)
+
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).
     */
@@ -134,6 +186,7 @@ object Similarity extends QueryModule {
     "q_sim_blocked_join" -> simBlockedJoin,
     "q_centroid_per_label" -> centroidPerLabel,
     "q_sim_ann_lsh" -> simAnnLsh,
+    "q_sim_ann_multiprobe" -> simAnnMultiProbe,
     "q_multimodal_join" -> multimodalJoin,
   )
 

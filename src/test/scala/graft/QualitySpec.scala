@@ -102,6 +102,35 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_sim_ann_multiprobe recall >= single-probe per query vs brute force") {
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val single = top3(SparkEntry.queries("q_sim_ann_lsh")(spark, sfDir))
+    val multi = top3(SparkEntry.queries("q_sim_ann_multiprobe")(spark, sfDir))
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = top3(e.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(graft.api.ops.cosineSim(col("emb"), col("qv"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+    assert(brute.nonEmpty)
+    // Probing only ADDS candidate buckets, so per-query overlap with
+    // the brute-force top-3 is monotone; the self-hit must survive.
+    brute.keys.foreach { qid =>
+      val s = single.getOrElse(qid, Set.empty[Long])
+      val m = multi.getOrElse(qid, Set.empty[Long])
+      assert((brute(qid) & m).size >= (brute(qid) & s).size, s"qid=$qid")
+      assert(m.contains(qid), s"self-hit lost for qid=$qid")
+    }
+  }
+
   test("ann sign-LSH buckets refine as planes grow (nested prefix planes)") {
     import graft.api.ops._
     // lshPlanes(8) is a prefix of lshPlanes(12) (same seed), and
@@ -153,6 +182,27 @@ class QualitySpec extends SparkSpec {
     val p16 = pairCount(e.map(_.getLong(1)).toSeq)
     assert(p16 <= p8)
     assert(p16 > 0 || p8 === 0)
+  }
+
+  test("q_agg_approx_quantile within surrounding exact ranks") {
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Double]("p50_price"), r.getAs[Double]("p95_price"))).toMap
+    val exact = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.40)").as("p40"),
+        expr("percentile(o_totalprice, 0.60)").as("p60"),
+        expr("percentile(o_totalprice, 0.90)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (status, (p50, p95)) =>
+      val (p40, p60, p90, p99) = exact(status)
+      assert(p50 >= p40 && p50 <= p60, s"$status p50=$p50 not in [$p40,$p60]")
+      assert(p95 >= p90 && p95 <= p99, s"$status p95=$p95 not in [$p90,$p99]")
+    }
   }
 
   test("q_agg_hll_sketch merged estimate within 5% of exact distinct") {
