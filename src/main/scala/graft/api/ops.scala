@@ -343,6 +343,32 @@ object ops {
           .as("quality"))
     }
 
+    /** Deterministic, content-stable dataset split (train/val/test) by
+      * hash bucket of `id` — the production pattern for corpus splits:
+      * assignment depends only on the id, so it is reproducible across
+      * runs, engines, partitionings, and incremental re-ingests (a
+      * seeded `sample()` is none of those — its RNG is partition-
+      * dependent). `cuts` are (name, exclusive-upper-bucket) pairs over
+      * 100 md5-derived buckets, ascending, last entry taking the rest.
+      * Pure per-row projection: no shuffle, no state.
+      */
+    def withHashSplit(id: Column, out: String = "split",
+                      cuts: Seq[(String, Int)] =
+                        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        : DataFrame = {
+      require(cuts.nonEmpty && cuts.last._2 == 100 &&
+        cuts.map(_._2) == cuts.map(_._2).sorted,
+        "cuts must ascend and end at 100")
+      val bucket =
+        conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+      val assigned = cuts.init.reverse
+        .foldLeft(lit(cuts.last._1): Column) {
+          case (acc, (name, hi)) => when(bucket < hi, lit(name)).otherwise(acc)
+        }
+      df.withColumn(out, assigned)
+    }
+
     // ──────────────────────── skew tools ────────────────────────
 
     /** Inner equi-join robust to heavy key skew, for when AQE's skew

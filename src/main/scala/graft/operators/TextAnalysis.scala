@@ -130,7 +130,24 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split of the corpus by md5 bucket of
+    * doc_id (80/10/10), summarized per (split, lang). md5 is
+    * reproducible in DuckDB too, so unlike seeded `sample()` this is
+    * fully oracle-checkable — and that reproducibility is exactly why
+    * hash splits (not RNG) are the right tool on a real corpus.
+    */
+  val sampleHashSplit: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .withHashSplit(col("doc_id"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_hash_split" -> sampleHashSplit,
     "q_text_tokenize" -> textTokenize,
     "q_text_tokenize_pos" -> textTokenizePos,
     "q_text_tfidf" -> textTfidf,
@@ -142,6 +159,27 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash_split" -> """
+      WITH h AS (
+        SELECT lang, n_chars,
+               lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+        FROM documents),
+      b AS (
+        SELECT lang, n_chars,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+                 AS bucket
+        FROM h)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY split, lang""",
     "q_text_tokenize" -> """
       SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -148,6 +148,21 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 5.0) < 1e-9)
   }
 
+  test("withHashSplit is deterministic, exhaustive, and roughly proportional") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val a = df.withHashSplit(col("id")).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = df.orderBy(col("id").desc).withHashSplit(col("id"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)                      // order/partitioning-independent
+    assert(a.values.sum === 2000L)       // every row assigned
+    assert(a("train") > 1400 && a("train") < 1800)  // ~80%
+    assert(a("val") > 100 && a("val") < 300)        // ~10%
+    assert(a("test") > 100 && a("test") < 300)      // ~10%
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a small dim.
