@@ -80,6 +80,19 @@ object Scans extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** ORC sink + source roundtrip — the third columnar-format surface
+    * beside parquet (ORC keeps types, so no explicit read schema is
+    * needed, unlike the text formats).
+    */
+  val sinkOrc: Q = (spark, dir) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc"
+    Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        Norm.r4(col("s_acctbal")).as("acctbal"))
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy("s_suppkey")
+  }
+
   /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
   val filterComplex: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
@@ -112,6 +125,7 @@ object Scans extends QueryModule {
     "q_sink_parquet" -> sinkParquet,
     "q_sink_csv" -> sinkCsv,
     "q_sink_json" -> sinkJson,
+    "q_sink_orc" -> sinkOrc,
     "q_filter_complex" -> filterComplex,
     "q_case_when" -> caseWhen,
   )
@@ -141,6 +155,10 @@ object Scans extends QueryModule {
       FROM customer
       WHERE c_acctbal > 0
       ORDER BY c_custkey""",
+    "q_sink_orc" -> """
+      SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS acctbal
+      FROM supplier
+      ORDER BY s_suppkey""",
     "q_filter_complex" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
              round(o_totalprice, 4) AS totalprice

@@ -84,6 +84,33 @@ class PropertySpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() === out.count())
   }
 
+  test("native dot_arrays/cosine_sim are bit-identical to the fold form") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{cosine_sim, dot_arrays}
+    // The kernel swap is only hash-safe if accumulation order matches
+    // the aggregate(zip_with(...)) fold exactly — compare bit patterns,
+    // not approximate equality, on seeded random vectors.
+    val vecs = (1 to 100).map { i =>
+      (sample(Gen.listOfN(64, Gen.choose(-5.0, 5.0)), i),
+       sample(Gen.listOfN(64, Gen.choose(-5.0, 5.0)), i + 1000))
+    }
+    def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val df = vecs.toDF("a", "b").select(
+      dot_arrays(col("a"), col("b")).as("nd"),
+      fold(col("a"), col("b")).as("fd"),
+      cosine_sim(col("a"), col("b")).as("nc"),
+      (fold(col("a"), col("b")) /
+        (sqrt(fold(col("a"), col("a"))) * sqrt(fold(col("b"), col("b")))))
+        .as("fc"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), r.toString)
+    }
+  }
+
   test("cosine similarity is bounded and sim(v,v)=1 on real embeddings") {
     val e = Tables(spark, sfDir, "embeddings")
       .withColumn("emb", transform(col("embedding"), _.cast("double")))
