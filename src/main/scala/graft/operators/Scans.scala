@@ -93,6 +93,25 @@ object Scans extends QueryModule {
     spark.read.orc(tmp).orderBy("s_suppkey")
   }
 
+  /** Hive-style partitioned lake layout + partition-pruned scan: write
+    * orders partitioned by status, read back one partition. At 100 TB
+    * the filter never touches the other partitions' files — pruning
+    * happens at file listing, before any I/O; PlanSpec asserts the
+    * predicate lands in PartitionFilters (not post-scan).
+    */
+  val scanPartitioned: Q = (spark, dir) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        Norm.r4(col("o_totalprice")).as("totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("totalprice"),
+        col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
   val filterComplex: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
@@ -126,6 +145,7 @@ object Scans extends QueryModule {
     "q_sink_csv" -> sinkCsv,
     "q_sink_json" -> sinkJson,
     "q_sink_orc" -> sinkOrc,
+    "q_scan_partitioned" -> scanPartitioned,
     "q_filter_complex" -> filterComplex,
     "q_case_when" -> caseWhen,
   )
@@ -159,6 +179,12 @@ object Scans extends QueryModule {
       SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS acctbal
       FROM supplier
       ORDER BY s_suppkey""",
+    "q_scan_partitioned" -> """
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey""",
     "q_filter_complex" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
              round(o_totalprice, 4) AS totalprice

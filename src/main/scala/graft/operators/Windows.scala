@@ -101,7 +101,26 @@ object Windows extends QueryModule {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Frame-explicit value window functions: first/last/nth order value
+    * per customer over the full-partition ROWS frame (last_value needs
+    * the explicit unbounded-following frame — the default frame stops
+    * at the current row and silently returns the running last).
+    */
+  val windowFrameValues: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        Norm.dstr(col("o_orderdate")).as("orderdate"),
+        Norm.r4(first(col("o_totalprice")).over(w)).as("first_price"),
+        Norm.r4(last(col("o_totalprice")).over(w)).as("last_price"),
+        Norm.r4(nth_value(col("o_totalprice"), 2).over(w)).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_frame_values" -> windowFrameValues,
     "q_window_rank" -> windowRank,
     "q_window_distribution" -> windowDistribution,
     "q_window_running" -> windowRunning,
@@ -112,6 +131,18 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_frame_values" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(first_value(o_totalprice) OVER w, 4) AS first_price,
+             round(last_value(o_totalprice) OVER w, 4) AS last_price,
+             round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
     "q_window_distribution" -> """
       SELECT o_orderpriority, o_orderkey,
              round(o_totalprice, 4) AS totalprice,

@@ -29,6 +29,12 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("l_tax"), rs)
   }
 
+  test("q_scan_partitioned prunes partitions at file listing, not post-scan") {
+    val p = plan("q_scan_partitioned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), p)
+  }
+
   test("q_join_broadcast broadcasts the small side, no shuffle join") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
