@@ -35,6 +35,43 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("o_orderstatus"), p)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // DPP: the dim's runtime filter prunes fact partitions the static
+    // optimizer can't see — at 100 TB this is the difference between
+    // scanning one partition and scanning the lake.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // The dim must be file-backed: ConvertToLocalRelation folds a
+    // filter over a local relation into the relation itself, and the
+    // pruning rule then sees no selective predicate to reuse.
+    Seq(("F", "final"), ("O", "open"), ("P", "pending"))
+      .toDF("st", "label")
+      .write.mode("overwrite").parquet(s"$tmp-dim")
+    val dim = spark.read.parquet(s"$tmp-dim")
+    // The size heuristic vetoes DPP on a KB-scale fixture (pruning
+    // benefit ∝ table size); disable it — the assertion is that the
+    // MECHANISM fires, production scale supplies the benefit.
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+      "100000")
+    try {
+      val q = fact.join(dim.filter(col("label") === "final"),
+        fact("o_orderstatus") === dim("st"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"), p)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   test("q_join_broadcast broadcasts the small side, no shuffle join") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)
