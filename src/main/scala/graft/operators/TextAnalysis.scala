@@ -146,7 +146,63 @@ object TextAnalysis extends QueryModule {
       .orderBy("split", "lang")
   }
 
+  /** Repetition-based quality signals (the Gopher-rules family):
+    * duplicate-token fraction and most-frequent-bigram fraction, plus
+    * the keep/drop verdict a pretraining filter would apply. Bigram
+    * counts explode ~50× like every token op; the per-doc max comes
+    * from one hash-agg + max — no window over the exploded stream.
+    */
+  val textRepetition: Q = (spark, dir) => {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+    val topBigram = d
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("max_bigram_cnt"))
+    d.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        Norm.r4(lit(1.0) - col("n_uniq").cast("double") / col("n"))
+          .as("dup_token_frac"),
+        Norm.r4(coalesce(
+          col("max_bigram_cnt").cast("double") / (col("n") - 1), lit(0.0)))
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_token_frac") < 0.3 && col("top_bigram_frac") < 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sequence packing (chunked greedy): docs are packed
+    * in doc_id order per language into 512-token sequences by their
+    * cumulative token end position — the deterministic relational
+    * formulation of training-sequence packing (a stateful greedy
+    * packer is order-dependent; the cumsum rule is pure window
+    * algebra, one shuffle per partition key). Output: per-pack
+    * occupancy. At 100 TB, partition by (lang, shard) to bound the
+    * window partitions.
+    */
+  val packSequences: Q = (spark, dir) => {
+    val budget = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        sum("n_tokens").over(w).as("cum"))
+      .withColumn("pack_id", floor((col("cum") - 1) / budget))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> textRepetition,
+    "q_pack_sequences" -> packSequences,
     "q_sample_hash_split" -> sampleHashSplit,
     "q_text_tokenize" -> textTokenize,
     "q_text_tokenize_pos" -> textTokenizePos,
@@ -159,6 +215,48 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+        FROM t),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        FROM t),
+      topbi AS (
+        SELECT doc_id, max(cnt) AS max_bigram_cnt FROM (
+          SELECT doc_id, bigram, count(*) AS cnt
+          FROM bi GROUP BY doc_id, bigram)
+        GROUP BY doc_id)
+      SELECT b.doc_id, b.n AS n_tokens,
+             round(1.0 - CAST(b.n_uniq AS DOUBLE) / b.n, 4)
+               AS dup_token_frac,
+             round(coalesce(CAST(max_bigram_cnt AS DOUBLE) / (b.n - 1), 0.0),
+               4) AS top_bigram_frac,
+             (round(1.0 - CAST(b.n_uniq AS DOUBLE) / b.n, 4) < 0.3 AND
+              round(coalesce(CAST(max_bigram_cnt AS DOUBLE) / (b.n - 1), 0.0),
+                4) < 0.2) AS keep
+      FROM base b LEFT JOIN topbi USING (doc_id)
+      ORDER BY doc_id""",
+    "q_pack_sequences" -> """
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT lang, CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
+               AS n_tokens_total
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY lang, pack_id""",
     "q_sample_hash_split" -> """
       WITH h AS (
         SELECT lang, n_chars,
