@@ -157,7 +157,11 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+    // size >= 2 guard: sequence(0, -1) on a 1-token doc would infer a
+    // NEGATIVE step and emit [0, -1] — null bigrams and a 0-token
+    // denominator downstream.
     val topBigram = d
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(toks) - 2),
           |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))

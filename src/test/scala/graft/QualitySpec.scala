@@ -184,6 +184,24 @@ class QualitySpec extends SparkSpec {
     assert(p16 > 0 || p8 === 0)
   }
 
+  test("q_text_repetition handles a 1-token document (no bigrams)") {
+    // Regression: sequence(0, size-2) with size=1 infers a negative
+    // step and fabricates null bigrams + a 0 denominator.
+    val docs = Tables(spark, sfDir, "documents")
+    val tiny = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(999999L))
+      .withColumn("text", lit("single"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    docs.unionByName(tiny).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q_text_repetition")(spark, tmp)
+      .filter(col("doc_id") === 999999L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_tokens") === 1L)
+    assert(r.head.getAs[Double]("top_bigram_frac") === 0.0)
+    assert(r.head.getAs[Double]("dup_token_frac") === 0.0)
+  }
+
   test("q_agg_approx_quantile within surrounding exact ranks") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
       .collect().map(r => r.getAs[String]("o_orderstatus") ->
