@@ -59,7 +59,10 @@ object ops {
     * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`
     * must grow with corpus size (≈ log2(n / targetBucketSize)) or the
     * within-block candidate join turns quadratic. Long-typed, so bits
-    * up to 62 are valid.
+    * up to 62 are valid. Requires vectors with at least `bits`
+    * elements: `slice` truncates silently on shorter vectors, which
+    * would collapse the bucket count to 2^dim and void the
+    * prefix-refinement contract — validate dim at the call site.
     */
   def signPrefixBlock(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")

@@ -158,12 +158,16 @@ object Joins extends QueryModule {
     * sort: count(band ∧ earlier) = RANGE[-1h, 0] − RANGE[0, 0] +
     * (same-us, earlier-id ROWS frame). Per-cell cost drops to
     * O(n_cell log n_cell); the 25-row result is the same aggregate the
-    * enumerating join produced. Event types use the explicit testdata
-    * value list (same contract as q_agg_pivot — no extra distinct
-    * pass).
+    * enumerating join produced. The per-type count columns need the
+    * type list at plan-build time, so it comes from a tiny distinct
+    * scan (the same driver-side step Spark's own dynamic
+    * `pivot(col)` performs) — a hardcoded list would silently drop
+    * pairs whose earlier event has an unlisted type.
     */
   val joinInterval: Q = (spark, dir) => {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = Tables(spark, dir, "events")
+      .select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
     val bandUs = 3600L * 1000000L
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
@@ -211,10 +215,14 @@ object Joins extends QueryModule {
           .otherwise(pmod(col("user_id"), lit(25)).cast("int")))
     val n = Tables(spark, dir, "nation")
       .select(col("n_nationkey").as("nk"), col("n_name"))
+    // Sum in integer cents: the hot group aggregates ~n/5 doubles, and
+    // a double sum's unrounded value depends on summation order, which
+    // differs between engines — an integer sum is order-independent,
+    // so the oracle compare cannot hit a rounding tie at any SF.
     e.saltedJoin(n, "nk", salt = 16)
       .groupBy("nk", "n_name")
       .agg(count(lit(1)).as("n_events"),
-        Norm.r4(sum("value")).as("sum_value"))
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
       .orderBy("nk")
   }
 
@@ -238,7 +246,8 @@ object Joins extends QueryModule {
                     ELSE CAST(user_id % 25 AS INT) END AS nk, value
         FROM events)
       SELECT e.nk, n_name, count(*) AS n_events,
-             round(sum(value), 4) AS sum_value
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
       FROM e JOIN nation ON e.nk = n_nationkey
       GROUP BY e.nk, n_name
       ORDER BY nk""",

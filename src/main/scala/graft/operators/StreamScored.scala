@@ -93,7 +93,13 @@ object StreamScored extends QueryModule {
   val streamDedup: Q = (spark, dir) => {
     val once = Streams.eventsFileStream(spark, dir)
     val replay = Streams.eventsFileStream(spark, dir)
+    // Project to the two columns the exactly-once check needs BEFORE
+    // the sink: the memory sink is driver-local, so it must hold the
+    // narrow (event_id, event_type) stream, not full rows; a production
+    // deployment replaces the sink with parquet/Kafka and the upstream
+    // plan is unchanged.
     val deduped = Streams.streamingDedup(once.unionByName(replay))
+      .select("event_id", "event_type")
     runToTable(deduped, OutputMode.Append(), "graft_stream_dedup")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

@@ -153,10 +153,14 @@ object TextAnalysis extends QueryModule {
     * from one hash-agg + max — no window over the exploded stream.
     */
   val textRepetition: Q = (spark, dir) => {
+    // localCheckpoint: d feeds both join sides (per-doc stats and the
+    // bigram explode) — materialize it once instead of scanning and
+    // re-splitting the corpus twice (same pattern as dedupSimhash).
     val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n"),
         size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+      .localCheckpoint()
     // size >= 2 guard: sequence(0, -1) on a 1-token doc would infer a
     // NEGATIVE step and emit [0, -1] — null bigrams and a 0-token
     // denominator downstream.

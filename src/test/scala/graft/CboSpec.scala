@@ -60,19 +60,26 @@ class CboSpec extends SparkSpec {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     try {
-      val joined = spark.sql("""
+      // Assert on the JOIN node itself — the aggregate above it
+      // estimates ~NDV(c_mktsegment) rows, which would pass any bound
+      // regardless of how wrong the join cardinality is.
+      val joinStats = spark.sql("""
         SELECT c.c_mktsegment, count(*) AS n
         FROM graft_cbo.orders o
         JOIN graft_cbo.customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment""")
-        .queryExecution.optimizedPlan.stats
-      // Without CBO the join has only sizeInBytes; with stats + CBO the
-      // estimated row count is defined and within 10x of the true join
-      // cardinality (FK join: |orders|).
-      val trueCard = Tables(spark, sfDir, "orders").count()
-      assert(joined.rowCount.isDefined, joined.toString)
-      val est = joined.rowCount.get.toDouble
-      assert(est > 0 && est <= trueCard * 10.0, s"est=$est true=$trueCard")
+        .queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.stats
+        }
+      assert(joinStats.nonEmpty)
+      // FK join: true cardinality = |orders|; CBO's NDV-based estimate
+      // must be defined and within 10x either way.
+      val trueCard = Tables(spark, sfDir, "orders").count().toDouble
+      val est = joinStats.head.rowCount
+      assert(est.isDefined, joinStats.head.toString)
+      assert(est.get.toDouble >= trueCard / 10.0 &&
+        est.get.toDouble <= trueCard * 10.0,
+        s"est=${est.get} true=$trueCard")
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
