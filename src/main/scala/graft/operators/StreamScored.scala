@@ -107,10 +107,27 @@ object StreamScored extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** s_stream_join scored: watermarked stream-stream click→purchase
+    * attribution join through the streaming engine, matched pairs
+    * drained (append — joins emit matches as they form) and summarized
+    * in batch. Single-batch drain ⇒ result equals the batch join twin.
+    */
+  val streamJoin: Q = (spark, dir) => {
+    val joined = Streams.clickPurchaseJoin(
+      Streams.eventsFileStream(spark, dir),
+      Streams.eventsFileStream(spark, dir))
+      .select("click_id", "purchase_id", "c_user")
+    runToTable(joined, OutputMode.Append(), "graft_stream_join")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_matched"),
+        countDistinct(col("c_user")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_decrypt" -> streamDecrypt,
     "q_stream_watermark" -> streamWatermark,
     "q_stream_dedup" -> streamDedup,
+    "q_stream_join" -> streamJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +151,18 @@ object StreamScored extends QueryModule {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    "q_stream_join" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase')
+      SELECT count(*) AS n_pairs,
+             count(DISTINCT c.event_id) AS n_clicks_matched,
+             count(DISTINCT c.user_id) AS n_users
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
+       AND (epoch_ns(p.ts) // 1000) <=
+           (epoch_ns(c.ts) // 1000) + 3600000000""",
   )
 }

@@ -147,6 +147,29 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** s_stream_join: stream-stream inner join — click→purchase
+    * attribution within 1 hour per user. Both sides carry watermarks
+    * and the join has a time-range condition, so each side's buffered
+    * state is bounded to the band + watermark delay (without the range
+    * condition Spark must buffer one side forever). The canonical
+    * hard streaming operator: state is keyed by user and evicted as
+    * the watermark passes c_ts + 1h.
+    */
+  def clickPurchaseJoin(clicks: DataFrame,
+                        purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Publisher side of the reference (§2.A A7), streaming: JSON-encode
     * the row, AES-encrypt with the DEK, attach attributes carrying the
     * KEK-wrapped DEK and the HMAC signature.
