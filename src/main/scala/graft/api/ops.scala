@@ -62,12 +62,31 @@ object ops {
     * up to 62 are valid. Requires vectors with at least `bits`
     * elements: `slice` truncates silently on shorter vectors, which
     * would collapse the bucket count to 2^dim and void the
-    * prefix-refinement contract — validate dim at the call site.
+    * prefix-refinement contract — so the expression itself enforces
+    * it: a row whose vector is shorter than `bits` fails the query
+    * loudly (`raise_error`) instead of mis-bucketing.
     */
   def signPrefixBlock(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
-    aggregate(slice(vec, 1, bits), lit(0L),
+    val block = aggregate(slice(vec, 1, bits), lit(0L),
       (acc, v) => acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
+    when(size(vec) >= bits, block).otherwise(raise_error(concat(
+      lit(s"signPrefixBlock: vector shorter than $bits dims: size="),
+      size(vec).cast("string"))).cast("long"))
+  }
+
+  /** Deterministic bucket in `[0, buckets)` from the md5 of `id` — the
+    * content-stable hash shared by [[GraftDataFrameOps.withHashSplit]]
+    * and sequence-packing sharding. md5-based on purpose: reproducible
+    * in any engine (the DuckDB oracle re-derives it arithmetically),
+    * unlike xxhash64/sha2 whose integer forms differ cross-engine.
+    * Pure per-row projection.
+    */
+  def md5Bucket(id: Column, buckets: Int): Column = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536] (16 bits of md5), got $buckets")
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets
   }
 
   implicit class GraftDataFrameOps(private val df: DataFrame) {
@@ -97,33 +116,57 @@ object ops {
       * candidates and `common` counts kept tokens only, so the computed
       * jaccard is a lower bound while the cut is active; set maxDf
       * above the corpus max df for exact results.
+      *
+      * `withCutCounts = true` appends `n_cut_tokens` = how many of the
+      * pair's tokens the df-cut removed (d1's + d2's): 0 means the
+      * pair's jaccard is EXACT, > 0 means lower-bound-only — so a
+      * consumer can tell the two apart instead of trusting convention.
+      * Default off, so the 3-column output (and its oracle) is
+      * unchanged.
       */
     def jaccardPairs(id: Column, tokset: Column, block: Column,
                      threshold: Double,
-                     maxDf: Int = Int.MaxValue): DataFrame = {
+                     maxDf: Int = Int.MaxValue,
+                     withCutCounts: Boolean = false): DataFrame = {
       val base = df.select(block.as("blk"), id.as("did"), tokset.as("ts"))
       val sizes = base.select(col("did"), size(col("ts")).as("sz"))
       val tokAll = base.select(col("blk"), col("did"),
         explode(col("ts")).as("tok"))
-      val tok =
-        if (maxDf == Int.MaxValue) tokAll
+      val flagged =
+        if (maxDf == Int.MaxValue) tokAll.withColumn("_cut", lit(false))
         else tokAll
           .withColumn("_df",
             count(lit(1)).over(Window.partitionBy("blk", "tok")))
-          .filter(col("_df") <= maxDf).drop("_df")
+          .withColumn("_cut", col("_df") > maxDf).drop("_df")
+      val tok = flagged.filter(!col("_cut")).drop("_cut")
       val a = tok.select(col("blk"), col("tok"), col("did").as("d1"))
       val b = tok.select(col("blk").as("blk_b"), col("tok").as("tok_b"),
         col("did").as("d2"))
       val common = a.join(b, a("blk") === b("blk_b") &&
           a("tok") === b("tok_b") && a("d1") < b("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-      common
+      val pairs = common
         .join(sizes.select(col("did").as("d1"), col("sz").as("sz1")), "d1")
         .join(sizes.select(col("did").as("d2"), col("sz").as("sz2")), "d2")
         .select(col("d1"), col("d2"),
           round(col("common").cast("double") /
             (col("sz1") + col("sz2") - col("common")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
+      if (!withCutCounts) pairs
+      else {
+        // Per-doc count of df-cut tokens (0 for most docs; tiny frame,
+        // broadcast-joined twice onto the surviving pairs only).
+        val cutPerDoc = flagged.filter(col("_cut"))
+          .groupBy("did").agg(count(lit(1)).as("n_cut"))
+        pairs
+          .join(broadcast(cutPerDoc.select(col("did").as("d1"),
+            col("n_cut").as("_c1"))), Seq("d1"), "left")
+          .join(broadcast(cutPerDoc.select(col("did").as("d2"),
+            col("n_cut").as("_c2"))), Seq("d2"), "left")
+          .select(col("d1"), col("d2"), col("jaccard"),
+            (coalesce(col("_c1"), lit(0L)) + coalesce(col("_c2"), lit(0L)))
+              .as("n_cut_tokens"))
+      }
     }
 
     /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)
@@ -362,9 +405,7 @@ object ops {
       require(cuts.nonEmpty && cuts.last._2 == 100 &&
         cuts.map(_._2) == cuts.map(_._2).sorted,
         "cuts must ascend and end at 100")
-      val bucket =
-        conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100
+      val bucket = md5Bucket(id, 100)
       val assigned = cuts.init.reverse
         .foldLeft(lit(cuts.last._1): Column) {
           case (acc, (name, hi)) => when(bucket < hi, lit(name)).otherwise(acc)

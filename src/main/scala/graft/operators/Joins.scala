@@ -159,15 +159,18 @@ object Joins extends QueryModule {
     * (same-us, earlier-id ROWS frame). Per-cell cost drops to
     * O(n_cell log n_cell); the 25-row result is the same aggregate the
     * enumerating join produced. The per-type count columns need the
-    * type list at plan-build time, so it comes from a tiny distinct
-    * scan (the same driver-side step Spark's own dynamic
-    * `pivot(col)` performs) — a hardcoded list would silently drop
-    * pairs whose earlier event has an unlisted type.
+    * type list at plan-build time, so it is a PARAMETER (`types`) —
+    * plan width scales with the declared domain, so this shape fits
+    * enum-like type columns (≲ a few hundred values; for a
+    * high-cardinality type column, enumerate pairs instead — plan
+    * width cannot be data-independent there). Unlike the dynamic
+    * `pivot(col)`-style distinct+collect this replaces, no extra
+    * full-table scan happens at plan-build time; and unlike a silent
+    * hardcoded list, any event whose type is OUTSIDE the declared
+    * domain fails the query loudly (`raise_error`) instead of being
+    * dropped from the pair counts.
     */
-  val joinInterval: Q = (spark, dir) => {
-    val types = Tables(spark, dir, "events")
-      .select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+  def joinIntervalTyped(types: Seq[String]): Q = (spark, dir) => {
     val bandUs = 3600L * 1000000L
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"),
@@ -188,9 +191,15 @@ object Joins extends QueryModule {
       (sum(is).over(wBand) - sum(is).over(wEq) +
         coalesce(sum(is).over(wTie), lit(0L))).as(s"n_$t")
     }
+    // Domain guard: a type outside `types` has no n_<type> column, so
+    // its pairs-as-earlier-event would silently vanish — fail loudly.
+    val checkedType = when(col("event_type").isInCollection(types),
+      col("event_type")).otherwise(raise_error(concat(
+        lit("joinInterval: event_type outside declared domain: "),
+        col("event_type"))).cast("string"))
     parts.select(col("dup") +: col("event_type") +: nCols: _*)
       .filter(col("dup") === 0)
-      .select(col("event_type").as("event_type2"),
+      .select(checkedType.as("event_type2"),
         explode(map(types.flatMap(t =>
           Seq(lit(t), col(s"n_$t"))): _*)).as(Seq("event_type", "n")))
       .groupBy("event_type", "event_type2")
@@ -198,6 +207,13 @@ object Joins extends QueryModule {
       .filter(col("n_pairs") > 0)
       .orderBy("event_type", "event_type2")
   }
+
+  /** Scored instance of [[joinIntervalTyped]] bound to the testdata's
+    * documented event-type domain (TESTDATA.md; identical at every SF —
+    * the domain guard above would fail the run if that drifted).
+    */
+  val joinInterval: Q = joinIntervalTyped(
+    Seq("click", "error", "purchase", "signup", "view"))
 
   /** Skew-robust salted join on a deliberately hot key: every 'click'
     * event (~1/5 of the table) maps to nation 7, the rest spread over

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Scans extends QueryModule {
 
+  /** Per-session sink path: suffixing the Spark application id keeps
+    * two concurrent harness/bench runs on one machine from overwriting
+    * each other's sink mid-read (fixed names did exactly that).
+    */
+  private def tmpPath(spark: org.apache.spark.sql.SparkSession,
+                      name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${name}_" +
+      spark.sparkContext.applicationId
+
   /** Parquet scan + column pruning: read 3 of 11 lineitem columns. */
   val scanProject: Q = (spark, dir) => {
     Tables(spark, dir, "lineitem")
@@ -41,7 +50,7 @@ object Scans extends QueryModule {
     * against the source selection directly.
     */
   val sinkParquet: Q = (spark, dir) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_parquet"
+    val tmp = tmpPath(spark, "graft_sink_parquet")
     Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"),
@@ -55,7 +64,7 @@ object Scans extends QueryModule {
     * types, so the read schema is the contract.
     */
   val sinkCsv: Q = (spark, dir) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_csv"
+    val tmp = tmpPath(spark, "graft_sink_csv")
     Tables(spark, dir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -67,7 +76,7 @@ object Scans extends QueryModule {
 
   /** JSON-lines sink + source roundtrip with an explicit read schema. */
   val sinkJson: Q = (spark, dir) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_json"
+    val tmp = tmpPath(spark, "graft_sink_json")
     Tables(spark, dir, "customer")
       .filter(col("c_acctbal") > 0)
       .select(col("c_custkey"), col("c_mktsegment"),
@@ -85,7 +94,7 @@ object Scans extends QueryModule {
     * needed, unlike the text formats).
     */
   val sinkOrc: Q = (spark, dir) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orc"
+    val tmp = tmpPath(spark, "graft_sink_orc")
     Tables(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         Norm.r4(col("s_acctbal")).as("acctbal"))
@@ -100,7 +109,7 @@ object Scans extends QueryModule {
     * predicate lands in PartitionFilters (not post-scan).
     */
   val scanPartitioned: Q = (spark, dir) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    val tmp = tmpPath(spark, "graft_part_orders")
     Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         Norm.r4(col("o_totalprice")).as("totalprice"), col("o_orderstatus"))

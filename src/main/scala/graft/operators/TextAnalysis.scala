@@ -23,10 +23,6 @@ object TextAnalysis extends QueryModule {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("term"))
-
   /** Global term counts (explode + hash-agg). */
   val textTokenize: Q = (spark, dir) => {
     import graft.api.ops._
@@ -185,28 +181,47 @@ object TextAnalysis extends QueryModule {
   }
 
   /** Token-budget sequence packing (chunked greedy): docs are packed
-    * in doc_id order per language into 512-token sequences by their
-    * cumulative token end position — the deterministic relational
+    * in doc_id order per (language, shard) into 512-token sequences by
+    * their cumulative token end position — the deterministic relational
     * formulation of training-sequence packing (a stateful greedy
     * packer is order-dependent; the cumsum rule is pure window
     * algebra, one shuffle per partition key). Output: per-pack
-    * occupancy. At 100 TB, partition by (lang, shard) to bound the
-    * window partitions.
+    * occupancy.
+    *
+    * The shard key is what makes the window scale: partitioned by
+    * `lang` alone, one reducer per language runs the whole corpus
+    * cumsum — 5 partitions at ANY data size. The deterministic
+    * md5-bucket shard of doc_id ([[graft.api.ops.md5Bucket]], the same
+    * cross-engine-reproducible hash as the train/val/test split) cuts
+    * each language into `shards` independent window partitions; grow
+    * `shards` with the corpus (rows per (lang, shard) is what must fit
+    * a reducer). Packing is then per (lang, shard) — the standard
+    * trade in distributed sequence packing: global-order packing is
+    * inherently sequential, sharded packing costs at most one
+    * underfilled tail pack per shard and parallelizes freely.
     */
-  val packSequences: Q = (spark, dir) => {
+  def packSequencesSharded(shards: Int): Q = (spark, dir) => {
+    import graft.api.ops._
     val budget = 512L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .select(col("lang"), col("doc_id"), col("n_tokens"),
+      .withColumn("shard", md5Bucket(col("doc_id"), shards))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
         sum("n_tokens").over(w).as("cum"))
       .withColumn("pack_id", floor((col("cum") - 1) / budget))
-      .groupBy("lang", "pack_id")
+      .groupBy("lang", "shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens_total"))
-      .orderBy("lang", "pack_id")
+      .orderBy("lang", "shard", "pack_id")
   }
+
+  /** Scored instance: 4 shards (sf0.01 has 500 docs ⇒ ~25 docs per
+    * (lang, shard) — enough to exercise multi-pack shards while the
+    * DuckDB twin re-derives the identical md5 buckets).
+    */
+  val packSequences: Q = packSequencesSharded(4)
 
   val queries: Map[String, Q] = Map(
     "q_text_repetition" -> textRepetition,
@@ -250,21 +265,31 @@ object TextAnalysis extends QueryModule {
       FROM base b LEFT JOIN topbi USING (doc_id)
       ORDER BY doc_id""",
     "q_pack_sequences" -> """
-      WITH t AS (
+      WITH h AS (
         SELECT lang, doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
         FROM documents),
-      c AS (
+      t AS (
         SELECT lang, doc_id, n_tokens,
-               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 4
+                 AS shard
+        FROM h),
+      c AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t)
-      SELECT lang, CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+      SELECT lang, CAST(shard AS BIGINT) AS shard,
+             CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
                AS n_tokens_total
       FROM c
-      GROUP BY 1, 2
-      ORDER BY lang, pack_id""",
+      GROUP BY 1, 2, 3
+      ORDER BY lang, shard, pack_id""",
     "q_sample_hash_split" -> """
       WITH h AS (
         SELECT lang, n_chars,
