@@ -63,6 +63,43 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 0.6) < 1e-9)
   }
 
+  test("jaccardPairs withCutCounts tells exact from lower-bound pairs") {
+    import spark.implicits._
+    // Same planted-hot-token corpus as above: under the df cut, the
+    // surviving dup pair's jaccard is a LOWER BOUND (the shared hot
+    // token was cut from both docs) — n_cut_tokens = 2 says so; with
+    // no cut active the same pair reports 0 (exact).
+    val docs = (1L to 50L).map(i => (i, "b", Seq("the", s"u$i", s"v$i"))) ++
+      Seq((100L, "b", Seq("the", "x", "y", "z")),
+          (101L, "b", Seq("the", "x", "y", "z")))
+    val df = docs.toDF("id", "blk", "toks")
+    val cut = df.jaccardPairs(col("id"), col("toks"), col("blk"),
+      threshold = 0.5, maxDf = 10, withCutCounts = true).collect()
+    assert(cut.length === 1)
+    assert(cut.head.getAs[Long]("n_cut_tokens") === 2L)
+    val exact = df.jaccardPairs(col("id"), col("toks"), col("blk"),
+      threshold = 0.5, withCutCounts = true).collect()
+    assert(exact.length === 1)
+    assert(exact.head.getAs[Long]("n_cut_tokens") === 0L)
+    assert(math.abs(exact.head.getAs[Double]("jaccard") - 1.0) < 1e-9)
+  }
+
+  test("packSequencesSharded partition count scales with the shard count") {
+    import org.apache.spark.sql.functions.sum
+    // The round-3 scale flag: a lang-only window packs the whole corpus
+    // on one reducer per language. Sharding must multiply the window
+    // partition count while preserving the packed totals exactly.
+    val p1 = graft.operators.TextAnalysis.packSequencesSharded(1)(spark, sfDir)
+    val p4 = graft.operators.TextAnalysis.packSequencesSharded(4)(spark, sfDir)
+    val g1 = p1.select("lang", "shard").distinct().count()
+    val g4 = p4.select("lang", "shard").distinct().count()
+    assert(g1 > 0 && g4 > g1 && g4 <= g1 * 4,
+      s"window partitions: 1 shard -> $g1 groups, 4 shards -> $g4")
+    val t1 = p1.agg(sum("n_docs"), sum("n_tokens_total")).head
+    val t4 = p4.agg(sum("n_docs"), sum("n_tokens_total")).head
+    assert(t1 === t4, "sharding must not change what gets packed")
+  }
+
   test("simhash64 + simhashPairs pairs identical token sets at hamming 0") {
     import spark.implicits._
     val df = Seq(

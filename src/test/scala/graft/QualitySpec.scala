@@ -131,6 +131,39 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe recall curve is monotone over probes in {0, 1, 2, 4}") {
+    // Documents the recall lever: each extra probe only ADDS candidate
+    // buckets, so hits against the brute-force top-3 ground truth are
+    // monotone non-decreasing in the probe count (probes=0 ≡ single-
+    // probe LSH). The production tuning story in one assertion.
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = top3(e.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(graft.api.ops.cosineSim(col("emb"), col("qv"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+    assert(brute.nonEmpty)
+    val curve = Seq(0, 1, 2, 4).map { p =>
+      val got = top3(
+        operators.Similarity.annLshMultiProbe(spark, sfDir, 8, p))
+      p -> brute.keys.toSeq
+        .map(k => (brute(k) & got.getOrElse(k, Set.empty[Long])).size).sum
+    }
+    curve.sliding(2).foreach { case Seq((pLo, hLo), (pHi, hHi)) =>
+      assert(hHi >= hLo,
+        s"recall dropped: probes=$pLo hits=$hLo -> probes=$pHi hits=$hHi")
+    }
+  }
+
   test("ann sign-LSH buckets refine as planes grow (nested prefix planes)") {
     import graft.api.ops._
     // lshPlanes(8) is a prefix of lshPlanes(12) (same seed), and

@@ -136,6 +136,42 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(seen((7L, 2L)) - 3.0) < 1e-9)
   }
 
+  test("watermark bounds dedup state: evictions + late-drop show in metrics") {
+    // Pins the scale claim "the watermark caps state size" with the
+    // engine's own state-store metrics instead of a comment: ids whose
+    // eviction time passed the watermark leave the store
+    // (numRowsRemoved), late rows never enter it
+    // (numRowsDroppedByWatermark), and the final store holds fewer
+    // rows than the distinct ids fed.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = Streams.streamingDedup(in.toDF).writeStream.format("memory")
+      .queryName("statemetrics").outputMode("append").start()
+    try {
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, t("2024-01-01 10:01:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // Advances the watermark to 11:50 → ids 1, 2 become evictable.
+      in.addData(Ev(3, t("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // 105 min behind the watermark → dropped before the state store.
+      in.addData(Ev(5, t("2024-01-01 10:05:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, t("2024-01-01 14:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progs.nonEmpty)
+      val removed = progs.map(_.stateOperators.head.numRowsRemoved).sum
+      val lateDropped =
+        progs.map(_.stateOperators.head.numRowsDroppedByWatermark).sum
+      val finalTotal = progs.last.stateOperators.head.numRowsTotal
+      assert(removed >= 2, s"expected watermark eviction, removed=$removed")
+      assert(lateDropped >= 1, s"late row not dropped, dropped=$lateDropped")
+      assert(finalTotal < 4, s"state holds all ids, total=$finalTotal")
+    } finally q.stop()
+  }
+
   test("s_decrypt_pipeline decrypts, verifies, and window-counts a stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
