@@ -89,6 +89,33 @@ object ops {
       .cast("long") % buckets
   }
 
+  /** Deterministic IVF coarse-quantizer anchors: `k` unit-normalized
+    * pseudo-random `dim`-vectors from a seeded PRNG. The alternative
+    * ANN index shape to sign-LSH ([[lshPlanes]]): anchors carve the
+    * sphere into k Voronoi cells (by max cosine), each vector lives in
+    * exactly ONE cell, and a query probes only the `nProbe` cells
+    * whose anchors are most similar to it. Grow `k` with the corpus
+    * (≈ n / targetCellSize) and `nProbe` for recall — the two knobs
+    * are independent, like planes vs probes in multi-probe LSH.
+    *
+    * Seeded random anchors are the untrained baseline quantizer. For
+    * a TRAINED one, run Lloyd iterations caller-side — assign with
+    * [[GraftDataFrameOps.withIvfCell]], re-center with
+    * [[GraftDataFrameOps.centroidPerKey]], feed the refined anchors
+    * back in — so the index/search plans here stay pure (zero
+    * driver-side actions in this API; training owns its own k×dim
+    * collect, the same bounded driver state MLlib's KMeans keeps).
+    */
+  def ivfAnchors(k: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k) {
+      val v = Seq.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
   implicit class GraftDataFrameOps(private val df: DataFrame) {
 
     // ───────────────────────── dedup ─────────────────────────
@@ -299,6 +326,28 @@ object ops {
         .reduce(_ + _))
     }
 
+    /** IVF cell id for a numeric array column: index of the
+      * max-cosine anchor from [[ivfAnchors]] (ties → smallest index).
+      * Every vector lands in exactly one of the k Voronoi cells; ANN
+      * search compares only within the probed cells. Per-row cost is
+      * k native `cosine_sim` kernels over literal anchors — no
+      * explode, no shuffle.
+      */
+    def withIvfCell(vec: Column, anchors: Seq[Seq[Double]],
+                    out: String = "cell"): DataFrame = {
+      val aLit = typedLit(anchors)
+      val v = transform(vec, _.cast("double"))
+      // Struct max is lexicographic: max sim first, then max negi =
+      // SMALLEST anchor index — the same tie-break direction the
+      // probe ranking in annIvf uses, so a query always probes its
+      // own cell.
+      val scored = array(anchors.indices.map(i =>
+        struct(cosineSim(v, aLit.getItem(i)).as("sim"),
+          lit(-i).as("negi"))): _*)
+      df.withColumn(out,
+        (-array_max(scored).getField("negi")).cast("int"))
+    }
+
     /** Elementwise mean vector per key via the typed Aggregator UDAF.
       * Output: (key, centroid: array<double>).
       */
@@ -412,6 +461,63 @@ object ops {
         }
       df.withColumn(out, assigned)
     }
+
+    // ───────────────── mutations (copy-on-write) ─────────────────
+
+    /** MERGE INTO (upsert) expressed copy-on-write — the Spark-first
+      * formulation of a mutable table over an immutable columnar lake,
+      * and exactly what Delta/Iceberg COW MERGE lowers to: one
+      * equi-join of target and source on the merge key, matched rows
+      * take every source column, unmatched-by-target source rows
+      * insert, unmatched-by-source target rows carry over; the caller
+      * writes the result as the new snapshot. Semantics: WHEN MATCHED
+      * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *.
+      *
+      * Scale: a plain key equi-join — broadcast when the source is
+      * change-set-sized (AQE decides), sort-merge when both sides are
+      * big. At 100 TB, join the source's touched partition values
+      * first and rewrite ONLY those partitions (dynamic partition
+      * overwrite); the merge plan itself is unchanged. Source keys
+      * must be unique (standard MERGE precondition — duplicate source
+      * keys make the update non-deterministic).
+      */
+    def mergeUpsert(source: DataFrame, key: String): DataFrame = {
+      val cols = df.columns.toSeq
+      require(source.columns.toSeq.sorted == cols.sorted,
+        s"mergeUpsert: schemas differ (target=${cols.sorted
+          .mkString(",")} source=${source.columns.sorted.mkString(",")})")
+      val t = df.select(cols.map(c => col(c).as(s"t_$c")): _*)
+      val s = source.select(cols.map(c => col(c).as(s"s_$c")): _*)
+      // Source key is never NULL in a source row, so its nullness IS
+      // the matched/insert flag (coalesce alone would mis-handle
+      // legitimate NULL source values in non-key columns).
+      val matched = col(s"s_$key").isNotNull
+      t.join(s, col(s"t_$key") === col(s"s_$key"), "full_outer")
+        .select(cols.map(c =>
+          when(matched, col(s"s_$c")).otherwise(col(s"t_$c")).as(c)): _*)
+    }
+
+    /** UPDATE ... SET ... WHERE as a pure projection (copy-on-write):
+      * rows satisfying `cond` take the `set` expressions, every other
+      * row (including NULL-cond rows, per SQL) passes through. No
+      * shuffle — at scale this is a partition-local rewrite.
+      */
+    def updateWhere(cond: Column, set: Map[String, Column]): DataFrame = {
+      val unknown = set.keySet -- df.columns.toSet
+      require(unknown.isEmpty, s"updateWhere: no such columns $unknown")
+      val hit = coalesce(cond, lit(false))
+      df.select(df.columns.toSeq.map { c =>
+        set.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+
+    /** DELETE ... WHERE as a retain-filter (copy-on-write). SQL DELETE
+      * removes rows where `cond` IS TRUE — rows where it evaluates to
+      * NULL are KEPT, which a naive `filter(!cond)` would drop.
+      */
+    def deleteWhere(cond: Column): DataFrame =
+      df.filter(!coalesce(cond, lit(false)))
 
     // ──────────────────────── skew tools ────────────────────────
 

@@ -167,6 +167,52 @@ object Similarity extends QueryModule {
   val simAnnMultiProbe: Q = (spark, dir) =>
     annLshMultiProbe(spark, dir, numPlanes = 8, probes = 2)
 
+  /** IVF ANN — the OTHER classic index shape beside sign-LSH (the
+    * builder brief names both): k seeded unit anchors carve the
+    * sphere into Voronoi cells by max cosine
+    * ([[graft.api.ops.ivfAnchors]]/`withIvfCell`), every vector lives
+    * in exactly one cell (no index duplication), and each query
+    * compares only within its `nProbe` most-similar anchor cells.
+    * Candidate volume ≈ nProbe/k of the corpus per query; grow k with
+    * the corpus for bounded cells and nProbe for recall —
+    * independent knobs, exactly like planes vs probes in
+    * multi-probe LSH. Anchors here are the untrained baseline
+    * quantizer; a Lloyd-trained one plugs into the same two calls
+    * (see ivfAnchors doc). No oracle — QualitySpec pins cell
+    * exhaustiveness, the self-hit, and nProbe-monotone recall vs
+    * brute force.
+    */
+  def annIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+             k: Int, nProbe: Int): DataFrame = {
+    import graft.api.ops._
+    require(nProbe >= 1 && nProbe <= k,
+      s"nProbe must be in [1, $k], got $nProbe")
+    val anchors = ivfAnchors(k, dim = 64)
+    val aLit = typedLit(anchors)
+    val e = emb(spark, dir).withIvfCell(col("emb"), anchors)
+    // Rank anchors per query by (sim desc, index asc) — the same
+    // tie-break as the cell assignment — and probe the top nProbe.
+    val ranked = array(anchors.indices.map(i =>
+      struct((-cosine(col("qv"), aLit.getItem(i))).as("negsim"),
+        lit(i).as("i"))): _*)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(transform(slice(array_sort(ranked), 1, nProbe),
+          f => f.getField("i").cast("int"))).as("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(queries, "cell")
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** Scored entry: 16 cells, 2 probes — sized to this corpus. */
+  val simAnnIvf: Q = (spark, dir) => annIvf(spark, dir, k = 16, nProbe = 2)
+
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).
     */
@@ -187,6 +233,7 @@ object Similarity extends QueryModule {
     "q_centroid_per_label" -> centroidPerLabel,
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
+    "q_sim_ann_ivf" -> simAnnIvf,
     "q_multimodal_join" -> multimodalJoin,
   )
 

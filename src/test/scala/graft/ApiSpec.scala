@@ -213,6 +213,37 @@ class ApiSpec extends SparkSpec {
       plain.groupBy("k").count().orderBy("k").collect().toSeq)
   }
 
+  test("mergeUpsert updates matched, inserts new, keeps untouched rows") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    // Update k=2 (with a legit NULL value — must NOT fall back to the
+    // target's 20), insert k=9.
+    val source = Seq((2L, "B", Option.empty[Long]), (9L, "n", Some(90L)))
+      .toDF("k", "s", "v")
+    val out = target.mergeUpsert(source, "k").orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L))
+    val r2 = out(1)
+    assert(r2.getString(1) === "B" && r2.isNullAt(2),
+      "matched row must take ALL source columns, including NULLs")
+    assert(out(0).getString(1) === "a" && out(2).getString(1) === "c")
+    assert(out(3).getString(1) === "n" && out(3).getLong(2) === 90L)
+  }
+
+  test("updateWhere / deleteWhere follow SQL NULL-condition semantics") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x"), 10L), (2L, None, 20L), (3L, Some("y"), 30L))
+      .toDF("k", "tag", "v")
+    // tag = 'x' is NULL for k=2: UPDATE must leave it unchanged,
+    // DELETE must keep it.
+    val upd = df.updateWhere(col("tag") === "x", Map("v" -> lit(99L)))
+      .orderBy("k").collect()
+    assert(upd.map(_.getLong(2)).toSeq === Seq(99L, 20L, 30L))
+    val del = df.deleteWhere(col("tag") === "x").orderBy("k").collect()
+    assert(del.map(_.getLong(0)).toSeq === Seq(2L, 3L),
+      "NULL-condition rows are kept by SQL DELETE")
+  }
+
   test("sealEnvelope verifies when the frame already has a value column") {
     import spark.implicits._
     // Regression: the payload expression reads `value`; the seal must

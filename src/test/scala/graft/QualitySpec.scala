@@ -164,6 +164,56 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_sim_ann_ivf: cells exhaustive, self-hit at rank 1, recall " +
+      "monotone in nProbe") {
+    import graft.api.ops._
+    // Cell assignment is a total function into [0, k).
+    val anchors = ivfAnchors(16, 64)
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val cells = e.withIvfCell(col("emb"), anchors)
+    assert(cells.count() === e.count())
+    val range = cells.select("cell").distinct().collect()
+      .map(_.getInt(0))
+    assert(range.forall(c => c >= 0 && c < 16), range.mkString(","))
+    // A query always probes its own cell (consistent tie-break), so
+    // rank-1 is the query itself at any nProbe.
+    val r1 = operators.Similarity.annIvf(spark, sfDir, 16, 1)
+      .filter(col("rank") === 1).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-3)
+    }
+    // More probes only add candidate cells: hits against brute-force
+    // top-3 ground truth are monotone non-decreasing in nProbe.
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = top3(e.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(graft.api.ops.cosineSim(col("emb"), col("qv"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+    val curve = Seq(1, 2, 4, 16).map { p =>
+      val got = top3(operators.Similarity.annIvf(spark, sfDir, 16, p))
+      p -> brute.keys.toSeq
+        .map(k => (brute(k) & got.getOrElse(k, Set.empty[Long])).size).sum
+    }
+    curve.sliding(2).foreach { case Seq((pLo, hLo), (pHi, hHi)) =>
+      assert(hHi >= hLo,
+        s"IVF recall dropped: nProbe=$pLo hits=$hLo -> nProbe=$pHi hits=$hHi")
+    }
+    // nProbe = k probes every cell — recall is exactly brute force.
+    assert(curve.last._2 === brute.values.map(_.size).sum,
+      "full probe must equal brute-force top-3")
+  }
+
   test("ann sign-LSH buckets refine as planes grow (nested prefix planes)") {
     import graft.api.ops._
     // lshPlanes(8) is a prefix of lshPlanes(12) (same seed), and
