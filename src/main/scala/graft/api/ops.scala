@@ -64,15 +64,19 @@ object ops {
     * would collapse the bucket count to 2^dim and void the
     * prefix-refinement contract — so the expression itself enforces
     * it: a row whose vector is shorter than `bits` fails the query
-    * loudly (`raise_error`) instead of mis-bucketing.
+    * loudly (`raise_error`) instead of mis-bucketing. A NULL vector is
+    * NOT an error: it propagates to a NULL block id (standard SQL
+    * null semantics), matching every other per-row function here.
     */
   def signPrefixBlock(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     val block = aggregate(slice(vec, 1, bits), lit(0L),
       (acc, v) => acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
-    when(size(vec) >= bits, block).otherwise(raise_error(concat(
-      lit(s"signPrefixBlock: vector shorter than $bits dims: size="),
-      size(vec).cast("string"))).cast("long"))
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) >= bits, block)
+      .otherwise(raise_error(concat(
+        lit(s"signPrefixBlock: vector shorter than $bits dims: size="),
+        size(vec).cast("string"))).cast("long"))
   }
 
   /** Deterministic bucket in `[0, buckets)` from the md5 of `id` — the
@@ -487,10 +491,19 @@ object ops {
         s"mergeUpsert: schemas differ (target=${cols.sorted
           .mkString(",")} source=${source.columns.sorted.mkString(",")})")
       val t = df.select(cols.map(c => col(c).as(s"t_$c")): _*)
-      val s = source.select(cols.map(c => col(c).as(s"s_$c")): _*)
-      // Source key is never NULL in a source row, so its nullness IS
-      // the matched/insert flag (coalesce alone would mis-handle
-      // legitimate NULL source values in non-key columns).
+      // Source key nullness IS the matched/insert flag after the full
+      // outer join (coalesce alone would mis-handle legitimate NULL
+      // source values in non-key columns) — so a NULL key in an actual
+      // source row would silently become an all-NULL output row. Guard
+      // loudly in-plan: a driver-side require can't see row data.
+      val s = source.select(cols.map { c =>
+        val e =
+          if (c == key)
+            when(col(c).isNotNull, col(c)).otherwise(raise_error(
+              lit(s"mergeUpsert: NULL merge key '$key' in source row")))
+          else col(c)
+        e.as(s"s_$c")
+      }: _*)
       val matched = col(s"s_$key").isNotNull
       t.join(s, col(s"t_$key") === col(s"s_$key"), "full_outer")
         .select(cols.map(c =>

@@ -35,10 +35,14 @@ object Mutations extends QueryModule {
 
   /** MERGE INTO: the change set is derived from the table itself so
     * the oracle can re-derive it — a 10% price bump for every 10th
-    * customer's orders (updates, status → 'U') plus brand-new rows
-    * keyed above the existing range for every 100th customer
-    * (inserts, status → 'N'). WHEN MATCHED UPDATE *, WHEN NOT MATCHED
-    * INSERT *.
+    * customer's orders (updates, status → 'U') plus brand-new rows for
+    * every 100th customer (inserts, status → 'N'). Insert keys are the
+    * NEGATED orderkeys: orderkeys are positive at every SF, so the
+    * negative keyspace is disjoint from live keys by construction (a
+    * fixed additive offset would collide once keys exceed it, silently
+    * violating mergeUpsert's source-key-uniqueness precondition while
+    * the oracle drifted identically). WHEN MATCHED UPDATE *, WHEN NOT
+    * MATCHED INSERT *.
     */
   val mergeUpsert: Q = (spark, dir) => {
     import graft.api.ops._
@@ -47,7 +51,7 @@ object Mutations extends QueryModule {
       .withColumn("price_cents", expr("price_cents * 11 div 10"))
       .withColumn("o_orderstatus", lit("U"))
     val inserts = t.filter(col("o_custkey") % 100 === 7)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderkey", -col("o_orderkey"))
       .withColumn("o_orderstatus", lit("N"))
     t.mergeUpsert(updates.unionByName(inserts), "o_orderkey")
       .orderBy("o_orderkey")
@@ -84,7 +88,7 @@ object Mutations extends QueryModule {
                (price_cents * 11) // 10 AS price_cents
         FROM t WHERE o_custkey % 10 = 0
         UNION ALL
-        SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+        SELECT -o_orderkey, o_custkey, 'N' AS o_orderstatus,
                price_cents
         FROM t WHERE o_custkey % 100 = 7)
       SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,

@@ -16,14 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Scans extends QueryModule {
 
-  /** Per-session sink path: suffixing the Spark application id keeps
+  /** Per-session sink root: suffixing the Spark application id keeps
     * two concurrent harness/bench runs on one machine from overwriting
-    * each other's sink mid-read (fixed names did exactly that).
+    * each other's sink mid-read (fixed names did exactly that). All
+    * sinks for one app live under a single root that a JVM shutdown
+    * hook deletes, so repeated bench/verify rounds don't accumulate
+    * dead per-app dirs in java.io.tmpdir.
     */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => try java.nio.file.Files.delete(p)
+          catch { case _: java.io.IOException => () })
+    }
+
   private def tmpPath(spark: org.apache.spark.sql.SparkSession,
-                      name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${name}_" +
-      spark.sparkContext.applicationId
+                      name: String): String = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sinks_${spark.sparkContext.applicationId}")
+    if (cleanupRegistered.add(root.toString))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(root)))
+    root.resolve(name).toString
+  }
 
   /** Parquet scan + column pruning: read 3 of 11 lineitem columns. */
   val scanProject: Q = (spark, dir) => {

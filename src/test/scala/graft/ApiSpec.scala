@@ -230,6 +230,32 @@ class ApiSpec extends SparkSpec {
     assert(out(3).getString(1) === "n" && out(3).getLong(2) === 90L)
   }
 
+  test("mergeUpsert fails loudly on a NULL merge key in the source") {
+    import spark.implicits._
+    val target = Seq((1L, 10L)).toDF("k", "v")
+    val source = Seq((Some(2L), 20L), (Option.empty[Long], 99L)).toDF("k", "v")
+    // Without the in-plan guard the NULL-key row would be unmatched on
+    // both join sides and silently emit an all-NULL output row.
+    val ex = intercept[Exception] {
+      target.mergeUpsert(source, "k").collect()
+    }
+    assert(ex.getMessage.contains("NULL merge key"))
+  }
+
+  test("signPrefixBlock: NULL vector -> NULL block; short vector raises") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(1.0, -2.0, 3.0, 4.0))), (2L, None))
+      .toDF("id", "emb")
+    val out = df.select(col("id"), signPrefixBlock(col("emb"), 4).as("blk"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 0xBL) // signs + - + + = 1011
+    assert(out(1).isNullAt(1), "NULL vector must propagate, not raise")
+    val ex = intercept[Exception] {
+      df.na.drop().select(signPrefixBlock(col("emb"), 8)).collect()
+    }
+    assert(ex.getMessage.contains("shorter than 8 dims"))
+  }
+
   test("updateWhere / deleteWhere follow SQL NULL-condition semantics") {
     import spark.implicits._
     val df = Seq((1L, Some("x"), 10L), (2L, None, 20L), (3L, Some("y"), 30L))
