@@ -200,6 +200,56 @@ object ops {
       }
     }
 
+    /** Connected components over an undirected pair list (`a`, `b`) —
+      * the step that turns near-dup PAIRS into dedup CLUSTERS so a
+      * pipeline can keep exactly one canonical doc per cluster
+      * (pairwise keep/discard alone over-deletes chains: a~b, b~c
+      * must keep ONE of {a,b,c}, not drop both b and c). Output:
+      * (id, comp) for every vertex in the pair list, comp = MIN id
+      * reachable — so `comp` is a stable canonical representative.
+      *
+      * Algorithm: iterative min-label propagation (the Pregel pattern
+      * GraphX uses): labels(v) ← min over N(v) ∪ {v}; labels only
+      * decrease, fixpoint = componentwise min. Each round is one
+      * shuffle join (edges ⋈ labels on vertex id) + one hash agg on
+      * the same key, so rounds are cheap and AQE-planned; rounds
+      * needed = graph diameter, which for near-dup clusters is tiny
+      * (dup clusters are dense). For adversarial long-path graphs
+      * swap in alternating large-star/small-star contraction
+      * (O(log²n) rounds, same join/agg shape). `localCheckpoint` per
+      * round truncates lineage — without it the iterative plan grows
+      * exponentially. The driver coordinates but never holds data:
+      * its only per-round action is an `isEmpty` convergence probe.
+      * Raises if not converged within `maxIter` — an unconverged
+      * labeling silently merges/splits clusters, so fail loudly.
+      */
+    def connectedComponents(a: String, b: String,
+                            maxIter: Int = 25): DataFrame = {
+      val edges = df.select(col(a).as("s"), col(b).as("t"))
+        .unionByName(df.select(col(b).as("s"), col(a).as("t")))
+        .distinct().localCheckpoint()
+      var labels = edges.select(col("s").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint()
+      var it = 0
+      var done = false
+      while (!done && it < maxIter) {
+        val next = edges
+          .join(labels.select(col("id").as("t"), col("comp")), "t")
+          .select(col("s").as("id"), col("comp"))
+          .unionByName(labels)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint()
+        done = next
+          .join(labels.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty
+        labels = next
+        it += 1
+      }
+      require(done,
+        s"connectedComponents: not converged after $maxIter iterations")
+      labels
+    }
+
     /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)
       * output). A row is a dup iff some banded-LSH candidate with a
       * smaller id verifies at exact token-set Jaccard ≥ `threshold`
@@ -531,6 +581,69 @@ object ops {
       */
     def deleteWhere(cond: Column): DataFrame =
       df.filter(!coalesce(cond, lit(false)))
+
+    /** Type-2 slowly-changing-dimension merge (the standard warehouse
+      * history-keeping MERGE): `df` is the dimension snapshot carrying
+      * (`key`, attributes…, `valid_from`, `valid_to`, `is_current`);
+      * `changes` carries (`key`, attributes…, `tsCol`). Per change
+      * row: a new key inserts an open version; a matched key whose
+      * attributes differ (NULL-safe compare) closes the current
+      * version at the change timestamp and inserts the new open one; a
+      * matched key with identical attributes is a no-op. History rows
+      * (`is_current = false`) pass through untouched.
+      *
+      * Preconditions, guarded like [[mergeUpsert]]: at most one change
+      * per key per merge (two versions of one key in one batch have no
+      * defined order — run batches in timestamp order); change keys
+      * non-NULL (in-plan raise_error, since a driver require can't see
+      * row data).
+      *
+      * Scale: ONE full-outer equi-join between the CURRENT slice and
+      * the change set (broadcast-able — change sets are deltas), plus
+      * pure filters/unions; the history slice never shuffles. At
+      * 100 TB partition the dimension by is_current (or date) so the
+      * join reads only the current partition.
+      */
+    def scd2Merge(changes: DataFrame, key: String, tsCol: String): DataFrame = {
+      val scd = Seq("valid_from", "valid_to", "is_current")
+      scd.foreach(c => require(df.columns.contains(c),
+        s"scd2Merge: target lacks SCD column '$c'"))
+      val attrs = df.columns.toSeq
+        .filterNot(c => c == key || scd.contains(c))
+      require(changes.columns.toSet == (attrs :+ key :+ tsCol).toSet,
+        s"scd2Merge: change set must carry exactly (key, attrs, ts): " +
+          s"expected ${(attrs :+ key :+ tsCol).sorted.mkString(",")} " +
+          s"got ${changes.columns.sorted.mkString(",")}")
+      val ch = changes.select(
+        when(col(key).isNotNull, col(key)).otherwise(raise_error(
+            lit(s"scd2Merge: NULL key '$key' in change row")))
+          .as(s"_ch_$key") +:
+          col(tsCol).as("_ch_ts") +:
+          attrs.map(a => col(a).as(s"_ch_$a")): _*)
+      val cur = df.filter(col("is_current"))
+      val hist = df.filter(!col("is_current"))
+      val j = cur.join(ch, col(key) === col(s"_ch_$key"), "full_outer")
+      val matched = col(key).isNotNull && col(s"_ch_$key").isNotNull
+      val differs = attrs.map(a => !(col(a) <=> col(s"_ch_$a")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val untouched = j
+        .filter(col(key).isNotNull && (col(s"_ch_$key").isNull || !differs))
+        .select(df.columns.toSeq.map(col): _*)
+      val closed = j.filter(matched && differs)
+        .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
+          col("_ch_ts").cast(df.schema("valid_to").dataType)
+            .as("valid_to") :+ lit(false).as("is_current"): _*)
+        .select(df.columns.toSeq.map(col): _*)
+      val opened = j.filter(col(key).isNull || (matched && differs))
+        .select(col(s"_ch_$key").as(key) +:
+          attrs.map(a => col(s"_ch_$a").as(a)) :+
+          col("_ch_ts").cast(df.schema("valid_from").dataType)
+            .as("valid_from") :+
+          lit(null).cast(df.schema("valid_to").dataType).as("valid_to") :+
+          lit(true).as("is_current"): _*)
+        .select(df.columns.toSeq.map(col): _*)
+      hist.unionByName(untouched).unionByName(closed).unionByName(opened)
+    }
 
     // ──────────────────────── skew tools ────────────────────────
 

@@ -101,12 +101,36 @@ object Dedup extends QueryModule {
   /** Scored entry: bits = 8 to match the DuckDB twin's blocking. */
   val dedupEmbedding: Q = (spark, dir) => embeddingNearDup(spark, dir, 8)
 
+  /** Pairs → CLUSTERS: connected components over the exact Jaccard
+    * ≥ 0.8 pair graph, then every document labeled with its cluster's
+    * canonical (min) doc_id. This is the step every pairwise near-dup
+    * detector above feeds at production scale — without it, chained
+    * dups (a~b, b~c with a≁c) get over- or under-deleted. Isolated
+    * docs are their own component. The DuckDB twin computes the same
+    * fixpoint as a recursive transitive closure (tractable at oracle
+    * SF; the Spark side is the O(diameter)-round distributed form).
+    */
+  val dedupComponents: Q = (spark, dir) => {
+    val pairs = docsWithTokens(spark, dir)
+      .jaccardPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
+    val comp = pairs.connectedComponents("d1", "d2")
+      .withColumnRenamed("id", "doc_id")
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_dedup_components" -> dedupComponents,
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +152,34 @@ object Dedup extends QueryModule {
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8
       ORDER BY d1, d2""",
+    "q_dedup_components" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, source, lang,
+               list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents),
+      p AS (
+        SELECT d1, d2 FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                   AS jaccard
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.lang = b.lang
+               AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      e AS (SELECT d1 AS s, d2 AS t FROM p
+            UNION SELECT d2, d1 FROM p),
+      reach(a, b) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+      comp AS (SELECT a AS doc_id, min(b) AS component
+               FROM reach GROUP BY a)
+      SELECT doc.doc_id,
+             coalesce(c.component, doc.doc_id) AS component,
+             coalesce(c.component, doc.doc_id) = doc.doc_id AS is_canonical
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+      ORDER BY doc.doc_id""",
     "q_dedup_embedding" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -72,9 +72,47 @@ object Mutations extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** SCD2 dimension history: customer as a type-2 dimension (key,
+    * name, mktsegment + validity columns), merged with a change set
+    * derived from the table itself so the oracle re-derives it —
+    * every 10th customer moves segment (→ close + new version), every
+    * 100th+7 arrives as a brand-new negated-key customer (→ insert),
+    * every 20th posts an IDENTICAL row (→ no-op, pinning the NULL-safe
+    * attr compare). 'MOVED' is not a TPC-H segment value, so matched
+    * changes always differ by construction.
+    */
+  val scd2: Q = (spark, dir) => {
+    import graft.api.ops._
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    val src = Tables(spark, dir, "customer")
+    val moved = src.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        lit("MOVED").as("c_mktsegment"),
+        to_date(lit("1998-06-01")).as("ts"))
+    val arrived = src.filter(col("c_custkey") % 100 === 7)
+      .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
+        lit("NEW").as("c_mktsegment"),
+        to_date(lit("1998-06-01")).as("ts"))
+    val noop = src.filter(col("c_custkey") % 20 === 3)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        to_date(lit("1998-06-01")).as("ts"))
+    dim.scd2Merge(moved.unionByName(arrived).unionByName(noop),
+        "c_custkey", "ts")
+      // Dates emit as strings for the oracle compare (repo convention:
+      // pandas reads Spark DATE as date, DuckDB DATE as Timestamp).
+      .withColumn("valid_from", graft.Norm.dstr(col("valid_from")))
+      .withColumn("valid_to", graft.Norm.dstr(col("valid_to")))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> mergeUpsert,
     "q_mutation_update_delete" -> updateDelete,
+    "q_scd2_merge" -> scd2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,5 +152,45 @@ object Mutations extends QueryModule {
       FROM t
       WHERE NOT (o_custkey % 7 = 0)
       ORDER BY o_orderkey""",
+    "q_scd2_merge" -> """
+      WITH dim AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               DATE '1990-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               true AS is_current
+        FROM customer),
+      ch AS (
+        SELECT c_custkey, c_name, 'MOVED' AS c_mktsegment,
+               DATE '1998-06-01' AS ts
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT -c_custkey, c_name, 'NEW', DATE '1998-06-01'
+        FROM customer WHERE c_custkey % 100 = 7
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, DATE '1998-06-01'
+        FROM customer WHERE c_custkey % 20 = 3),
+      j AS (
+        SELECT d.c_custkey AS k, d.c_name AS dn, d.c_mktsegment AS dm,
+               d.valid_from AS vf, c.c_custkey AS ck, c.c_name AS cn,
+               c.c_mktsegment AS cm, c.ts,
+               (d.c_name IS NOT DISTINCT FROM c.c_name AND
+                d.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment) AS same
+        FROM dim d FULL OUTER JOIN ch c ON d.c_custkey = c.c_custkey)
+      SELECT c_custkey, c_name, c_mktsegment,
+             strftime(valid_from, '%Y-%m-%d') AS valid_from,
+             strftime(valid_to, '%Y-%m-%d') AS valid_to,
+             is_current
+      FROM (
+        SELECT k AS c_custkey, dn AS c_name, dm AS c_mktsegment,
+               vf AS valid_from, CAST(NULL AS DATE) AS valid_to,
+               true AS is_current
+        FROM j WHERE k IS NOT NULL AND (ck IS NULL OR same)
+        UNION ALL
+        SELECT k, dn, dm, vf, ts, false
+        FROM j WHERE k IS NOT NULL AND ck IS NOT NULL AND NOT same
+        UNION ALL
+        SELECT ck, cn, cm, ts, CAST(NULL AS DATE), true
+        FROM j WHERE ck IS NOT NULL AND (k IS NULL OR NOT same))
+      ORDER BY c_custkey, valid_from""",
   )
 }

@@ -230,6 +230,20 @@ class ApiSpec extends SparkSpec {
     assert(out(3).getString(1) === "n" && out(3).getLong(2) === 90L)
   }
 
+  test("connectedComponents merges chains to the min id per cluster") {
+    import spark.implicits._
+    // Chain 1-2-3-4 (1~2, 2~3, 3~4 but 1 NOT pairwise-similar to 4),
+    // triangle 10-11-12, separate pair 20-21. A pairwise keep/discard
+    // would mishandle the chain; components must label all of 1..4
+    // with 1.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (21L, 20L)).toDF("d1", "d2")
+    val comp = pairs.connectedComponents("d1", "d2")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("mergeUpsert fails loudly on a NULL merge key in the source") {
     import spark.implicits._
     val target = Seq((1L, 10L)).toDF("k", "v")
@@ -254,6 +268,32 @@ class ApiSpec extends SparkSpec {
       df.na.drop().select(signPrefixBlock(col("emb"), 8)).collect()
     }
     assert(ex.getMessage.contains("shorter than 8 dims"))
+  }
+
+  test("scd2Merge closes changed, inserts new, no-ops identical (NULL-safe)") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, Some("a"), "2020-01-01", Option.empty[String], true),
+      (1L, Some("old"), "2010-01-01", Some("2020-01-01"), false), // history
+      (2L, Some("b"), "2020-01-01", Option.empty[String], true),
+      (3L, Option.empty[String], "2020-01-01", Option.empty[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val ch = Seq(
+      (1L, Some("a2"), "2021-01-01"),   // differs -> close + open
+      (3L, Option.empty[String], "2021-01-01"), // identical (NULL attr) -> no-op
+      (9L, Some("n"), "2021-01-01"))    // new key -> insert
+      .toDF("k", "attr", "ts")
+    val out = dim.scd2Merge(ch, "k", "ts")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2), Option(r.getString(3)), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, Some("old"), "2010-01-01", Some("2020-01-01"), false),
+      (1L, Some("a"), "2020-01-01", Some("2021-01-01"), false),
+      (1L, Some("a2"), "2021-01-01", None, true),
+      (2L, Some("b"), "2020-01-01", None, true),
+      (3L, None, "2020-01-01", None, true),
+      (9L, Some("n"), "2021-01-01", None, true)))
   }
 
   test("updateWhere / deleteWhere follow SQL NULL-condition semantics") {
