@@ -440,6 +440,32 @@ object ops {
         .filter(col("rn") <= k)
     }
 
+    /** Per-document mean token surprisal (nats) under the corpus's own
+      * unigram model — the workhorse LM-quality filter shape (CC-Net
+      * scores documents with a KenLM over a reference corpus; the
+      * unigram self-model is its engine-expressible core): documents of
+      * improbable tokens score high, boilerplate scores low. p(t) =
+      * count(t)/total from one explode + hash-agg; the model joins
+      * back via broadcast (vocab-sized). Output: (doc_id, n_tokens,
+      * surprisal). Mean surprisal is ≥ 0, so tie-proof
+      * [[graft.Norm.r4tie]] rounding applies. Perplexity = exp(x) if a
+      * consumer wants it — monotone, so filters can threshold either.
+      *
+      * Scale: two shuffles (term agg, doc agg) over exploded tokens,
+      * both partial-agg'd; the unigram table is the only broadcast —
+      * cap vocab with a min-count cut if the corpus is web-scale.
+      */
+    def unigramSurprisal(id: Column, tokens: Column): DataFrame = {
+      val tok = df.select(id.as("doc_id"), explode(tokens).as("term"))
+      val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(counts), "term").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.Norm.r4tie(avg(-log(col("cnt").cast("double") /
+            col("total")))).as("surprisal"))
+    }
+
     /** Data-driven language/label ID: build per-label token profiles
       * (top `profileSize` terms by frequency — the "training" step),
       * score every row by distinct-token overlap with each profile,
@@ -514,6 +540,64 @@ object ops {
           case (acc, (name, hi)) => when(bucket < hi, lit(name)).otherwise(acc)
         }
       df.withColumn(out, assigned)
+    }
+
+    /** Stratified hash sampling: keep each row with a per-stratum rate
+      * — the mixture-rebalancing primitive of training-data pipelines
+      * (downweight the over-represented language/source without
+      * touching the rest). Like [[withHashSplit]] it is content-stable
+      * (md5-bucket of `id`), so the SAME rows are kept across runs,
+      * engines, and repartitionings — seeded `sample()` guarantees
+      * none of that — and a row kept at rate r stays kept at every
+      * rate ≥ r (nested samples for ablations). Rate granularity is
+      * 1/`buckets`. Pure projection + filter: no shuffle, pushes into
+      * the scan.
+      */
+    def stratifiedHashSample(id: Column, stratum: Column,
+                             rates: Map[String, Double],
+                             default: Double = 1.0,
+                             buckets: Int = 10000): DataFrame = {
+      (rates.values.toSeq :+ default).foreach(r =>
+        require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
+      val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(default): Column) {
+        case (acc, (k, r)) => when(stratum === lit(k), lit(r)).otherwise(acc)
+      }
+      df.filter(md5Bucket(id, buckets) < rate * buckets)
+    }
+
+    /** Symmetric int8 scalar quantization of an embedding column —
+      * the standard 4× footprint cut before vectors go to an ANN
+      * index (FAISS's SQ8 shape): per-vector scale = max|v|/127,
+      * q_i = round_half_up(v_i/scale) ∈ [-127, 127]. Output:
+      * (vec_id, scale, q_sum, err_l2) — the quantized checksum and
+      * L2 reconstruction error make the lossy step auditable. Pure
+      * per-row fold expressions: no shuffle, no UDF; rounding is
+      * floor(x + 0.5) so both engines agree (Spark round() is HALF_UP,
+      * DuckDB's half-even), and the error fold is a LEFT fold so the
+      * double accumulation order is engine-identical.
+      */
+    def int8Quantize(id: Column, vec: Column): DataFrame = {
+      val v = df.select(id.as("vec_id"), vec.as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127d)
+        .withColumn("q",
+          when(col("scale") === 0,
+            transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + 0.5).cast("long"))))
+      // err_l2 is computed BEFORE the rounded `scale` alias exists:
+      // in one select, `col("scale")` next to an alias also named
+      // `scale` resolves to the lateral alias (the ROUNDED value),
+      // which inflated the reconstruction error ~2x. withColumn
+      // stages keep every reference unambiguous.
+      v.withColumn("q_sum", aggregate(col("q"), lit(0L), (a, x) => a + x))
+        .withColumn("err_l2", graft.Norm.r4tie(sqrt(aggregate(
+          zip_with(col("v"), col("q"),
+            (x, q) => pow(x - q * col("scale"), 2)),
+          lit(0d), (a, x) => a + x))))
+        .select(col("vec_id"),
+          graft.Norm.r4tie(col("scale")).as("scale"),
+          col("q_sum"), col("err_l2"))
     }
 
     // ───────────────── mutations (copy-on-write) ─────────────────

@@ -227,7 +227,19 @@ object Similarity extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Int8 scalar quantization of the embedding table (the footprint
+    * cut before ANN indexing) with per-vector audit columns — see
+    * [[graft.api.ops.GraftDataFrameOps.int8Quantize]].
+    */
+  val embedQuantize: Q = (spark, dir) => {
+    import graft.api.ops._
+    emb(spark, dir)
+      .int8Quantize(col("vec_id"), col("emb"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_blocked_join" -> simBlockedJoin,
     "q_centroid_per_label" -> centroidPerLabel,
@@ -238,6 +250,29 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+            FROM e),
+      q AS (SELECT vec_id, v, scale,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(v,
+                          x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                     END AS qv
+            FROM s)
+      SELECT vec_id,
+             floor(scale * 10000 + 0.5) / 10000 AS scale,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+               (a, x) -> a + x) AS q_sum,
+             floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> pow(v[i] - qv[i] * scale, 2))),
+               (a, x) -> a + x)) * 10000 + 0.5) / 10000 AS err_l2
+      FROM q
+      ORDER BY vec_id""",
     "q_sim_cosine_topk" -> """
       WITH z AS (
         SELECT vec_id,

@@ -223,8 +223,58 @@ object TextAnalysis extends QueryModule {
     */
   val packSequences: Q = packSequencesSharded(4)
 
+  /** CC-Net-style LM quality score: mean token surprisal under the
+    * corpus's own unigram model (see
+    * [[graft.api.ops.GraftDataFrameOps.unigramSurprisal]]).
+    */
+  val textSurprisal: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .unigramSurprisal(col("doc_id"), split(col("text"), " "))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture rebalancing: downsample over-represented languages with
+    * content-stable per-stratum rates (en 25%, de 50%, rest kept) —
+    * same md5 arithmetic as the split, so fully oracle-checkable.
+    */
+  val sampleStratified: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .stratifiedHashSample(col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "de" -> 0.5))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf / vocabulary head: top-50 terms with rank and cumulative
+    * corpus share. The running share is windowed over ONLY the
+    * top-k rows (post TakeOrderedAndProject), so the single-partition
+    * window is k-bounded at any corpus size — never over the vocab.
+    * Cumulative counts are exact longs; the one double division per
+    * row is rounded tie-proof.
+    */
+  val textVocab: Q = (spark, dir) => {
+    val tok = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    counts.orderBy(col("cnt").desc, col("term")).limit(50)
+      .crossJoin(broadcast(total))
+      .select(row_number().over(w).as("rank"), col("term"), col("cnt"),
+        Norm.r4tie(sum(col("cnt"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+            .cast("double") / col("total")).as("cum_share"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_repetition" -> textRepetition,
+    "q_text_unigram_surprisal" -> textSurprisal,
+    "q_sample_stratified" -> sampleStratified,
+    "q_text_vocab" -> textVocab,
     "q_pack_sequences" -> packSequences,
     "q_sample_hash_split" -> sampleHashSplit,
     "q_text_tokenize" -> textTokenize,
@@ -290,6 +340,47 @@ object TextAnalysis extends QueryModule {
       FROM c
       GROUP BY 1, 2, 3
       ORDER BY lang, shard, pack_id""",
+    "q_text_unigram_surprisal" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      t AS (SELECT count(*) AS total FROM tok)
+      SELECT doc_id, count(*) AS n_tokens,
+             floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5)
+               / 10000 AS surprisal
+      FROM tok JOIN c USING (term) CROSS JOIN t
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "q_sample_stratified" -> """
+      WITH b AS (
+        SELECT doc_id, lang,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 10000
+                 AS bucket
+        FROM (SELECT doc_id, lang,
+                     lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+              FROM documents))
+      SELECT doc_id, lang FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 2500
+                               WHEN 'de' THEN 5000
+                               ELSE 10000 END
+      ORDER BY doc_id""",
+    "q_text_vocab" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      t AS (SELECT count(*) AS total FROM tok),
+      top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 50)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+               AS rank,
+             term, cnt,
+             floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / total * 10000 + 0.5) / 10000 AS cum_share
+      FROM top CROSS JOIN t
+      ORDER BY rank""",
     "q_sample_hash_split" -> """
       WITH h AS (
         SELECT lang, n_chars,
