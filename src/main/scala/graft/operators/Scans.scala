@@ -143,6 +143,31 @@ object Scans extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Sorted, range-partitioned lake layout: `repartitionByRange` on
+    * the time column + `sortWithinPartitions` before the write gives
+    * every output file a DISJOINT o_orderdate range, so a time-range
+    * scan prunes to the few overlapping files from parquet footer
+    * min/max alone — the clustering discipline (Z-order's 1-D case)
+    * that makes time-slice queries on a 100 TB fact table read ~1/N
+    * of the files. BucketingSpec asserts the per-file disjointness;
+    * the oracle checks the roundtrip + range read.
+    */
+  val sinkSorted: Q = (spark, dir) => {
+    val tmp = tmpPath(spark, "graft_sink_sorted")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        Norm.r4(col("o_totalprice")).as("totalprice"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate", "o_orderkey")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        Norm.tstr(col("o_orderdate")).as("orderdate"), col("totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
   val filterComplex: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
@@ -177,6 +202,7 @@ object Scans extends QueryModule {
     "q_sink_json" -> sinkJson,
     "q_sink_orc" -> sinkOrc,
     "q_scan_partitioned" -> scanPartitioned,
+    "q_sink_sorted" -> sinkSorted,
     "q_filter_complex" -> filterComplex,
     "q_case_when" -> caseWhen,
   )
@@ -215,6 +241,14 @@ object Scans extends QueryModule {
              o_orderstatus
       FROM orders
       WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey""",
+    "q_sink_sorted" -> """
+      SELECT o_orderkey, o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+             round(o_totalprice, 4) AS totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       ORDER BY o_orderkey""",
     "q_filter_complex" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

@@ -270,8 +270,38 @@ object TextAnalysis extends QueryModule {
       .orderBy("rank")
   }
 
+  /** PII scrubbing — the compliance pass every training corpus runs
+    * before the tokenizer. The synthetic corpus carries no PII, so
+    * the query PLANTS deterministic address/phone strings derived
+    * from doc_id, then redacts them and counts what it scrubbed —
+    * verifying detection AND replacement against known ground truth.
+    * Patterns stay in the Java-regex ∩ RE2 dialect subset (no
+    * backrefs/lookarounds) so the DuckDB twin runs them verbatim.
+    * Pure per-row projection: no shuffle, scales linearly.
+    */
+  val textPiiRedact: Q = (spark, dir) => {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" tel +1 555 010 "),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("txt"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9 ]{6,}[0-9]"
+    planted
+      .withColumn("n_emails", regexp_count(col("txt"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("txt"), lit(phoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).as("redacted_len"),
+        expr("right(redacted, 30)").as("tail"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_repetition" -> textRepetition,
+    "q_text_pii_redact" -> textPiiRedact,
     "q_text_unigram_surprisal" -> textSurprisal,
     "q_sample_stratified" -> sampleStratified,
     "q_text_vocab" -> textVocab,
@@ -340,6 +370,31 @@ object TextAnalysis extends QueryModule {
       FROM c
       GROUP BY 1, 2, 3
       ORDER BY lang, shard, pack_id""",
+    "q_text_pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com' || ' tel +1 555 010 ' ||
+                 lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS txt
+        FROM documents),
+      r AS (
+        SELECT doc_id, txt,
+               regexp_replace(
+                 regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM p)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(txt,
+               '\+[0-9][0-9 ]{6,}[0-9]')) AS INT) AS n_phones,
+             CAST(length(redacted) AS INT) AS redacted_len,
+             right(redacted, 30) AS tail
+      FROM r
+      ORDER BY doc_id""",
     "q_text_unigram_surprisal" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                    FROM documents),

@@ -41,4 +41,35 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("sorted range-partitioned write yields disjoint per-file ranges") {
+    // The q_sink_sorted layout claim: after repartitionByRange +
+    // sortWithinPartitions, each parquet file covers a DISJOINT
+    // o_orderdate interval, so footer min/max prunes a time-range
+    // scan to ~1/N of the files. Verify from the data itself:
+    // per-file [min, max] intervals must not overlap.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sorted_spec").toString
+    try {
+      Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite").parquet(tmp)
+      val ranges = spark.read.parquet(tmp)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(unix_timestamp(col("o_orderdate"))).as("lo"),
+          max(unix_timestamp(col("o_orderdate"))).as("hi"))
+        .orderBy("lo")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(ranges.length > 1, "expected multiple files")
+      ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo,
+          s"file ranges overlap: prev hi=$hi next lo=$lo")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
