@@ -136,6 +136,48 @@ object StreamScored extends QueryModule {
         countDistinct(col("c_user")).as("n_users"))
   }
 
+  /** Stream-stream LEFT OUTER join scored: unconverted clicks emerge
+    * as null-extended rows driven by the WATERMARK (only once no
+    * qualifying purchase can still arrive), the genuinely hard part
+    * of streaming outer joins. The drain relies on the engine's final
+    * no-data micro-batch to advance the watermark past the last
+    * click's expiry and flush the outer rows; the cutoff (clicks
+    * before Jan 28, timeline ends Jan 30) guarantees every kept
+    * click's state provably expires before termination, so the result
+    * equals the batch left-join twin exactly.
+    *
+    * `multipleWatermarkPolicy=max`: the global watermark defaults to
+    * the MIN across inputs, and the click side's max event time is
+    * capped by its own cutoff filter — under `min`, every click in
+    * the last hour before the cutoff would sit in state forever
+    * (verified: 6 rows short). `min` is the safe default when inputs
+    * have independent clocks (a slow stream may still deliver
+    * matches); here both sides replay the SAME event log, so the
+    * faster side's clock is authoritative and `max` is exact, not a
+    * relaxation. Restored after the drain.
+    */
+  val streamJoinLeft: Q = (spark, dir) => {
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "max")
+    try {
+      val joined = Streams.clickPurchaseLeftJoin(
+        Streams.eventsFileStream(spark, dir),
+        Streams.eventsFileStream(spark, dir),
+        cutoff = "2024-01-28 00:00:00")
+        .select("click_id", "purchase_id", "c_user")
+      runToTable(joined, OutputMode.Append(), "graft_stream_join_left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_matched"),
+          sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          countDistinct(col("c_user")).as("n_users"))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Shared body of the two stateful-counter scored queries: feed the
     * events stream with `value` pre-folded to integer cents
     * (floor(v*100+0.5) — integers sum exactly and order-independently
@@ -192,6 +234,7 @@ object StreamScored extends QueryModule {
     "q_stream_watermark" -> streamWatermark,
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_left" -> streamJoinLeft,
     "q_stream_stateful" -> streamStateful,
     "q_stream_stateful_tws" -> streamStatefulTws,
   )
@@ -240,6 +283,22 @@ object StreamScored extends QueryModule {
              count(DISTINCT c.event_id) AS n_clicks_matched,
              count(DISTINCT c.user_id) AS n_users
       FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
+       AND (epoch_ns(p.ts) // 1000) <=
+           (epoch_ns(c.ts) // 1000) + 3600000000""",
+    "q_stream_join_left" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'click'
+                   AND ts < TIMESTAMP '2024-01-28 00:00:00'),
+      p AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase')
+      SELECT count(*) AS n_rows,
+             count(p.event_id) AS n_matched,
+             CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unmatched,
+             count(DISTINCT c.user_id) AS n_users
+      FROM c LEFT JOIN p
         ON c.user_id = p.user_id
        AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
        AND (epoch_ns(p.ts) // 1000) <=

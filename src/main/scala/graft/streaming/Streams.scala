@@ -170,6 +170,37 @@ object Streams {
       col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream LEFT OUTER click→purchase attribution: like
+    * [[clickPurchaseJoin]] but unconverted clicks survive as
+    * null-extended rows — the shape marketing funnels actually need
+    * (conversion rate requires the denominator). Outer results are
+    * emitted by the WATERMARK, not the match: a click's null row
+    * appears only once no qualifying purchase can still arrive
+    * (watermark > c_ts + 1h + delay), which is why both sides carry
+    * watermarks and the join carries the time-range bound — state
+    * stays bounded AND every click eventually resolves. `cutoff`
+    * keeps only clicks old enough that the stream's final watermark
+    * provably expires them (end-of-stream clicks would otherwise sit
+    * unresolved in state and the drained result would under-count
+    * unmatched clicks vs the batch twin).
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                            cutoff: String): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Publisher side of the reference (§2.A A7), streaming: JSON-encode
     * the row, AES-encrypt with the DEK, attach attributes carrying the
     * KEK-wrapped DEK and the HMAC signature.
