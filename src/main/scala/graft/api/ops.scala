@@ -710,23 +710,34 @@ object ops {
       val matched = col(key).isNotNull && col(s"_ch_$key").isNotNull
       val differs = attrs.map(a => !(col(a) <=> col(s"_ch_$a")))
         .reduceOption(_ || _).getOrElse(lit(false))
-      val untouched = j
-        .filter(col(key).isNotNull && (col(s"_ch_$key").isNull || !differs))
-        .select(df.columns.toSeq.map(col): _*)
-      val closed = j.filter(matched && differs)
-        .select(col(key) +: attrs.map(col) :+ col("valid_from") :+
+      // Emit all outcome rows in ONE pass over the join (explode of a
+      // per-row candidate array). Filter-per-outcome + union looks
+      // equivalent but makes Catalyst EXECUTE the join once per
+      // branch (3x join, 6x dimension scan — PlanSpec pins this).
+      val cols = df.columns.toSeq
+      def shaped(f: String => Column): Column =
+        struct(cols.map(c => f(c).as(c)): _*)
+      val targetRow = shaped(col)
+      val closedRow = shaped {
+        case "valid_to" =>
           col("_ch_ts").cast(df.schema("valid_to").dataType)
-            .as("valid_to") :+ lit(false).as("is_current"): _*)
-        .select(df.columns.toSeq.map(col): _*)
-      val opened = j.filter(col(key).isNull || (matched && differs))
-        .select(col(s"_ch_$key").as(key) +:
-          attrs.map(a => col(s"_ch_$a").as(a)) :+
+        case "is_current" => lit(false)
+        case c => col(c)
+      }
+      val openedRow = shaped {
+        case `key` => col(s"_ch_$key")
+        case "valid_from" =>
           col("_ch_ts").cast(df.schema("valid_from").dataType)
-            .as("valid_from") :+
-          lit(null).cast(df.schema("valid_to").dataType).as("valid_to") :+
-          lit(true).as("is_current"): _*)
-        .select(df.columns.toSeq.map(col): _*)
-      hist.unionByName(untouched).unionByName(closed).unionByName(opened)
+        case "valid_to" => lit(null).cast(df.schema("valid_to").dataType)
+        case "is_current" => lit(true)
+        case a => col(s"_ch_$a")
+      }
+      val emitted =
+        when(matched && differs, array(closedRow, openedRow))
+          .when(col(key).isNotNull, array(targetRow)) // untouched / no-op
+          .otherwise(array(openedRow))                // brand-new key
+      hist.unionByName(
+        j.select(explode(emitted).as("_r")).select(col("_r.*")))
     }
 
     // ──────────────────────── skew tools ────────────────────────

@@ -161,4 +161,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_scd2_merge is ONE join; history never joins") {
+    // The SCD2 contract at scale: one full-outer equi-join between the
+    // current slice and the change set. A second join operator would
+    // mean the history slice (the 100 TB part) entered a join path.
+    val p = plan("q_scd2_merge")
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(countOcc(p, _)).sum
+    assert(joins === 1, s"expected exactly 1 join operator:\n$p")
+  }
+
+  test("q_sample_stratified stays a scan-side filter: no shuffle, no join") {
+    // Stratified hash sampling must remain a pure projection+filter:
+    // one scan, zero exchanges before the oracle's final sort.
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Join"), p)
+    val beforeSort = p.substring(0, math.max(p.indexOf("Sort"), 0))
+    assert(!beforeSort.contains("Exchange") ||
+      beforeSort.indexOf("Exchange") > beforeSort.indexOf("rangepartitioning").max(0),
+      s"sampling shuffled before the final sort:\n$p")
+  }
+
+  test("q_embed_quantize is a single projection pass over one scan") {
+    // Quantization is per-row arithmetic: no aggregation across rows,
+    // no join, one scan, and no exchange except the final oracle sort.
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(countOcc(p, "FileScan") === 1, p)
+    assert(countOcc(p, "Exchange") === 1, p) // the oracle's sort only
+  }
 }
