@@ -28,9 +28,18 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // The driver captures stdout with a tail window, so long lines get
-    // truncated in the round artifact; persist the full line to a file
-    // too so every per-query timing stays auditable.
+    // The driver captures stdout with a TAIL window: the full line
+    // above loses its FRONT in the round artifact once the query map
+    // grows past the window. Emit a compact totals-only line after it
+    // (and the slowest five, for triage) so the tail always carries a
+    // complete, parseable summary; per-query detail lives in the full
+    // line and in target/bench.json.
+    val worst = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$worst,"sf":"$sfDir"}""")
+    // Persist the full line to a file too so every per-query timing
+    // stays auditable.
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -409,6 +409,41 @@ object ops {
       df.groupBy(key.as("key"))
         .agg(CentroidAgg.column(vec).as("centroid"))
 
+    /** Lloyd refinement of IVF anchors — the "training" loop the
+      * [[ivfAnchors]] doc promises: `iters` rounds of assign
+      * ([[withIvfCell]], max-cosine) + re-center ([[centroidPerKey]],
+      * unit-normalized so anchors stay on the sphere and cosine
+      * ordering is preserved). Returns the refined k×dim anchors;
+      * empty cells keep their previous anchor (k never shrinks).
+      * Each round is one distributed assign+agg job whose ONLY
+      * driver-side state is the k×dim centroid collect — the same
+      * bounded footprint MLlib's KMeans keeps; vectors never leave
+      * the executors. Convergence: k-means inertia (here 1−cos to
+      * the own anchor) is non-increasing per round — pinned in
+      * QualitySpec rather than re-derived at runtime.
+      */
+    def lloydRefine(id: Column, vec: Column, anchors: Seq[Seq[Double]],
+                    iters: Int): Seq[Seq[Double]] = {
+      require(iters >= 1, s"iters must be >= 1, got $iters")
+      var a = anchors
+      for (_ <- 1 to iters) {
+        val cells = df.select(id.as("_id"), vec.as("_v"))
+          .withIvfCell(col("_v"), a, "cell")
+        // CentroidAgg's typed input is Array[Float] (the table's
+        // storage type); the float round-trip only perturbs centroids
+        // below the inertia tolerance.
+        val centroids = cells.centroidPerKey(col("cell"),
+            transform(col("_v"), _.cast("float")))
+          .collect().map { r =>
+            val c = r.getSeq[Double](1)
+            val n = math.sqrt(c.map(x => x * x).sum)
+            r.getInt(0) -> (if (n == 0) c else c.map(_ / n))
+          }.toMap
+        a = a.indices.map(i => centroids.getOrElse(i, a(i)).toIndexedSeq)
+      }
+      a
+    }
+
     // ───────────────────────── text ─────────────────────────
 
     /** Global term counts over a token column produced by the caller

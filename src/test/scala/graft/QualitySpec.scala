@@ -214,6 +214,33 @@ class QualitySpec extends SparkSpec {
       "full probe must equal brute-force top-3")
   }
 
+  test("lloydRefine: inertia non-increasing, k preserved, anchors unit") {
+    import graft.api.ops._
+    // The trained-quantizer loop ivfAnchors' doc promises: each
+    // assign+re-center round must not worsen k-means inertia
+    // (avg 1 - cos to the own anchor), keep all k anchors, and keep
+    // them on the unit sphere (re-centering normalizes).
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    def inertia(anchors: Seq[Seq[Double]]): Double =
+      e.withIvfCell(col("emb"), anchors, "cell")
+        .select(avg(lit(1.0) - graft.api.ops.cosineSim(col("emb"),
+          element_at(typedLit(anchors), col("cell") + 1))).as("i"))
+        .head.getDouble(0)
+    val a0 = ivfAnchors(8, 64)
+    val a1 = e.lloydRefine(col("vec_id"), col("emb"), a0, iters = 1)
+    val a2 = e.lloydRefine(col("vec_id"), col("emb"), a1, iters = 1)
+    assert(a1.size === 8 && a2.size === 8)
+    a2.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"anchor not unit: $n")
+    }
+    val (i0, i1, i2) = (inertia(a0), inertia(a1), inertia(a2))
+    assert(i1 <= i0 + 1e-9, s"round 1 worsened inertia: $i0 -> $i1")
+    assert(i2 <= i1 + 1e-9, s"round 2 worsened inertia: $i1 -> $i2")
+    assert(i1 < i0, "training moved nothing — refinement is a no-op")
+  }
+
   test("ann sign-LSH buckets refine as planes grow (nested prefix planes)") {
     import graft.api.ops._
     // lshPlanes(8) is a prefix of lshPlanes(12) (same seed), and

@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(seen((7L, 2L)) - 3.0) < 1e-9)
   }
 
+  test("foreachBatch applies a streaming change feed as MERGE upserts") {
+    // The CDC-apply pattern: a change stream maintains a mutable
+    // snapshot via per-batch mergeUpsert (what Delta's streaming
+    // MERGE runs under the hood). Two batches: an update to a live
+    // key, then an insert of a new key — the final snapshot must
+    // equal applying both changes in order, and the untouched key
+    // must survive both batches.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.api.ops._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[Ev]
+    var snapshot = Seq((7L, 10L), (8L, 100L)).toDF("user_id", "cents")
+      .localCheckpoint()
+    val q = in.toDF
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // MERGE precondition (unique source keys): reduce the batch to
+        // one change per key first.
+        val changes = batch.groupBy("user_id").agg(max("cents").as("cents"))
+        snapshot = snapshot.mergeUpsert(changes, "user_id")
+          .localCheckpoint() // pin the version; drop pre-merge lineage
+        ()
+      }
+      .start()
+    in.addData(Ev(1, t("2024-01-01 10:00:00"), 7, "click", 2.5))
+    q.processAllAvailable()
+    in.addData(Ev(2, t("2024-01-01 10:05:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = snapshot.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(7L -> 250L, 8L -> 100L, 9L -> 100L))
+  }
+
   test("watermark bounds dedup state: evictions + late-drop show in metrics") {
     // Pins the scale claim "the watermark caps state size" with the
     // engine's own state-store metrics instead of a comment: ids whose
