@@ -178,6 +178,32 @@ object Aggregates extends QueryModule {
       ORDER BY o_orderkey""")
   }
 
+  /** Recursive CTE (Spark 4 SQL surface): a 1998 calendar-month spine
+    * generated by bounded recursion, LEFT-joined to orders — the
+    * densification pattern reports need (empty months show as zeros;
+    * a plain GROUP BY can't produce rows for months with no data;
+    * TPC-H orders end 1998-08, so months 09–12 exercise the zeros).
+    * Revenue folds as exact integer cents. Recursion is
+    * driver-bounded (12 iterations) and the spine is rows-tiny, so
+    * the join broadcasts it at any fact-table scale.
+    */
+  val recursiveSpine: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_rs")
+    spark.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1998-01-01'
+        UNION ALL
+        SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01')
+      SELECT date_format(m, 'yyyy-MM') AS month,
+             count(o_orderkey) AS n_orders,
+             coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+               0) AS cents
+      FROM months LEFT JOIN orders_rs
+        ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+      GROUP BY m
+      ORDER BY month""")
+  }
+
   /** Pivot: per-user event counts, one column per event type. The
     * value list is explicit — at scale, pivot without it requires an
     * extra distinct pass over the data to discover the columns.
@@ -210,6 +236,7 @@ object Aggregates extends QueryModule {
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
     "q_subquery_correlated" -> subqueryCorrelated,
+    "q_recursive_spine" -> recursiveSpine,
     "q_agg_pivot" -> aggPivot,
     "q_agg_unpivot" -> aggUnpivot,
     "q_agg_distinct" -> aggDistinct,
@@ -294,6 +321,20 @@ object Aggregates extends QueryModule {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                               (o_orderstatus, o_orderpriority), ())
       ORDER BY status, priority""",
+    "q_recursive_spine" -> """
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1998-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '1998-12-01')
+      SELECT strftime(m, '%Y-%m') AS month,
+             count(o_orderkey) AS n_orders,
+             CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM months LEFT JOIN orders
+        ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      GROUP BY m
+      ORDER BY month""",
     "q_agg_stats" -> """
       SELECT o_orderstatus,
              round(stddev_samp(o_totalprice), 4) AS sd_price,

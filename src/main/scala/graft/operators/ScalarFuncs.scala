@@ -59,6 +59,24 @@ object ScalarFuncs extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Spark 4 VariantType (the semi-structured column type): JSON
+    * parsed ONCE into the binary variant encoding, then typed path
+    * extraction — at scale this replaces per-access string re-parsing
+    * (`get_json_object` re-tokenizes the whole document every call)
+    * with shredded binary reads; `try_variant_get` on a missing path
+    * yields NULL instead of failing the row.
+    */
+  val jsonVariant: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')")
+          .as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+          .as("missing"))
+      .orderBy("event_id")
+  }
+
   /** Higher-order array functions over the 64-dim embeddings: size,
     * element access, slice-fold, transform+fold (L2 norm). Folds seed
     * with 0.0 and add left-to-right, matching DuckDB list_reduce order
@@ -101,6 +119,7 @@ object ScalarFuncs extends QueryModule {
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
     "q_json_funcs" -> jsonFuncs,
+    "q_json_variant" -> jsonVariant,
     "q_array_funcs" -> arrayFuncs,
     "q_map_funcs" -> mapFuncs,
   )
@@ -138,6 +157,13 @@ object ScalarFuncs extends QueryModule {
              l_orderkey % 7 AS key_mod7
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber""",
+    "q_json_variant" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             json_extract_string(props, '$.k') AS k_str,
+             json_extract_string(props, '$.missing') AS missing
+      FROM events
+      ORDER BY event_id""",
     "q_json_funcs" -> """
       SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,

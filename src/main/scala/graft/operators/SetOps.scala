@@ -47,13 +47,48 @@ object SetOps extends QueryModule {
     urgent.except(building).orderBy("c_custkey")
   }
 
+  /** Multiset (ALL) variants — EXCEPT ALL / INTERSECT ALL preserve
+    * MULTIPLICITY (a custkey with 3 urgent orders and 1 building
+    * order keeps 2 except-all copies), which the distinct variants
+    * above erase; the output folds copies into an explicit
+    * multiplicity count so the oracle compare is order-stable while
+    * still proving the multiset arithmetic.
+    */
+  val setOpsAll: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val early = o.filter(col("o_orderdate") <
+        lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val finished = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    early.exceptAll(finished).withColumn("op", lit("except_all"))
+      .unionByName(
+        early.intersectAll(finished).withColumn("op", lit("intersect_all")))
+      .groupBy("op", "o_custkey")
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy("op", "o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_union_all" -> unionAll,
     "q_intersect" -> intersectKeys,
     "q_except" -> exceptKeys,
+    "q_set_ops_all" -> setOpsAll,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_set_ops_all" -> """
+      WITH a AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+      ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+      SELECT * FROM (
+        SELECT 'except_all' AS op, o_custkey, count(*) AS multiplicity
+        FROM ea GROUP BY o_custkey
+        UNION ALL
+        SELECT 'intersect_all', o_custkey, count(*) FROM ia GROUP BY o_custkey)
+      ORDER BY op, o_custkey""",
     "q_union_all" -> """
       SELECT * FROM (
         SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
