@@ -182,10 +182,14 @@ object Aggregates extends QueryModule {
     * generated by bounded recursion, LEFT-joined to orders — the
     * densification pattern reports need (empty months show as zeros;
     * a plain GROUP BY can't produce rows for months with no data;
-    * TPC-H orders end 1998-08, so months 09–12 exercise the zeros).
-    * Revenue folds as exact integer cents. Recursion is
-    * driver-bounded (12 iterations) and the spine is rows-tiny, so
-    * the join broadcasts it at any fact-table scale.
+    * the synthetic orders end 1998-08 within this window, so trailing
+    * months exercise the zeros). Revenue folds as exact integer
+    * cents. Shape matters at scale: the fact table is AGGREGATED to
+    * per-month rows FIRST (partial agg bounds the shuffle by group
+    * count), then the months-sized result joins the months-sized
+    * spine — joining the spine to raw orders instead would shuffle
+    * the whole fact table onto 12 month keys (or need to broadcast
+    * it). Recursion is driver-bounded (12 iterations).
     */
   val recursiveSpine: Q = (spark, dir) => {
     Tables(spark, dir, "orders").createOrReplaceTempView("orders_rs")
@@ -193,14 +197,17 @@ object Aggregates extends QueryModule {
       WITH RECURSIVE months(m) AS (
         SELECT DATE '1998-01-01'
         UNION ALL
-        SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01')
+        SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01'),
+      agg AS (
+        SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+               count(o_orderkey) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS cents
+        FROM orders_rs GROUP BY 1)
       SELECT date_format(m, 'yyyy-MM') AS month,
-             count(o_orderkey) AS n_orders,
-             coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
-               0) AS cents
-      FROM months LEFT JOIN orders_rs
-        ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
-      GROUP BY m
+             coalesce(n_orders, 0) AS n_orders,
+             coalesce(cents, 0) AS cents
+      FROM months LEFT JOIN agg USING (m)
       ORDER BY month""")
   }
 
@@ -326,14 +333,16 @@ object Aggregates extends QueryModule {
         SELECT DATE '1998-01-01'
         UNION ALL
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-        WHERE m < DATE '1998-12-01')
+        WHERE m < DATE '1998-12-01'),
+      agg AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(o_orderkey) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1)
       SELECT strftime(m, '%Y-%m') AS month,
-             count(o_orderkey) AS n_orders,
-             CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
-               AS BIGINT)), 0) AS BIGINT) AS cents
-      FROM months LEFT JOIN orders
-        ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
-      GROUP BY m
+             CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+             CAST(coalesce(cents, 0) AS BIGINT) AS cents
+      FROM months LEFT JOIN agg USING (m)
       ORDER BY month""",
     "q_agg_stats" -> """
       SELECT o_orderstatus,
