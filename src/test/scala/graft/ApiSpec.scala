@@ -244,6 +244,58 @@ class ApiSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("stratifiedHashSample: nested samples, exact strata, no RNG drift") {
+    import graft.api.ops._
+    val docs = Tables(spark, sfDir, "documents")
+    def keep(rate: Double): Set[Long] =
+      docs.stratifiedHashSample(col("doc_id"), col("lang"),
+          Map("en" -> rate), default = 1.0)
+        .filter(col("lang") === "en")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k25 = keep(0.25)
+    val k50 = keep(0.50)
+    // Nested-sample property the scaladoc promises: a row kept at a
+    // lower rate stays kept at every higher rate (ablation subsets).
+    assert(k25.subsetOf(k50), s"${(k25 -- k50).size} rows lost at 50%")
+    // Determinism: same call, same rows (no RNG).
+    assert(keep(0.25) === k25)
+    // Non-'en' strata pass through untouched at default rate 1.0.
+    val others = docs.filter(col("lang") =!= "en").count()
+    val sampled = docs.stratifiedHashSample(col("doc_id"), col("lang"),
+      Map("en" -> 0.25), default = 1.0)
+    assert(sampled.filter(col("lang") =!= "en").count() === others)
+  }
+
+  test("int8Quantize: reconstruction error bounded by scale * sqrt(dim)/2") {
+    import graft.api.ops._
+    // Per element |v - q*scale| <= scale/2 (round-half-up), so
+    // err_l2 <= scale * sqrt(dim) / 2 — the quantizer's contract.
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val bad = e.int8Quantize(col("vec_id"), col("emb"))
+      .filter(col("err_l2") > col("scale") * math.sqrt(64) / 2 + 1e-4)
+      .count()
+    assert(bad === 0, s"$bad vectors exceed the quantization error bound")
+  }
+
+  test("Observation collects data-quality counters without a second pass") {
+    import org.apache.spark.sql.Observation
+    // The production pattern for pipeline health metrics: row counts /
+    // null counts / extremes observed DURING the query, no extra scan.
+    val obs = Observation("dq")
+    val out = Tables(spark, sfDir, "orders")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_keys"),
+        max(col("o_totalprice")).as("max_price"))
+      .filter(col("o_orderstatus") === "F")
+    val kept = out.count()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] > kept,
+      "observe must see pre-filter rows")
+    assert(m("null_keys").asInstanceOf[Long] === 0L)
+    assert(m("max_price").asInstanceOf[Double] > 0)
+  }
+
   test("mergeUpsert fails loudly on a NULL merge key in the source") {
     import spark.implicits._
     val target = Seq((1L, 10L)).toDF("k", "v")
