@@ -239,7 +239,25 @@ object Aggregates extends QueryModule {
       .orderBy("user_id", "event_type")
   }
 
+  /** Ordered string aggregation: per region, the sorted comma-joined
+    * nation list. collect_list is arrival-ordered (nondeterministic);
+    * sort_array makes the result a pure function of the set, which is
+    * both the determinism fix and what consumers want from a
+    * list-valued aggregate.
+    */
+  val aggStringAgg: Q = (spark, dir) => {
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_string_agg" -> aggStringAgg,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
     "q_subquery_correlated" -> subqueryCorrelated,
@@ -328,6 +346,13 @@ object Aggregates extends QueryModule {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                               (o_orderstatus, o_orderpriority), ())
       ORDER BY status, priority""",
+    "q_agg_string_agg" -> """
+      SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
     "q_recursive_spine" -> """
       WITH RECURSIVE months(m) AS (
         SELECT DATE '1998-01-01'

@@ -242,7 +242,31 @@ object Joins extends QueryModule {
       .orderBy("nk")
   }
 
+  /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics data
+    * reconciliation needs when "unknown" is a join-able category.
+    * Every 5th supplier's nationkey is NULLed and so is nation 7's
+    * key, so NULL suppliers land on the NULL-keyed nation (a plain
+    * `=` join silently drops all of them). EqualNullSafe is still an
+    * equi-join key for Spark: this plans as a broadcast HASH join,
+    * not a nested loop.
+    */
+  val joinNullSafe: Q = (spark, dir) => {
+    val s = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        when(col("s_suppkey") % 5 === 0, lit(null))
+          .otherwise(col("s_nationkey")).as("s_nat"))
+    val n = Tables(spark, dir, "nation")
+      .select(when(col("n_nationkey") === 7, lit(null))
+          .otherwise(col("n_nationkey")).as("n_key"),
+        col("n_name"))
+    s.join(broadcast(n), col("s_nat") <=> col("n_key"))
+      .select(col("s_suppkey"), col("n_name"))
+      .orderBy("s_suppkey", "n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_null_safe" -> joinNullSafe,
     "q_join_salted" -> joinSalted,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_multiway" -> joinMultiway,
@@ -256,6 +280,17 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_null_safe" -> """
+      WITH s AS (SELECT s_suppkey,
+                        CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                             ELSE s_nationkey END AS s_nat
+                 FROM supplier),
+      n AS (SELECT CASE WHEN n_nationkey = 7 THEN NULL
+                        ELSE n_nationkey END AS n_key, n_name
+            FROM nation)
+      SELECT s_suppkey, n_name
+      FROM s JOIN n ON s_nat IS NOT DISTINCT FROM n_key
+      ORDER BY s_suppkey, n_name""",
     "q_join_salted" -> """
       WITH e AS (
         SELECT CASE WHEN event_type = 'click' THEN 7

@@ -296,6 +296,17 @@ class ApiSpec extends SparkSpec {
     assert(m("max_price").asInstanceOf[Double] > 0)
   }
 
+  test("connectedComponents raises loudly when maxIter is too small") {
+    import spark.implicits._
+    // A 6-chain needs ~5 propagation rounds; maxIter=2 must raise, not
+    // return a silently half-merged labeling.
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ex = intercept[IllegalArgumentException] {
+      chain.connectedComponents("d1", "d2", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("mergeUpsert fails loudly on a NULL merge key in the source") {
     import spark.implicits._
     val target = Seq((1L, 10L)).toDF("k", "v")

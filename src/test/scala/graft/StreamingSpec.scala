@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(seen((7L, 2L)) - 3.0) < 1e-9)
   }
 
+  test("stream-stream left join: null row only after the watermark proves it") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = Streams.clickPurchaseLeftJoin(
+      clicks.toDF, purchases.toDF, cutoff = "2024-02-01 00:00:00")
+    val out = run(joined, "left_join_unit", "append") { q =>
+      // Batch 1: a click with NO purchase. Nothing may emit yet — a
+      // qualifying purchase could still arrive.
+      clicks.addData(Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("left_join_unit").isEmpty,
+        "outer row emitted before the watermark could prove no match")
+      // Batch 2: watermark advances past 10:00 + 1h + 10min on both
+      // sides -> the unmatched click must flush as a null-extended row.
+      clicks.addData(Ev(2, t("2024-01-01 13:00:00"), 8, "click", 1.0))
+      purchases.addData(Ev(3, t("2024-01-01 13:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch applies the new watermark
+    }
+    val rows = out.select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.contains((1L, None)),
+      s"unmatched click 1 missing/matched: ${rows.mkString(",")}")
+  }
+
   test("foreachBatch applies a streaming change feed as MERGE upserts") {
     // The CDC-apply pattern: a change stream maintains a mutable
     // snapshot via per-batch mergeUpsert (what Delta's streaming
