@@ -794,6 +794,36 @@ object ops {
       probe.join(build, Seq(key, "_salt")).drop("_salt")
     }
 
+    /** Semi-join reduction: build a Bloom filter over `right`'s join
+      * key (a filtered dimension — compact by construction), then drop
+      * probe rows that cannot match AT THE PROBE SCAN, before the join
+      * shuffle. The final equi-join removes the filter's false
+      * positives, so results are exactly the plain join's — the sketch
+      * only cuts shuffle volume. At 100 TB this is the classic
+      * two-phase semi-join: the probe side never shuffles rows whose
+      * keys the build side doesn't hold (at fpp=1% that's ~99% of a
+      * fact table probing a selective dim filter).
+      *
+      * The sketch build is ONE deliberate aggregation action over the
+      * *small* side — the same data a broadcast join would ship to the
+      * driver anyway, reduced to `-n·ln(fpp)/ln²2` bits (~1.2 MB per
+      * million keys at 1%). This is the documented exception to the
+      * "no actions in plan builders" rule above; never call it with a
+      * fact-sized `right`. Size `expectedItems` ≥ the build side's
+      * distinct-key count — undersizing inflates the false-positive
+      * rate (still correct, just less reduction).
+      */
+    def bloomSemiJoin(right: DataFrame, key: String,
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+      val sketch = right.stat.bloomFilter(key, expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      df.filter(
+          GraftFunctions.bloom_might_contain(df(key), bos.toByteArray))
+        .join(right, key)
+    }
+
     // ───────────────────────── crypto ─────────────────────────
 
     /** Publisher side of the reference pipeline: AES-encrypt `payload`

@@ -33,6 +33,15 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Membership probe of a BIGINT key against a pre-built, serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] — the scan-side
+    * pre-filter of [[graft.api.ops.GraftDataFrameOps.bloomSemiJoin]].
+    * Not SQL-registered: the sketch bytes are a plan-time constant, not
+    * a column.
+    */
+  def bloom_might_contain(key: Column, serialized: Array[Byte]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(key), serialized))
+
   /** KMS-style key wrap, local + deterministic: AES-ECB(kek, dek). */
   def wrap_dek(kek: Column, dek: Column): Column =
     aes_encrypt(dek, kek, lit("ECB"))

@@ -242,6 +242,32 @@ object Joins extends QueryModule {
       .orderBy("nk")
   }
 
+  /** Bloom-filter semi-join reduction: lineitem probes only the
+    * URGENT orders (1/5 of the key space). The probe side is
+    * pre-filtered at its scan by
+    * [[graft.api.ops.GraftDataFrameOps.bloomSemiJoin]]'s
+    * `bloom_might_contain` (codegen'd, PlanSpec-pinned below the
+    * join), so ~80% of lineitem rows never enter the join shuffle —
+    * the cut that matters when lineitem is the 100 TB side. The sketch
+    * is sized for the sf0.1 build cardinality (~30 k keys; ~36 KB at
+    * 1%); production sizing = the dim filter's distinct-key estimate.
+    * Results are exact — the join removes false positives — so the
+    * oracle is the plain join.
+    */
+  val joinBloom: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    li.bloomSemiJoin(urgent, "l_orderkey", expectedItems = 1L << 16)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * MATCH each other instead of vanishing — the semantics data
     * reconciliation needs when "unknown" is a join-able category.
@@ -266,6 +292,7 @@ object Joins extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_join_bloom" -> joinBloom,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_salted" -> joinSalted,
     "q_join_broadcast" -> joinBroadcast,
@@ -280,6 +307,15 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom" -> """
+      SELECT o_orderstatus, count(*) AS n_items,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS sum_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
     "q_join_null_safe" -> """
       WITH s AS (SELECT s_suppkey,
                         CASE WHEN s_suppkey % 5 = 0 THEN NULL

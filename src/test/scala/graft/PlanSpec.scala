@@ -184,6 +184,25 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffled before the final sort:\n$p")
   }
 
+  test("q_join_bloom probes the sketch below the join, inside codegen") {
+    // The semi-join reduction contract: bloom_might_contain filters the
+    // probe side BEFORE the join (scan-side, pre-shuffle), and the
+    // predicate fuses into WholeStageCodegen — a boxed/UDF probe would
+    // tax every row of the 100 TB side.
+    val p = plan("q_join_bloom")
+    val probe = p.indexOf("bloom_might_contain")
+    val join = p.indexOf("Join")
+    assert(probe >= 0, p)
+    assert(join >= 0, p)
+    // Physical plans print top-down: deeper operators appear LATER, so
+    // the scan-side filter must print after the join header.
+    assert(probe > join, s"bloom probe not below the join:\n$p")
+    val filterLine = p.linesIterator
+      .find(_.contains("bloom_might_contain")).getOrElse("")
+    assert(!filterLine.contains("BatchEvalPython") &&
+      !filterLine.contains("Invoke("), filterLine)
+  }
+
   test("q_embed_quantize is a single projection pass over one scan") {
     // Quantization is per-row arithmetic: no aggregation across rows,
     // no join, one scan, and no exchange except the final oracle sort.
