@@ -108,6 +108,26 @@ object Aggregates extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Conditional / boolean aggregate family (count_if, bool_and,
+    * bool_or) + exact interpolated median — the SQL:2023-ish aggregate
+    * surface a migration from any modern warehouse expects. Median
+    * runs over integer cents: with 2-decimal inputs scaled to BIGINT,
+    * even-count interpolation lands on exact .0/.5 doubles, so the
+    * cross-engine compare can't hit a float tie. All of these are
+    * partial-aggregable built-ins — two-phase hash-agg, no extra
+    * shuffle vs a plain count.
+    */
+  val aggConditional: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+    o.groupBy(col("o_orderstatus"))
+      .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        Norm.r4(median(col("cents"))).as("median_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** HyperLogLog approximate distinct — no DuckDB oracle (different
     * sketch); bounds-checked vs exact in scalatest.
     */
@@ -269,11 +289,22 @@ object Aggregates extends QueryModule {
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_agg_stats" -> aggStats,
+    "q_agg_conditional" -> aggConditional,
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_quantile" -> aggApproxQuantile,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_conditional" -> """
+      SELECT o_orderstatus,
+             count_if(o_totalprice > 150000) AS n_big,
+             bool_and(o_totalprice > 0) AS all_positive,
+             bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             round(median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 4)
+               AS median_cents
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
     "q_agg_unpivot" -> """
       SELECT user_id, event_type, count(*) AS n
       FROM events

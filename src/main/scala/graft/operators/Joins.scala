@@ -268,6 +268,36 @@ object Joins extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Blocked fuzzy join (entity resolution): probe names with planted
+    * typos — every 10th customer's name with 'Customer' corrupted at
+    * edit distance 1, 2, or 3, derived from the table itself so the
+    * oracle re-derives them — are matched back by levenshtein ≤ 2, so
+    * the d3 probes prove the threshold rejects. The join is BLOCKED on
+    * the '#'+digits suffix (untouched by the corruption): candidates
+    * come from an exact equi-join on the block key, and the O(len²)
+    * edit-distance only runs within blocks — the standard shape that
+    * keeps fuzzy matching off the n² cliff at 100 TB (block key choice
+    * = whatever survives the noise: phonetic code, sorted tokens,
+    * zip+year, …).
+    */
+  val fuzzyMatch: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 9, 10).as("block"))
+    val probes = c.filter(col("c_custkey") % 10 === 0)
+      .select(concat(
+          when(col("c_custkey") % 30 === 0, lit("Kustoner"))
+            .when(col("c_custkey") % 20 === 0, lit("Kastoner"))
+            .otherwise(lit("Kustomer")),
+          col("block")).as("probe_name"),
+        col("block"))
+    probes.join(c, "block")
+      .withColumn("dist", levenshtein(col("c_name"), col("probe_name")))
+      .filter(col("dist") <= 2)
+      .select(col("c_custkey"), col("c_name"), col("probe_name"), col("dist"))
+      .orderBy("c_custkey")
+  }
+
   /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * MATCH each other instead of vanishing — the semantics data
     * reconciliation needs when "unknown" is a join-able category.
@@ -293,6 +323,7 @@ object Joins extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_join_bloom" -> joinBloom,
+    "q_fuzzy_match" -> fuzzyMatch,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_salted" -> joinSalted,
     "q_join_broadcast" -> joinBroadcast,
@@ -316,6 +347,21 @@ object Joins extends QueryModule {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+    "q_fuzzy_match" -> """
+      WITH c AS (
+        SELECT c_custkey, c_name, substr(c_name, 9, 10) AS block
+        FROM customer),
+      probes AS (
+        SELECT CASE WHEN c_custkey % 30 = 0 THEN 'Kustoner'
+                    WHEN c_custkey % 20 = 0 THEN 'Kastoner'
+                    ELSE 'Kustomer' END || block AS probe_name,
+               block
+        FROM c WHERE c_custkey % 10 = 0)
+      SELECT c_custkey, c_name, probe_name,
+             levenshtein(c_name, probe_name) AS dist
+      FROM probes JOIN c USING (block)
+      WHERE levenshtein(c_name, probe_name) <= 2
+      ORDER BY c_custkey""",
     "q_join_null_safe" -> """
       WITH s AS (SELECT s_suppkey,
                         CASE WHEN s_suppkey % 5 = 0 THEN NULL

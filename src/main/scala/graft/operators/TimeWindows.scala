@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing, batch twins of the streaming queries
@@ -52,13 +53,78 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** Time-series gap-fill + LOCF: a rare signal (value > 95, ~1% of
+    * events — two thirds of the hourly buckets are empty at sf0.01)
+    * aggregated per (type, hour), then joined onto a dense hourly
+    * spine and forward-filled (last observation carried forward) so
+    * every hour reports the most recent reading — the resample shape
+    * every monitoring/feature-store pipeline needs.
+    *
+    * Scale: the only pass over the raw events is a partial-agg'd
+    * hash-agg down to (types × hours); the spine is calendar-sized
+    * (sequence() over the hour range, ~9 k rows/year/type regardless
+    * of data volume), so the LOCF window — partitioned by type over
+    * the SPINE, not the events — is bounded by the calendar too.
+    * Sums carried in integer cents: exact in both engines.
+    */
+  val gapFill: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val obs = e.filter(col("value") > 95)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val hours = e
+      .agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val spine = hours.crossJoin(broadcast(e.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), Norm.tstr(col("h")).as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(0L))
+          .as("locf_cents"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_gapfill" -> gapFill,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindows,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_gapfill" -> """
+      WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      hrs AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM b),
+      spine AS (
+        SELECT event_type, h
+        FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN hrs),
+      obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE value > 95
+        GROUP BY 1, 2)
+      SELECT s.event_type,
+             strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+             coalesce(o.n, 0) AS n,
+             coalesce(last_value(o.cents IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS locf_cents,
+             o.n IS NULL AS is_gap
+      FROM spine s
+      LEFT JOIN obs o ON s.event_type = o.event_type AND s.h = o.h
+      ORDER BY s.event_type, hour""",
     "q_window_tumbling" -> """
       SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
                AS wstart,
