@@ -501,6 +501,45 @@ object ops {
             col("total")))).as("surprisal"))
     }
 
+    /** Cross-document duplicated n-gram statistics — the corpus-level
+      * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+      * Makes Language Models Better", arXiv:2107.06499), engine-
+      * expressible core: for each document, the fraction of its token
+      * n-grams that also occur in at least one OTHER document. High
+      * fractions mark boilerplate/templated/near-copied text that
+      * exact and MinHash dedup both miss (they compare whole docs;
+      * this catches shared SPANS). Output: (doc_id, n_grams, n_dup,
+      * dup_frac), dup_frac floor-rounded to 4dp exactly like the
+      * oracle.
+      *
+      * Shape: grams are built as a pure per-row projection
+      * (`transform` over an index sequence — no window, no shuffle to
+      * form them), then only `md5(gram)` instances travel: every
+      * shuffle key is a constant-width digest, never the text, the
+      * same ids-only discipline as dedupExact — at n=13 (the paper's
+      * choice) a raw-gram shuffle would ship ~13× the corpus. Document
+      * frequency = plain count over (doc, gram)-distinct instances, no
+      * countDistinct expand. A gram with df ≥ 2 is duplicated; its
+      * instances count toward every holder's n_dup (df ≥ 2 ⟺ "some
+      * OTHER doc has it" for each holder individually).
+      */
+    def dupNgramStats(id: Column, tokens: Column, n: Int): DataFrame = {
+      require(n >= 2 && n <= 32, s"n must be in [2, 32], got $n")
+      val grams = when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => md5(array_join(slice(tokens, i + lit(1), lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+      val inst = df.select(id.as("doc_id"), explode(grams).as("_g"))
+      val dfreq = inst.distinct()
+        .groupBy("_g").agg(count(lit(1)).as("_df"))
+      inst.join(dfreq, "_g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          floor(col("n_dup") * lit(10000.0) / col("n_grams") + 0.5) / 10000)
+    }
+
     /** Data-driven language/label ID: build per-label token profiles
       * (top `profileSize` terms by frequency — the "training" step),
       * score every row by distinct-token overlap with each profile,

@@ -229,7 +229,36 @@ object StreamScored extends QueryModule {
     }
   }
 
+  /** Streaming session windows scored: the window-MERGING stateful
+    * operator (a session's extent is data-dependent) through the real
+    * engine. Complete mode emits the full merged-session state at the
+    * drain (the engine rejects Update for session-window aggregations,
+    * and Append would strand every session the final watermark can't
+    * finalize — those in the last gap+delay of the timeline), so the
+    * result equals the batch `q_session_window` twin. The post-drain
+    * max-per-(user, start) aggregation additionally makes the result
+    * insensitive to a multi-batch drain re-emitting a growing session
+    * (same discipline as drainUserCounts). Sums in integer cents: the
+    * state handler folds in arrival order, integers make that
+    * order-invariant.
+    */
+  val streamSession: Q = (spark, dir) => {
+    val sessions = Streams.sessionizedCounts(eventsInCents(spark, dir))
+    runToTable(sessions, OutputMode.Complete(), "graft_stream_session")
+      .groupBy("user_id", "session_start")
+      .agg(max(col("session_end")).as("session_end"),
+        max(col("n_events")).as("n_events"),
+        max_by(col("sum_value"), col("n_events")).cast("long")
+          .as("sum_cents"))
+      .select(col("user_id"),
+        Norm.tstr(col("session_start")).as("session_start"),
+        Norm.tstr(col("session_end")).as("session_end"),
+        col("n_events"), col("sum_cents"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_session" -> streamSession,
     "q_stream_decrypt" -> streamDecrypt,
     "q_stream_watermark" -> streamWatermark,
     "q_stream_dedup" -> streamDedup,
@@ -240,6 +269,29 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_session" -> """
+      WITH marked AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT *, sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+      )
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+             count(*) AS n_events, sum(cents) AS sum_cents
+      FROM numbered
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
     "q_stream_decrypt" -> """
       SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
                '%Y-%m-%d %H:%M:%S') AS wstart,

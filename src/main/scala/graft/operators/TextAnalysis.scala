@@ -299,7 +299,20 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-span signal at n=3 (the paper's n=13
+    * needs longer docs than the fixture's ~100-token rows; the plan
+    * is n-invariant). See [[graft.api.ops.GraftDataFrameOps.dupNgramStats]]
+    * for the md5-keyed, ids-only shuffle design.
+    */
+  val textDupNgrams: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "documents")
+      .dupNgramStats(col("doc_id"), split(col("text"), " "), n = 3)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_dup_ngrams" -> textDupNgrams,
     "q_text_repetition" -> textRepetition,
     "q_text_pii_redact" -> textPiiRedact,
     "q_text_unigram_surprisal" -> textSurprisal,
@@ -318,6 +331,24 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_dup_ngrams" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      inst AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      dfreq AS (
+        SELECT g, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, g FROM inst)
+        GROUP BY g)
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup,
+             floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                   * 10000.0 / count(*) + 0.5) / 10000 AS dup_frac
+      FROM inst JOIN dfreq USING (g)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "q_text_repetition" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

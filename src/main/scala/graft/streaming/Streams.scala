@@ -147,6 +147,25 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming session windows: per-user sessions with a 30 min
+    * inactivity gap — the stateful operator that MERGES windows as
+    * events arrive (unlike tumbling/sliding, a session's extent is
+    * data-dependent, so the state store keeps open sessions per user
+    * and coalesces overlaps). The watermark both drops late events
+    * and finalizes sessions (append emits a session only once no
+    * event can extend it). Same `session_window` expression as the
+    * batch twin `q_session_window` — only the watermark is added.
+    */
+  def sessionizedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** s_stream_join: stream-stream inner join — click→purchase
     * attribution within 1 hour per user. Both sides carry watermarks
     * and the join has a time-range condition, so each side's buffered
