@@ -120,6 +120,35 @@ object ops {
     }
   }
 
+  /** Morton (Z-order) value of two non-negative int columns: the low
+    * `bits` bits of `a` and `b` interleaved (a on even positions).
+    * Sorting a table by z-value co-clusters BOTH dimensions, so
+    * per-file min/max stats prune selective predicates on EITHER
+    * column — the multi-dimensional data-skipping layout (Delta/
+    * Iceberg `OPTIMIZE ZORDER BY`), where a plain sort only ever
+    * skips on its leading key. Pure bit arithmetic (fold of
+    * shift/and/or), codegen-friendly, reproducible in any engine.
+    * Callers bucket wider domains down to `bits` first (range-rank or
+    * modulo); 2·bits ≤ 62.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** DuckDB-dialect SQL for [[zValue]] — the oracle twin is generated
+    * from the same bit positions so the two can't drift.
+    */
+  def zValueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
   implicit class GraftDataFrameOps(private val df: DataFrame) {
 
     // ───────────────────────── dedup ─────────────────────────
@@ -650,6 +679,36 @@ object ops {
       * DuckDB's half-even), and the error fold is a LEFT fold so the
       * double accumulation order is engine-identical.
       */
+    /** Weighted sampling without replacement, top-`k` per stratum, by
+      * the Efraimidis–Spirakis key (u^(1/w), taken in log space:
+      * ln(u)/w — same ordering, no pow): each row's inclusion chance
+      * is proportional to `weight`, yet selection is fully
+      * DETERMINISTIC because u comes from md5(id), not a PRNG — the
+      * property a training-data mixer needs (re-runs, engine swaps,
+      * and re-ingests pick the identical sample; the DuckDB oracle
+      * re-derives u arithmetically). u quantizes to 16 md5 bits —
+      * selection granularity, not a correctness knob; key ties break
+      * on id in both engines.
+      *
+      * Scale: the rank filter is a row_number over (stratum, key),
+      * which Spark 3.5+ executes as WindowGroupLimit — a partial
+      * per-partition top-k BEFORE the shuffle (pinned in PlanSpec), so
+      * shuffle volume is O(partitions × k), not O(rows); the classic
+      * two-phase distributed reservoir without leaving the declarative
+      * plan.
+      */
+    def weightedSample(id: Column, weight: Column, stratum: Column,
+                       k: Int): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val u = (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+        .cast("double") + 1) / 65536.0
+      val key = log(u) / weight
+      val w = Window.partitionBy(stratum).orderBy(key.desc, id.asc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    }
+
     def int8Quantize(id: Column, vec: Column): DataFrame = {
       val v = df.select(id.as("vec_id"), vec.as("v"))
         .withColumn("scale",

@@ -194,7 +194,35 @@ object Scans extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Z-order (Morton) clustered lake write: events laid out by the
+    * interleaved bits of TWO dimensions (user bucket × value bucket),
+    * then read back through a selective predicate on the SECOND
+    * dimension — the one a plain sort cannot skip on. Correctness
+    * gate here (z computed identically in the oracle via the shared
+    * bit formula, rows round-trip the parquet sink exactly);
+    * BucketingSpec proves the layout property: per-file min/max
+    * ranges stay bounded on BOTH dims, vs a linear sort where the
+    * trailing dim's range spans the domain in every file.
+    */
+  val lakeZorder: Q = (spark, dir) => {
+    import graft.api.ops
+    val tmp = tmpPath(spark, "graft_lake_zorder")
+    Tables(spark, dir, "events")
+      .withColumn("ux", pmod(col("user_id"), lit(256)).cast("long"))
+      .withColumn("vy",
+        pmod(floor(col("value")).cast("long"), lit(256)))
+      .withColumn("z", ops.zValue(col("ux"), col("vy"), 8))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z", "event_id")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("vy") < 8)
+      .select(col("event_id"), col("ux"), col("vy"), col("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lake_zorder" -> lakeZorder,
     "q_scan_project" -> scanProject,
     "q_scan_filter_pushdown" -> scanFilterPushdown,
     "q_sink_parquet" -> sinkParquet,
@@ -208,6 +236,16 @@ object Scans extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lake_zorder" -> s"""
+      WITH e AS (
+        SELECT event_id, user_id % 256 AS ux,
+               CAST(floor(value) AS BIGINT) % 256 AS vy
+        FROM events)
+      SELECT event_id, ux, vy,
+             ${graft.api.ops.zValueSql("ux", "vy", 8)} AS z
+      FROM e
+      WHERE vy < 8
+      ORDER BY event_id""",
     "q_scan_project" -> """
       SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS quantity
       FROM lineitem

@@ -257,7 +257,23 @@ object StreamScored extends QueryModule {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-static enrichment scored: events stream ⋈ nation dim
+    * (broadcast, stateless) → per-nation totals, drained Complete.
+    * Sums in integer cents (arrival-order-proof, as everywhere).
+    */
+  val streamEnrich: Q = (spark, dir) => {
+    val dim = graft.Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = Streams.enrichEvents(eventsInCents(spark, dir), dim)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("long")).as("sum_cents"))
+    runToTable(enriched, OutputMode.Complete(), "graft_stream_enrich")
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_enrich" -> streamEnrich,
     "q_stream_session" -> streamSession,
     "q_stream_decrypt" -> streamDecrypt,
     "q_stream_watermark" -> streamWatermark,
@@ -269,6 +285,13 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" -> """
+      SELECT n_name, count(*) AS n_events,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      FROM events
+      JOIN nation ON n_nationkey = user_id % 25
+      GROUP BY n_name
+      ORDER BY n_name""",
     "q_stream_session" -> """
       WITH marked AS (
         SELECT user_id, ts,

@@ -311,7 +311,21 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Weighted deterministic sampling: 20 docs per language, inclusion
+    * odds ∝ n_chars (longer docs carry more training signal per
+    * document; mixture weighting is the standard corpus-blend knob).
+    */
+  val sampleWeighted: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "documents")
+      .weightedSample(col("doc_id"), col("n_chars").cast("double"),
+        col("lang"), k = 20)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_weighted" -> sampleWeighted,
     "q_text_dup_ngrams" -> textDupNgrams,
     "q_text_repetition" -> textRepetition,
     "q_text_pii_redact" -> textPiiRedact,
@@ -331,6 +345,29 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" -> """
+      WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+        FROM documents),
+      u AS (
+        SELECT doc_id, lang, n_chars,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) + 1)
+                 / 65536.0 AS uv
+        FROM h),
+      ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY ln(uv) / n_chars DESC, doc_id ASC) AS rank
+        FROM u)
+      SELECT lang, rank, doc_id, n_chars
+      FROM ranked
+      WHERE rank <= 20
+      ORDER BY lang, rank""",
     "q_text_dup_ngrams" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -90,7 +90,49 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** Per-user EWMA (α = 0.25) over each user's event series — the
+    * smoothing feature every metrics/feature-store pipeline computes.
+    * EWMA's recurrence (s ← αx + (1−α)s) is inherently ORDERED, which
+    * SQL window frames can't express (no running self-reference), so
+    * this uses the engine's typed secondary-sort surface:
+    * `groupByKey(user).flatMapSortedGroups(ts)` — each group arrives
+    * as one iterator, already sorted by the shuffle's secondary key,
+    * and the fold streams through it in O(1) memory. That is the
+    * scale-correct shape: ONE shuffle (by user), no per-group
+    * collect_list materialization, state = one double per open group.
+    *
+    * Determinism: inputs are integer cents and α = 0.25 / 1−α = 0.75
+    * are exact binary fractions, so the fold is the same IEEE
+    * multiply-add sequence in both engines — bit-identical before the
+    * final tie-proof rounding.
+    */
+  val ewma: Q = (spark, dir) => {
+    import spark.implicits._
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * 100 + 0.5).cast("double").as("cents"))
+      .as[(Long, Long, Double)]
+    val folded = rows.groupByKey(_._1)
+      .flatMapSortedGroups(col("tus")) { (user, it) =>
+        var s = Double.NaN
+        it.map { case (_, tus, x) =>
+          s = if (s.isNaN) x else 0.25 * x + 0.75 * s
+          (user, tus, s)
+        }
+      }
+      .toDF("user_id", "tus", "ewma")
+    folded.select(col("user_id"),
+        Norm.tstr(timestamp_micros(col("tus"))).as("ts"),
+        Norm.r4tie(col("ewma")).as("ewma_cents"))
+      // ts prints at second precision: two same-user events inside one
+      // second would tie, and their (distinct) ewma values would then
+      // be order-ambiguous across engines — break on the value too.
+      .orderBy("user_id", "ts", "ewma_cents")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_ewma" -> ewma,
     "q_ts_gapfill" -> gapFill,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
@@ -98,6 +140,27 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_ewma" -> """
+      WITH ser AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS DOUBLE) AS cents
+        FROM events),
+      agg AS (
+        SELECT user_id,
+               list(ts ORDER BY ts) AS tss,
+               list(cents ORDER BY ts) AS xs
+        FROM ser GROUP BY user_id),
+      idx AS (
+        SELECT user_id, tss, xs,
+               unnest(range(1, len(xs) + 1)) AS i
+        FROM agg)
+      SELECT user_id,
+             strftime(tss[i], '%Y-%m-%d %H:%M:%S') AS ts,
+             floor(CAST(list_reduce(xs[1:i],
+                     (s, x) -> 0.25 * x + 0.75 * s) AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS ewma_cents
+      FROM idx
+      ORDER BY user_id, ts, ewma_cents""",
     "q_ts_gapfill" -> """
       WITH b AS (
         SELECT date_trunc('hour', min(ts)) AS lo,

@@ -166,6 +166,19 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: the unbounded stream joins a
+    * batch dimension (the lookup-table shape every deployment has —
+    * user → account, key → tenant). Stateless: each micro-batch
+    * broadcast-hash-joins the dim, nothing is buffered between
+    * batches, so unlike stream-stream joins it needs no watermark and
+    * holds no state. The dim is re-resolvable per batch (a slowly
+    * changing dim picks up updates at the next trigger).
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
+      .join(broadcast(dim), "n_nationkey")
+
   /** s_stream_join: stream-stream inner join — click→purchase
     * attribution within 1 hour per user. Both sides carry watermarks
     * and the join has a time-range condition, so each side's buffered

@@ -72,4 +72,59 @@ class BucketingSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("z-order layout bounds per-file ranges on BOTH dimensions") {
+    // The q_lake_zorder layout claim: sorting by the Morton value
+    // co-clusters both dims, so every file's min/max footer stats are
+    // selective for predicates on EITHER column. A linear sort on ux
+    // gets ~the same ux clustering but its per-file vy range spans
+    // the whole domain — no skipping on the second dim. Measured from
+    // the data (sum of per-file ranges, lower = more skippable).
+    import graft.api.ops
+    val base = Tables(spark, sfDir, "events")
+      .withColumn("ux", pmod(col("user_id"), lit(256)).cast("long"))
+      .withColumn("vy", pmod(floor(col("value")).cast("long"), lit(256)))
+    def rangeSums(sorted: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder_spec").toString
+      try {
+        sorted.write.mode("overwrite").parquet(tmp)
+        val r = spark.read.parquet(tmp)
+          .groupBy(input_file_name())
+          .agg((max("ux") - min("ux")).as("rx"),
+            (max("vy") - min("vy")).as("ry"))
+          .agg(sum("rx"), sum("ry"), count(lit(1))).head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    val dom = base.agg(max("ux") - min("ux"), max("vy") - min("vy")).head
+    val (dx, dy) = (dom.getLong(0), dom.getLong(1))
+    // Interleaving only clusters when both dims contribute comparable
+    // bit widths — so normalize each dim to 16 equal-width buckets of
+    // its own domain first (what OPTIMIZE ZORDER's range-id pass
+    // does), then interleave 4+4 bits. Stats stay on the RAW columns.
+    val (zx, zy, zn) = rangeSums(base
+      .withColumn("z", ops.zValue(
+        floor(col("ux") * 16 / (dx + 1)).cast("long"),
+        floor(col("vy") * 16 / (dy + 1)).cast("long"), 4))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z"))
+    val (lx, ly, _) = rangeSums(base
+      .repartitionByRange(16, col("ux")).sortWithinPartitions("ux"))
+    // Linear sort wins outright on its own key...
+    assert(lx < zx)
+    // ...but its trailing dim degenerates (each file spans ~the whole
+    // vy domain), while z-order must stay selective on BOTH dims:
+    // every file a bounded patch of the (ux, vy) plane — strictly
+    // better than the linear layout's blowup on vy, and under half
+    // the no-clustering-at-all bound (files × domain) on each dim.
+    assert(zy < ly / 2,
+      s"z-order vy range sum $zy not better than linear's $ly")
+    assert(zx < zn * dx / 2,
+      s"z-order ux range sum $zx ~unclustered (files=$zn, domain=$dx)")
+    assert(zy < zn * dy / 2,
+      s"z-order vy range sum $zy ~unclustered (files=$zn, domain=$dy)")
+  }
 }

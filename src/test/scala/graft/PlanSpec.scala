@@ -203,6 +203,15 @@ class PlanSpec extends SparkSpec {
       !filterLine.contains("Invoke("), filterLine)
   }
 
+  test("q_sample_weighted pushes the top-k below the shuffle") {
+    // The rank<=k filter must execute as WindowGroupLimit with a
+    // Partial phase before the exchange — per-partition top-k, so the
+    // stratum shuffle carries O(partitions × k) rows, not the corpus.
+    val p = plan("q_sample_weighted")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("q_embed_quantize is a single projection pass over one scan") {
     // Quantization is per-row arithmetic: no aggregation across rows,
     // no join, one scan, and no exchange except the final oracle sort.
