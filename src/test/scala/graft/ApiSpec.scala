@@ -390,6 +390,61 @@ class ApiSpec extends SparkSpec {
     assert(out.head.getString(2).contains("2.5"))
   }
 
+  test("zValue interleaves bits exactly (a on even, b on odd positions)") {
+    import spark.implicits._
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (1L, 1L, 3L), (3L, 0L, 5L), (0L, 3L, 10L), (3L, 3L, 15L),
+      (255L, 255L, 65535L), (255L, 0L, 21845L))
+    val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("z", graft.api.ops.zValue(col("a"), col("b"), 8))
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === cases.toSet, s"got $out")
+  }
+
+  test("bloomSemiJoin equals the plain join even with false positives") {
+    import spark.implicits._
+    // fpp = 0.5 and an undersized sketch force false positives through
+    // the probe filter; the equi-join must still remove every one.
+    val probe = (1L to 1000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = Seq((3L, "a"), (500L, "b"), (997L, "c")).toDF("k", "bv")
+    val got = probe.bloomSemiJoin(build, "k",
+        expectedItems = 4, fpp = 0.5)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 500L, 997L))
+  }
+
+  test("weightedSample is deterministic and weight-biased") {
+    import spark.implicits._
+    // 500 light rows (w=1) vs 500 heavy (w=50), one stratum, k=100:
+    // heavy rows must dominate the sample, and a re-run must pick the
+    // exact same set (md5-derived randomness, no RNG drift).
+    val df = (1L to 1000L)
+      .map(i => (i, if (i % 2 == 0) 50.0 else 1.0, "s"))
+      .toDF("id", "w", "g")
+    def pick(): Seq[Long] = df.weightedSample(col("id"), col("w"),
+      col("g"), k = 100).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val a = pick()
+    assert(a === pick(), "weighted sample drifted between runs")
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy >= 85, s"expected heavy-weight dominance, got $heavy/100")
+  }
+
+  test("dupNgramStats scores a planted shared span, zero for unique docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // shares no span
+      (2L, "p q r s t u v w"),       // shares s t u with 3
+      (3L, "x y s t u z k m")        // shares s t u with 2
+    ).toDF("id", "text")
+    val out = df.dupNgramStats(col("id"), split(col("text"), " "), 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(1L) === 0L, "unique doc must have zero duplicated grams")
+    // docs 2 and 3 each contain exactly one shared trigram: 's t u'.
+    assert(out(2L) === 1L && out(3L) === 1L, s"got $out")
+  }
+
   test("sealEnvelope/openEnvelope roundtrip and verify on any frame") {
     import spark.implicits._
     val dek = "0123456789abcdef".getBytes("UTF-8")
