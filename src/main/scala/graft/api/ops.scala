@@ -229,6 +229,103 @@ object ops {
       }
     }
 
+    /** One-scan column profiling (the Deequ/dbt-style data-quality
+      * gate a pipeline runs before training ingestion): per column —
+      * row count, null count, exact distinct count, and min/max
+      * (numeric columns as 4dp doubles; string columns
+      * lexicographically, in separate columns so no double ever
+      * stringifies — double→string formatting is engine-specific).
+      * `cols` maps column name → isNumeric. Output: one row per
+      * profiled column.
+      *
+      * Shape: ONE wide aggregate over a single scan (4·|cols| agg
+      * expressions), pivoted to long form by a pure projection
+      * (inline array-of-structs explode of the 1-row result). The
+      * exact `countDistinct`s Expand the scan |cols|-fold pre-shuffle;
+      * that is the oracle-checkable form — at 100 TB flip
+      * `exact = false` and every distinct count becomes a mergeable
+      * HLL sketch (`approx_count_distinct`), Expand-free, same output
+      * schema. Min/max/count partial-aggregate either way.
+      */
+    def profileColumns(cols: Seq[(String, Boolean)],
+                       exact: Boolean = true): DataFrame = {
+      require(cols.nonEmpty, "profileColumns: no columns given")
+      val aggs = cols.flatMap { case (c, isNum) =>
+        val nd = if (exact) countDistinct(col(c))
+                 else approx_count_distinct(col(c))
+        Seq(
+          count(lit(1)).as(s"__${c}_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+          nd.as(s"__${c}_nd")) ++ (
+          if (isNum) Seq(
+            min(col(c)).cast("double").as(s"__${c}_minn"),
+            max(col(c)).cast("double").as(s"__${c}_maxn"))
+          else Seq(
+            min(col(c).cast("string")).as(s"__${c}_mins"),
+            max(col(c).cast("string")).as(s"__${c}_maxs")))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map { case (c, isNum) =>
+        struct(
+          lit(c).as("col_name"),
+          col(s"__${c}_rows").as("n_rows"),
+          col(s"__${c}_nulls").as("n_nulls"),
+          col(s"__${c}_nd").as("n_distinct"),
+          (if (isNum) round(col(s"__${c}_minn"), 4)
+           else lit(null).cast("double")).as("min_num"),
+          (if (isNum) round(col(s"__${c}_maxn"), 4)
+           else lit(null).cast("double")).as("max_num"),
+          (if (isNum) lit(null).cast("string")
+           else col(s"__${c}_mins")).as("min_str"),
+          (if (isNum) lit(null).cast("string")
+           else col(s"__${c}_maxs")).as("max_str"))
+      }
+      one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    }
+
+    /** Asymmetric containment pairs: C(A→B) = |tok(A) ∩ tok(B)| / |tok(A)|
+      * — the sub-document duplication signal Jaccard misses. A short doc
+      * quoted whole inside a long one has low Jaccard (the union is
+      * large) but containment ≈ 1, so dedup recipes test both. Output:
+      * (inner_id, outer_id, containment) for ordered pairs with
+      * C(inner→outer) ≥ `threshold`, inner ≠ outer, within `block`.
+      *
+      * Shape: same inverted-index token join as [[jaccardPairs]]
+      * (tokens shuffle once, pair overlap counts come from one
+      * hash-agg over d1<d2 candidates — symmetric, so each unordered
+      * pair is counted ONCE), then both directed containments are
+      * derived from that single overlap row and filtered — direction
+      * costs a projection, not a second join. Tie-proof floor rounding
+      * (counts are non-negative; p/q ratios with tiny q land exactly
+      * on 4dp ties, where HALF_UP vs half-even diverge).
+      */
+    def containmentPairs(id: Column, tokset: Column, block: Column,
+                         threshold: Double): DataFrame = {
+      val base = df.select(block.as("blk"), id.as("did"), tokset.as("ts"))
+      val sizes = base.select(col("did"), size(col("ts")).as("sz"))
+      val tok = base.select(col("blk"), col("did"),
+        explode(col("ts")).as("tok"))
+      val a = tok.select(col("blk"), col("tok"), col("did").as("d1"))
+      val b = tok.select(col("blk").as("blk_b"), col("tok").as("tok_b"),
+        col("did").as("d2"))
+      val common = a.join(b, a("blk") === b("blk_b") &&
+          a("tok") === b("tok_b") && a("d1") < b("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      val withSizes = common
+        .join(sizes.select(col("did").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("did").as("d2"), col("sz").as("sz2")), "d2")
+      val fwd = withSizes.select(col("d1").as("inner_id"),
+        col("d2").as("outer_id"),
+        (col("common").cast("double") / col("sz1")).as("c"))
+      val rev = withSizes.select(col("d2").as("inner_id"),
+        col("d1").as("outer_id"),
+        (col("common").cast("double") / col("sz2")).as("c"))
+      fwd.unionByName(rev)
+        .withColumn("containment", floor(col("c") * 10000 + 0.5) / 10000)
+        .filter(col("containment") >= threshold)
+        .select("inner_id", "outer_id", "containment")
+    }
+
     /** Connected components over an undirected pair list (`a`, `b`) —
       * the step that turns near-dup PAIRS into dedup CLUSTERS so a
       * pipeline can keep exactly one canonical doc per cluster
@@ -277,6 +374,51 @@ object ops {
       require(done,
         s"connectedComponents: not converged after $maxIter iterations")
       labels
+    }
+
+    /** Fixed-iteration PageRank over an undirected edge list (columns
+      * `a`, `b`; node ids must be globally unique across both columns).
+      * rank₀ = 1.0; rankᵢ₊₁(v) = (1−d) + d·Σ_{u∼v} rankᵢ(u)/deg(u).
+      * Undirected edges mean every node has deg ≥ 1, so there are no
+      * dangling nodes and no mass-leak correction term. Output:
+      * (id, rank) — UNROUNDED; callers round for oracle compares.
+      *
+      * Scale shape: the edge list is deduped + localCheckpoint'd once
+      * and reused every iteration (at 100 TB the edge build dominates;
+      * re-deriving it per iteration would rescan the fact table
+      * `iters` times); degrees ride along on the same checkpoint, so
+      * each iteration is exactly one shuffle-join (edges ⋈ ranks on
+      * the source id) + one partial-agg'd sum — the textbook
+      * distributed PageRank step. Ranks are checkpointed per iteration
+      * to cut the lineage (an uncheckpointed loop replans the whole
+      * prefix each time, quadratic plan growth).
+      */
+    def pageRank(a: String, b: String, iters: Int = 3,
+                 damping: Double = 0.85): DataFrame = {
+      require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+      val half = df.select(col(a).as("s"), col(b).as("t"))
+      // Hash-partition the checkpointed edges on the join key ONCE:
+      // LogicalRDD keeps the physical partitioning, so none of the
+      // `iters` joins below re-exchanges the (large) edge side — only
+      // the rank side (O(nodes)) shuffles per iteration.
+      val edges = half
+        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+        .distinct().repartition(col("s")).localCheckpoint()
+      val deg = edges.groupBy("s").agg(count(lit(1)).as("_deg"))
+      val withDeg = edges.join(deg, "s").localCheckpoint()
+      var ranks = edges.select(col("s").as("id")).distinct()
+        .withColumn("rank", lit(1.0)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        ranks = withDeg
+          .join(ranks.withColumnRenamed("id", "s"), "s")
+          .select(col("t").as("id"),
+            (col("rank") / col("_deg")).as("_c"))
+          .groupBy("id")
+          .agg((lit(1.0 - damping) + lit(damping) * sum(col("_c")))
+            .as("rank"))
+          .localCheckpoint()
+      }
+      ranks
     }
 
     /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)
@@ -586,6 +728,49 @@ object ops {
           sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
         .withColumn("dup_frac",
           floor(col("n_dup") * lit(10000.0) / col("n_grams") + 0.5) / 10000)
+    }
+
+    /** Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
+      * flag every TRAINING document sharing at least one token n-gram
+      * with an EVAL-set document, so contaminated examples can be
+      * dropped before pre-training. `isEval` partitions the input into
+      * the eval set (true) and the training corpus (false). Output, one
+      * row per training doc with ≥ n tokens: (doc_id, n_grams distinct
+      * grams, n_contaminated grams shared with eval, contaminated).
+      * Training docs shorter than n tokens carry no grams and are
+      * excluded — document-level policy for those belongs upstream.
+      *
+      * Scale shape: grams are built with the same pure-projection
+      * transform as [[dupNgramStats]] (no window, no shuffle) and only
+      * md5 digests shuffle. The eval side is DISTINCT gram digests of
+      * the eval set only — benchmarks are MBs against a TB-scale
+      * corpus, so it is explicitly broadcast: the contamination check
+      * costs zero extra shuffles of the training corpus (a map-side
+      * hash probe), which is the only shape that survives 100 TB. The
+      * instance table feeds both sides, so it is checkpointed once.
+      */
+    def ngramDecontaminate(id: Column, tokens: Column, isEval: Column,
+                           n: Int): DataFrame = {
+      require(n >= 2 && n <= 32, s"n must be in [2, 32], got $n")
+      val grams = when(size(col("_t")) >= n,
+        transform(sequence(lit(0), size(col("_t")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j =>
+              element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>"))
+      val inst = df
+        .select(id.as("doc_id"), isEval.as("_ev"), tokens.as("_t"))
+        .select(col("doc_id"), col("_ev"), explode(grams).as("_gs"))
+        .select(col("doc_id"), col("_ev"), md5(col("_gs")).as("_g"))
+        .localCheckpoint()
+      val evalGrams = inst.filter(col("_ev")).select("_g").distinct()
+        .withColumn("_hit", lit(1L))
+      inst.filter(!col("_ev")).select("doc_id", "_g").distinct()
+        .join(broadcast(evalGrams), Seq("_g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
     }
 
     /** Data-driven language/label ID: build per-label token profiles

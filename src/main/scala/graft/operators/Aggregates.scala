@@ -276,7 +276,74 @@ object Aggregates extends QueryModule {
       .orderBy("r_name")
   }
 
+  /** Exact φ-heavy-hitters over the token stream: terms holding more
+    * than 1/50 of all token occurrences. Support-threshold semantics
+    * (not top-k — the output size is data-dependent). The integer
+    * comparison `cnt * 50 > total` avoids a float threshold, so the
+    * cut is exact in both engines. Term counts feed both the total and
+    * the filter, so they're checkpointed once (vocab-sized, tiny).
+    *
+    * This is the exact two-pass twin of the one-pass bounded-memory
+    * Misra–Gries summary ([[graft.functions.MisraGriesAgg]],
+    * QualitySpec): at 100 TB the MG aggregator answers the same
+    * question in one scan with k counters per partition; the exact
+    * form here is what the oracle can verify.
+    */
+  val aggHeavyHitters: Q = (spark, dir) => {
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 50 > col("total"))
+      .select(col("term"), col("cnt"))
+      .orderBy("term")
+  }
+
+  /** Equi-width histogram of lineitem extended price: 20 buckets of
+    * width 5500 from 0 (prices span ~[900, 105k] at every SF; the top
+    * bucket is clamped so outliers can't fall off the edge). Bucket
+    * assignment is a pure projection folded into the scan; one
+    * partial-agg'd hash-agg. avg/min/max are emitted instead of sum:
+    * a 60k-term double sum's FP error (~1e-6 absolute) sits too close
+    * to the 4dp rounding boundary for a cross-engine hash, while the
+    * same error divided by the bucket count is ~1e-10 — safe.
+    */
+  val aggHistogram: Q = (spark, dir) => {
+    import Norm.r4tie
+    Tables(spark, dir, "lineitem")
+      .withColumn("bucket",
+        least(floor(col("l_extendedprice") / 5500.0), lit(19.0))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        r4tie(avg(col("l_extendedprice"))).as("avg_price"),
+        Norm.r4(min(col("l_extendedprice"))).as("min_price"),
+        Norm.r4(max(col("l_extendedprice"))).as("max_price"))
+      .orderBy("bucket")
+  }
+
+  /** One-scan column profile of `orders` (2 numeric + 2 string + the
+    * key): the pre-ingestion data-quality gate. Exact distinct counts
+    * here (oracle-checkable); `exact = false` is the documented
+    * HLL scale path. See
+    * [[graft.api.ops.GraftDataFrameOps.profileColumns]].
+    */
+  val aggProfile: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "orders")
+      .profileColumns(Seq(
+        "o_orderkey" -> true, "o_custkey" -> true,
+        "o_orderstatus" -> false, "o_totalprice" -> true,
+        "o_orderpriority" -> false))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_profile" -> aggProfile,
+    "q_agg_heavy_hitters" -> aggHeavyHitters,
+    "q_agg_histogram" -> aggHistogram,
     "q_agg_string_agg" -> aggStringAgg,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
@@ -295,6 +362,63 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               round(CAST(min(o_custkey) AS DOUBLE), 4) AS min_num,
+               round(CAST(max(o_custkey) AS DOUBLE), 4) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+               count(DISTINCT o_orderkey),
+               round(CAST(min(o_orderkey) AS DOUBLE), 4),
+               round(CAST(max(o_orderkey) AS DOUBLE), 4),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               NULL, NULL,
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               NULL, NULL,
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               round(CAST(min(o_totalprice) AS DOUBLE), 4),
+               round(CAST(max(o_totalprice) AS DOUBLE), 4),
+               NULL, NULL
+        FROM orders)
+      ORDER BY col_name""",
+    "q_agg_heavy_hitters" -> """
+      WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      tot AS (SELECT sum(cnt) AS total FROM c)
+      SELECT term, cnt FROM c, tot
+      WHERE cnt * 50 > total
+      ORDER BY term""",
+    "q_agg_histogram" -> """
+      SELECT CAST(least(floor(l_extendedprice / 5500.0), 19.0) AS BIGINT)
+               AS bucket,
+             count(*) AS cnt,
+             floor(avg(l_extendedprice) * 10000 + 0.5) / 10000
+               AS avg_price,
+             round(min(l_extendedprice), 4) AS min_price,
+             round(max(l_extendedprice), 4) AS max_price
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bucket""",
     "q_agg_conditional" -> """
       SELECT o_orderstatus,
              count_if(o_totalprice > 150000) AS n_big,

@@ -40,6 +40,18 @@ object Dedup extends QueryModule {
         struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
       .orderBy("d1", "d2")
 
+  /** Asymmetric containment ≥ 0.9 within (source, lang) blocks — the
+    * sub-document signal: a short doc quoted whole inside a long one
+    * scores containment ≈ 1 where Jaccard stays low. Directed output
+    * (inner contained-in outer) from ONE symmetric overlap join. See
+    * [[graft.api.ops.GraftDataFrameOps.containmentPairs]].
+    */
+  val dedupContainment: Q = (spark, dir) =>
+    docsWithTokens(spark, dir)
+      .containmentPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.9)
+      .orderBy("inner_id", "outer_id")
+
   /** MinHash/LSH near-dup dedup → per-doc keep/discard flag. 128
     * hashes banded 8 × 16 — a steep s-curve, needed because this
     * synthetic corpus has background token-set Jaccard ≈ 0.62 (tiny
@@ -127,6 +139,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -152,6 +165,31 @@ object Dedup extends QueryModule {
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8
       ORDER BY d1, d2""",
+    "q_dedup_containment" -> """
+      WITH d AS (SELECT doc_id, source, lang,
+                        list_distinct(string_split(text, ' ')) AS tokset
+                 FROM documents),
+      p AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               len(list_intersect(a.tokset, b.tokset)) AS common,
+               len(a.tokset) AS sz1, len(b.tokset) AS sz2
+        FROM d a JOIN d b
+          ON a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id),
+      dirs AS (
+        SELECT d1 AS inner_id, d2 AS outer_id,
+               floor(CAST(common AS DOUBLE) / sz1 * 10000 + 0.5) / 10000
+                 AS containment
+        FROM p
+        UNION ALL
+        SELECT d2 AS inner_id, d1 AS outer_id,
+               floor(CAST(common AS DOUBLE) / sz2 * 10000 + 0.5) / 10000
+                 AS containment
+        FROM p)
+      SELECT inner_id, outer_id, containment
+      FROM dirs
+      WHERE containment >= 0.9
+      ORDER BY inner_id, outer_id""",
     "q_dedup_components" -> """
       WITH RECURSIVE d AS (
         SELECT doc_id, source, lang,

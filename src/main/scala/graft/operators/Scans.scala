@@ -36,8 +36,8 @@ object Scans extends QueryModule {
           catch { case _: java.io.IOException => () })
     }
 
-  private def tmpPath(spark: org.apache.spark.sql.SparkSession,
-                      name: String): String = {
+  private[graft] def tmpPath(spark: org.apache.spark.sql.SparkSession,
+                             name: String): String = {
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_sinks_${spark.sparkContext.applicationId}")
@@ -168,6 +168,89 @@ object Scans extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Count the parquet data files under a sink dir (driver-side FS
+    * metadata listing — the lake-maintenance plane, not a data read).
+    * Exposed for BucketingSpec's compaction assertions.
+    */
+  private[graft] def parquetFileCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Small-file compaction — the lake-maintenance op every streaming
+    * ingest needs: micro-batches leave thousands of KB-sized files,
+    * and scan throughput dies on file-open overhead long before I/O.
+    * Here a fragmented copy (16 files) is rewritten to
+    * ceil(totalBytes / 128 MB) files — sized from a driver-side FS
+    * metadata listing, never a data scan — via `coalesce` (no shuffle:
+    * compaction is a read+concat, repartition would shuffle the whole
+    * table to achieve the same file count). At 100 TB this runs
+    * per-partition-directory with the same arithmetic. The read-back
+    * is the scored result, so the oracle verifies compaction is
+    * byte-lossless; BucketingSpec pins the 16 → 1 file-count change.
+    */
+  val lakeCompact: Q = (spark, dir) => {
+    val frag = tmpPath(spark, "compact_frag")
+    Tables(spark, dir, "documents")
+      .repartition(16)
+      .write.mode("overwrite").parquet(frag)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(frag))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val targetFileBytes = 128L << 20
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val out = tmpPath(spark, "compact_out")
+    spark.read.parquet(frag).coalesce(nOut)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Dynamic partition overwrite — the lake write mode every
+    * incremental batch job needs: `INSERT OVERWRITE` replaces ONLY the
+    * partitions present in the incoming frame, leaving sibling
+    * partitions untouched (static mode would truncate the whole
+    * table). Here: orders land partitioned by status; a corrected
+    * recomputation of just the 'F' partition (10% price cut) is
+    * overwritten in dynamic mode; the read-back proves 'F' changed
+    * and 'O'/'P' survived byte-identical. At 100 TB this is the
+    * difference between rewriting one day's partition and rewriting
+    * the table. The session conf flips around the write only and is
+    * restored (finally) — overwrite semantics are a write-time
+    * property, not a plan property.
+    */
+  val lakeDynOverwrite: Q = (spark, dir) => {
+    val base = tmpPath(spark, "dyn_overwrite")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    orders.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(base)
+    val corrected = orders.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try corrected.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(base)
+    finally prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    spark.read.parquet(base)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Norm.r4tie(col("o_totalprice")).as("totalprice"),
+        col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** Conjunct / disjunct / IN / BETWEEN / IS NOT NULL predicate mix. */
   val filterComplex: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
@@ -222,6 +305,8 @@ object Scans extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_lake_compact" -> lakeCompact,
+    "q_lake_dyn_overwrite" -> lakeDynOverwrite,
     "q_lake_zorder" -> lakeZorder,
     "q_scan_project" -> scanProject,
     "q_scan_filter_pushdown" -> scanFilterPushdown,
@@ -236,6 +321,19 @@ object Scans extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lake_compact" -> """
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      ORDER BY doc_id""",
+    "q_lake_dyn_overwrite" -> """
+      SELECT o_orderkey, o_custkey,
+             floor(CASE WHEN o_orderstatus = 'F'
+                        THEN o_totalprice * CAST(0.9 AS DOUBLE)
+                        ELSE o_totalprice END * 10000 + 0.5) / 10000
+               AS totalprice,
+             o_orderstatus
+      FROM orders
+      ORDER BY o_orderkey""",
     "q_lake_zorder" -> s"""
       WITH e AS (
         SELECT event_id, user_id % 256 AS ux,

@@ -272,7 +272,29 @@ object StreamScored extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** Streaming top-k: the watermarked windowed counts drained in
+    * Complete mode, then ranked top-2 event types per window in batch
+    * over the (windows × types)-sized sink table — the standard
+    * "trending items per window" dashboard shape. The rank runs where
+    * it belongs: post-sink over the bounded aggregate (state stores
+    * can't maintain a global rank; re-ranking the small Complete-mode
+    * output each trigger is the production pattern too).
+    */
+  val streamTopk: Q = (spark, dir) => {
+    val counts =
+      Streams.watermarkedCounts(Streams.eventsFileStream(spark, dir))
+    val t = runToTable(counts, OutputMode.Complete(), "graft_stream_topk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+    t.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(Norm.tstr(col("wstart")).as("wstart"), col("event_type"),
+        col("n"), col("rk"))
+      .orderBy("wstart", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_topk" -> streamTopk,
     "q_stream_enrich" -> streamEnrich,
     "q_stream_session" -> streamSession,
     "q_stream_decrypt" -> streamDecrypt,
@@ -285,6 +307,22 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk" -> """
+      WITH c AS (
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                 '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      r AS (
+        SELECT wstart, event_type, n,
+               row_number() OVER (
+                 PARTITION BY wstart
+                 ORDER BY n DESC, event_type ASC) AS rk
+        FROM c)
+      SELECT wstart, event_type, n, rk
+      FROM r WHERE rk <= 2
+      ORDER BY wstart, rk""",
     "q_stream_enrich" -> """
       SELECT n_name, count(*) AS n_events,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents

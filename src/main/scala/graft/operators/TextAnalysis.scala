@@ -311,6 +311,22 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination at n=3 (the fixture's ~20-token docs;
+    * the plan is n-invariant — production uses the paper's n=13). The
+    * eval set is carved deterministically from the corpus
+    * (doc_id % 17 = 0 stands in for a held-out benchmark); every
+    * training doc sharing a 3-gram with it is flagged. See
+    * [[graft.api.ops.GraftDataFrameOps.ngramDecontaminate]] for the
+    * broadcast-eval-side, digests-only-shuffle design.
+    */
+  val textDecontaminate: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "documents")
+      .ngramDecontaminate(col("doc_id"), split(col("text"), " "),
+        col("doc_id") % 17 === 0, n = 3)
+      .orderBy("doc_id")
+  }
+
   /** Weighted deterministic sampling: 20 docs per language, inclusion
     * odds ∝ n_chars (longer docs carry more training signal per
     * document; mixture weighting is the standard corpus-blend knob).
@@ -325,6 +341,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_text_decontaminate" -> textDecontaminate,
     "q_sample_weighted" -> sampleWeighted,
     "q_text_dup_ngrams" -> textDupNgrams,
     "q_text_repetition" -> textRepetition,
@@ -345,6 +362,29 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, doc_id % 17 = 0 AS ev,
+               string_split(text, ' ') AS t
+        FROM documents),
+      inst AS (
+        SELECT DISTINCT doc_id, ev,
+               md5(array_to_string(t[i:i+2], ' ')) AS g
+        FROM (SELECT doc_id, ev, t,
+                     unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      ev_grams AS (
+        SELECT DISTINCT g FROM inst WHERE ev),
+      train AS (
+        SELECT doc_id, g FROM inst WHERE NOT ev)
+      SELECT t.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_contaminated,
+             sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS contaminated
+      FROM train t LEFT JOIN ev_grams e ON t.g = e.g
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
     "q_sample_weighted" -> """
       WITH h AS (
         SELECT doc_id, lang, n_chars,

@@ -459,4 +459,39 @@ class ApiSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq === Seq("hello", "world"))
     assert(out.forall(_.getBoolean(2)))
   }
+
+  test("pageRank: mass conservation, positivity, hub outranks leaves") {
+    import spark.implicits._
+    // Star graph: hub 0 joined to leaves 101..110. Undirected PageRank
+    // has the invariant sum(rank) = N at every iteration (no dangling
+    // nodes), and the hub must dominate every leaf.
+    val edges = (101L to 110L).map(l => (0L, l)).toDF("a", "b")
+    val pr = edges.pageRank("a", "b", iters = 3)
+    val rows = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size === 11)
+    assert(rows.values.forall(_ > 0))
+    val total = rows.values.sum
+    assert(math.abs(total - 11.0) < 1e-9, s"mass not conserved: $total")
+    val hub = rows(0L)
+    (101L to 110L).foreach(l => assert(hub > rows(l),
+      s"hub $hub not above leaf ${rows(l)}"))
+  }
+
+  test("ngramDecontaminate: planted overlap flags exactly the overlapping doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e", false),   // shares trigram "a b c" with eval
+      (2L, "x y z w v", false),   // clean
+      (3L, "a b c q r", true),    // the eval doc
+      (4L, "a b", false)          // shorter than n: excluded
+    ).toDF("id", "text", "ev")
+    val out = df.ngramDecontaminate(col("id"), split(col("text"), " "),
+        col("ev"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_contaminated"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(out.keySet === Set(1L, 2L), s"got ${out.keySet}")
+    assert(out(1L) === ((1L, true)), s"got ${out(1L)}")
+    assert(out(2L) === ((0L, false)), s"got ${out(2L)}")
+  }
 }

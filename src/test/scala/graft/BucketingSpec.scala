@@ -127,4 +127,18 @@ class BucketingSpec extends SparkSpec {
     assert(zy < zn * dy / 2,
       s"z-order vy range sum $zy ~unclustered (files=$zn, domain=$dy)")
   }
+
+  test("small-file compaction: 16 fragment files -> 1 file, lossless") {
+    import graft.operators.Scans
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val r = SparkEntry.queries("q_lake_compact")(spark, sfDir)
+    assert(r.count() === nDocs, "compaction dropped or duplicated rows")
+    val frag = Scans.tmpPath(spark, "compact_frag")
+    val out = Scans.tmpPath(spark, "compact_out")
+    assert(Scans.parquetFileCount(spark, frag) === 16,
+      "fragmented copy should have 16 data files")
+    // 500 docs is well under the 128 MB target -> exactly one file.
+    assert(Scans.parquetFileCount(spark, out) === 1,
+      "compacted copy should be a single data file")
+  }
 }

@@ -221,4 +221,27 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "FileScan") === 1, p)
     assert(countOcc(p, "Exchange") === 1, p) // the oracle's sort only
   }
+
+  test("q_text_decontaminate probes eval grams via broadcast") {
+    // The contamination check must be a map-side hash probe of the
+    // (small) eval gram set -- a shuffled join here would reshuffle
+    // the whole training corpus at 100 TB.
+    val p = plan("q_text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_agg_heavy_hitters broadcasts the 1-row total, partial-aggs counts") {
+    val p = plan("q_agg_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("q_agg_profile: one scan feeds all column profiles") {
+    // The profiler's contract is ONE pass over the table -- per-column
+    // scans would read the 100 TB input once per profiled column.
+    val p = plan("q_agg_profile")
+    assert(countOcc(p, "Scan parquet") === 1, p)
+    assert(p.contains("Expand"), p) // exact countDistinct form
+  }
 }

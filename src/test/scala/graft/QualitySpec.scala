@@ -352,4 +352,33 @@ class QualitySpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
+
+  test("Misra-Gries: heavy-hitter superset + estimate bounds under merge") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAgg
+    // Planted skew: 10 heavy items (550..1000 occurrences) over 5000
+    // singletons of noise; deterministic interleave via a Knuth-hash
+    // sort so the one-pass order is adversarial-ish, not sorted.
+    val heavy = (0 until 10).flatMap(i => Seq.fill(1000 - 50 * i)(i.toLong))
+    val noise = (10000L until 15000L).toSeq
+    val all = (heavy ++ noise).sortBy(x => x * 2654435761L % 1000003L)
+    val n = all.size.toLong
+    val k = 50
+    val bound = n / (k + 1)
+    val res = spark.createDataset(all).repartition(8)
+      .select(MisraGriesAgg.column(k)(col("value")))
+      .head.getAs[Map[Long, Long]](0)
+    assert(res.size <= k, s"summary exceeded k: ${res.size}")
+    val trueCounts = all.groupBy(identity).map { case (x, v) =>
+      x -> v.size.toLong }
+    // Completeness: every true phi-heavy item survives the merges.
+    trueCounts.filter(_._2 > bound).foreach { case (item, f) =>
+      assert(res.contains(item),
+        s"heavy item $item (f=$f > n/(k+1)=$bound) missing") }
+    // Soundness: estimates never exceed truth, undercount <= n/(k+1).
+    res.foreach { case (item, e) =>
+      val f = trueCounts.getOrElse(item, 0L)
+      assert(e <= f, s"overcount for $item: est=$e > f=$f")
+      assert(e >= f - bound, s"undercount for $item: est=$e < ${f - bound}") }
+  }
 }
