@@ -359,16 +359,23 @@ object ops {
       var it = 0
       var done = false
       while (!done && it < maxIter) {
+        // The previous label rides through the same union + min-agg
+        // (tagged rows; prev is unique per id, so min() recovers it),
+        // so the convergence probe is a cheap filter on the already-
+        // checkpointed result — NOT a second edges-sized join per
+        // round, which previously cost each iteration an extra
+        // shuffle of the whole label frame.
         val next = edges
           .join(labels.select(col("id").as("t"), col("comp")), "t")
-          .select(col("s").as("id"), col("comp"))
-          .unionByName(labels)
-          .groupBy("id").agg(min("comp").as("comp"))
+          .select(col("s").as("id"), col("comp"),
+            when(lit(false), col("comp")).as("prev"))
+          .unionByName(labels.select(col("id"), col("comp"),
+            col("comp").as("prev")))
+          .groupBy("id").agg(min("comp").as("comp"),
+            min("prev").as("prev"))
           .localCheckpoint()
-        done = next
-          .join(labels.select(col("id"), col("comp").as("prev")), "id")
-          .filter(col("comp") =!= col("prev")).isEmpty
-        labels = next
+        done = next.filter(col("comp") =!= col("prev")).isEmpty
+        labels = next.select(col("id"), col("comp"))
         it += 1
       }
       require(done,
