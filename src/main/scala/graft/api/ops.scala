@@ -229,6 +229,44 @@ object ops {
       }
     }
 
+    /** Vocabulary-encode documents to token ids — the tokenizer-
+      * adjacent preprocessing step between text cleaning and training:
+      * build a frequency-ranked vocab (id = dense rank by count desc,
+      * term asc; 1-based), map every token to its id (OOV → 0), and
+      * emit per-doc stats plus the first `preview` ids in POSITION
+      * order. Output: (doc_id, n_tokens, n_oov, ids — comma-joined
+      * preview).
+      *
+      * Shape: tokens explode once and shuffle once (the per-doc
+      * re-agg); the vocab is vocab-sized (not corpus-sized) and
+      * broadcast into the id join, so encoding is a map-side probe.
+      * The ranking window is a single partition over the VOCAB — that
+      * is the knob-bounded frame (millions of terms, not billions of
+      * tokens); position order is recovered with one array_sort of
+      * (pos, id) structs per doc, never a second window over the
+      * token stream.
+      */
+    def encodeTokenIds(id: Column, tokens: Column, vocabSize: Int,
+                       preview: Int = 10): DataFrame = {
+      require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+      val tok = df.select(id.as("doc_id"), posexplode(tokens)
+        .as(Seq("pos", "term")))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("_cnt"))
+        .withColumn("tid", row_number().over(
+          Window.orderBy(col("_cnt").desc, col("term"))))
+        .filter(col("tid") <= vocabSize)
+        .select("term", "tid")
+      tok.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("tid", coalesce(col("tid"), lit(0)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+          concat_ws(",", slice(transform(
+            array_sort(collect_list(struct(col("pos"), col("tid")))),
+            s => s.getField("tid").cast("string")), 1, preview))
+            .as("ids"))
+    }
+
     /** One-scan column profiling (the Deequ/dbt-style data-quality
       * gate a pipeline runs before training ingestion): per column —
       * row count, null count, exact distinct count, and min/max

@@ -213,6 +213,30 @@ object Scans extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Schema evolution on read (`mergeSchema`) — the lake reality that
+    * old batches lack columns newer batches added. Batch 1 lands
+    * (key, price); batch 2 adds `o_orderpriority`; one merged-footer
+    * read returns the union schema with NULLs where the early files
+    * have no column — no rewrite of the old data, which at 100 TB is
+    * the whole point (re-materializing history per schema change is a
+    * full-table write). Footer merging is an O(files) metadata
+    * operation, not a data scan.
+    */
+  val lakeSchemaEvolve: Q = (spark, dir) => {
+    val base = tmpPath(spark, "schema_evolve")
+    val orders = Tables(spark, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), Norm.r4(col("o_totalprice")).as("totalprice"))
+      .write.mode("overwrite").parquet(s"$base/b1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), Norm.r4(col("o_totalprice")).as("totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$base/b2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/b1", s"$base/b2")
+      .orderBy("o_orderkey")
+  }
+
   /** Dynamic partition overwrite — the lake write mode every
     * incremental batch job needs: `INSERT OVERWRITE` replaces ONLY the
     * partitions present in the incoming frame, leaving sibling
@@ -307,6 +331,7 @@ object Scans extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_lake_compact" -> lakeCompact,
     "q_lake_dyn_overwrite" -> lakeDynOverwrite,
+    "q_lake_schema_evolve" -> lakeSchemaEvolve,
     "q_lake_zorder" -> lakeZorder,
     "q_scan_project" -> scanProject,
     "q_scan_filter_pushdown" -> scanFilterPushdown,
@@ -325,6 +350,15 @@ object Scans extends QueryModule {
       SELECT doc_id, lang, source, n_chars
       FROM documents
       ORDER BY doc_id""",
+    "q_lake_schema_evolve" -> """
+      SELECT o_orderkey, round(o_totalprice, 4) AS totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, round(o_totalprice, 4) AS totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 2 <> 0
+      ORDER BY o_orderkey""",
     "q_lake_dyn_overwrite" -> """
       SELECT o_orderkey, o_custkey,
              floor(CASE WHEN o_orderstatus = 'F'

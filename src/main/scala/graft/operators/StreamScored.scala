@@ -293,7 +293,53 @@ object StreamScored extends QueryModule {
       .orderBy("wstart", "rk")
   }
 
+  /** CDC-apply, scored: a streaming change feed (purchase events)
+    * folded into a batch base snapshot (per-user click totals) by
+    * per-batch `mergeUpsert` inside `foreachBatch` — what Delta's
+    * streaming MERGE runs under the hood, here on plain frames.
+    * Matched users take the change value, untouched users survive,
+    * change-only users insert. AvailableNow over the single-file
+    * source is one batch, so the drained snapshot is deterministic;
+    * the per-batch `max` reduction enforces mergeUpsert's unique-key
+    * precondition batch-locally (the production requirement too).
+    * StreamingSpec drives the genuinely multi-batch version.
+    */
+  val streamCdcApply: Q = (spark, dir) => {
+    import graft.api.ops._
+    var snapshot = graft.Tables(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").agg((count(lit(1)) * 10).as("cents"))
+      .localCheckpoint()
+    val changes = Streams.eventsFileStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val confKey = "spark.sql.streaming.forceDeleteTempCheckpointLocation"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      val q = changes.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val perKey = batch.groupBy("user_id")
+            .agg(max("cents").as("cents"))
+          snapshot = snapshot.mergeUpsert(perKey, "user_id")
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    snapshot.orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_cdc" -> streamCdcApply,
     "q_stream_topk" -> streamTopk,
     "q_stream_enrich" -> streamEnrich,
     "q_stream_session" -> streamSession,
@@ -307,6 +353,19 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_cdc" -> """
+      WITH base AS (
+        SELECT user_id, count(*) * 10 AS cents
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+      chg AS (
+        SELECT user_id,
+               max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT coalesce(b.user_id, c.user_id) AS user_id,
+             CASE WHEN c.user_id IS NOT NULL THEN c.cents
+                  ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      ORDER BY user_id""",
     "q_stream_topk" -> """
       WITH c AS (
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),

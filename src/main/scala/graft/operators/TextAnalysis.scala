@@ -340,7 +340,20 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "rank")
   }
 
+  /** Token-id encoding against a 20-term frequency-ranked vocab (the
+    * corpus has 31 distinct terms, so OOV is exercised). See
+    * [[graft.api.ops.GraftDataFrameOps.encodeTokenIds]].
+    */
+  val textEncodeIds: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "documents")
+      .encodeTokenIds(col("doc_id"), split(col("text"), " "),
+        vocabSize = 20, preview = 10)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_encode_ids" -> textEncodeIds,
     "q_text_decontaminate" -> textDecontaminate,
     "q_sample_weighted" -> sampleWeighted,
     "q_text_dup_ngrams" -> textDupNgrams,
@@ -362,6 +375,29 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_encode_ids" -> """
+      WITH tok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+               unnest(toks) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)),
+      vocab AS (
+        SELECT term, tid FROM (
+          SELECT term,
+                 row_number() OVER (ORDER BY count(*) DESC, term ASC)
+                   AS tid
+          FROM tok GROUP BY term)
+        WHERE tid <= 20),
+      enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
+        FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+             string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
+               FILTER (WHERE pos < 10) AS ids
+      FROM enc
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "q_text_decontaminate" -> """
       WITH toks AS (
         SELECT doc_id, doc_id % 17 = 0 AS ev,

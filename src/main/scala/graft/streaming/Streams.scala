@@ -3,9 +3,9 @@ package graft.streaming
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Running per-user counters carried across micro-batches. */
@@ -34,6 +34,61 @@ class UserCountsProcessor
     rows.foreach { r => n += 1; s += r._2 }
     state.update(UserAggState(n, s))
     Iterator((key, n, s))
+  }
+}
+
+/** Open-session tracker: event count + last-activity millis. */
+case class SessionTrack(nEvents: Long, lastTs: Long)
+
+/** Session timeout via EVENT-TIME TIMERS (the `transformWithState`
+  * surface `session_window` can't express: arbitrary state plus a
+  * callback when the watermark passes a per-key deadline). Each input
+  * batch re-arms the key's close timer at lastActivity + gap; when the
+  * watermark crosses it, [[handleExpiredTimer]] emits the closed
+  * session ONCE and clears the key's state — bounded state with
+  * explicit eviction, the production pattern for abandoned-cart /
+  * inactivity pipelines. Stale timers (re-armed later by new activity)
+  * are detected by comparing the firing time against the CURRENT
+  * deadline and ignored — cheaper than delete-on-rearm, and correct
+  * even where `deleteTimer` races a concurrent expiry.
+  *
+  * Input: (user_id, tsMillis). Output: (user_id, n_events, closed) —
+  * open-session progress rows plus exactly one closed=true row per
+  * timed-out session.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Boolean)] {
+  @transient private var state: ValueState[SessionTrack] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionTrack]("sess",
+      Encoders.product[SessionTrack], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Boolean)] = {
+    val prev = if (state.exists()) state.get() else SessionTrack(0L, 0L)
+    var n = prev.nEvents
+    var last = prev.lastTs
+    rows.foreach { r => n += 1; if (r._2 > last) last = r._2 }
+    state.update(SessionTrack(n, last))
+    getHandle.registerTimer(last + gapMs)
+    Iterator((key, n, false))
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Boolean)] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val cur = state.get()
+      if (expired.getExpiryTimeInMs() < cur.lastTs + gapMs)
+        Iterator.empty // stale timer; a newer deadline is armed
+      else {
+        state.clear()
+        Iterator((key, cur.nEvents, true))
+      }
+    }
   }
 }
 
@@ -145,6 +200,30 @@ object Streams {
       .transformWithState(new UserCountsProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Per-user session timeout on event-time timers (see
+    * [[SessionTimeoutProcessor]]): a session closes — emitted once,
+    * state evicted — when the watermark passes lastActivity + `gap`.
+    * Watermark delay 0 keeps test drains deterministic: the watermark
+    * is exactly the max event time seen, so which sessions close is a
+    * pure function of the data.
+    */
+  def sessionTimeouts(events: DataFrame,
+                      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").cast("long"),
+        unix_millis(col("ts")).as("tsms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "closed")
   }
 
   /** Streaming session windows: per-user sessions with a 30 min

@@ -295,4 +295,30 @@ class StreamingSpec extends SparkSpec {
     }
     assert(out.count() === 0)
   }
+
+  test("s_session_timeout: event-time timer closes idle sessions, evicts state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.sessionTimeouts(in.toDF), "sesstimer", "append") { q =>
+      // Batch 1: user 7 active until 10:05, user 8 until 10:00.
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Ev(2, t("2024-01-01 10:05:00"), 7, "click", 1.0),
+        Ev(3, t("2024-01-01 10:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // Batch 2: only user 8 stays active; watermark jumps to 11:30,
+      // past user 7's 10:35 deadline -> 7's session closes. User 8's
+      // re-armed 12:00 deadline is beyond the watermark -> stays open,
+      // and the stale 10:30 timer from batch 1 must NOT close it.
+      in.addData(Ev(4, t("2024-01-01 11:30:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+    }
+    val closed = out.filter("closed").collect()
+    assert(closed.length === 1, s"expected exactly one closed session")
+    assert(closed.head.getAs[Long]("user_id") === 7L)
+    assert(closed.head.getAs[Long]("n_events") === 2L)
+    // Progress rows for both users were emitted while open.
+    assert(out.filter("user_id = 8 and not closed").count() >= 1)
+  }
 }
