@@ -451,17 +451,24 @@ object ops {
         .distinct().repartition(col("s")).localCheckpoint()
       val deg = edges.groupBy("s").agg(count(lit(1)).as("_deg"))
       val withDeg = edges.join(deg, "s").localCheckpoint()
-      var ranks = edges.select(col("s").as("id")).distinct()
-        .withColumn("rank", lit(1.0)).localCheckpoint()
+      // Lineage pinning is only needed when the loop is long: each
+      // round's plan nests the previous one, so at small fixed `iters`
+      // the whole rank recursion compiles into ONE multi-shuffle job
+      // (cheapest), while a long loop without pinning replans a
+      // quadratically growing prefix — checkpoint per round past the
+      // threshold, exactly like connectedComponents' unbounded loop.
+      val pin: DataFrame => DataFrame =
+        if (iters > 5) _.localCheckpoint() else identity
+      var ranks = pin(edges.select(col("s").as("id")).distinct()
+        .withColumn("rank", lit(1.0)))
       for (_ <- 1 to iters) {
-        ranks = withDeg
+        ranks = pin(withDeg
           .join(ranks.withColumnRenamed("id", "s"), "s")
           .select(col("t").as("id"),
             (col("rank") / col("_deg")).as("_c"))
           .groupBy("id")
           .agg((lit(1.0 - damping) + lit(damping) * sum(col("_c")))
-            .as("rank"))
-          .localCheckpoint()
+            .as("rank")))
       }
       ranks
     }

@@ -352,7 +352,32 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The corpus-prep pipeline END-TO-END in one plan — the showcase
+    * that the library's ops compose: exact-dedup to canonical docs
+    * (min doc_id per content hash, a broadcast-able semi-join at this
+    * dedup rate), quality gate (length floor), content-stable
+    * train/val/test split, then per-(split, lang) doc and token
+    * totals. One Catalyst plan, so pushdown/pruning/partial-agg apply
+    * across stage boundaries — no intermediate materialization, which
+    * is the point of declaring the pipeline instead of scripting it.
+    */
+  val pipelineCorpus: Q = (spark, dir) => {
+    import graft.api.ops._
+    val d = Tables(spark, dir, "documents")
+    val canonical = d.dedupExact(col("doc_id"), col("text"))
+      .select("doc_id")
+    d.join(canonical, Seq("doc_id"), "left_semi")
+      .filter(col("n_chars") >= 40)
+      .withHashSplit(col("doc_id"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pipeline_corpus" -> pipelineCorpus,
     "q_text_encode_ids" -> textEncodeIds,
     "q_text_decontaminate" -> textDecontaminate,
     "q_sample_weighted" -> sampleWeighted,
@@ -375,6 +400,37 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_corpus" -> """
+      WITH canon AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      kept AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+        WHERE d.n_chars >= 40),
+      h AS (
+        SELECT doc_id, lang, text,
+               lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+        FROM kept),
+      b AS (
+        SELECT lang, text,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+                 AS bucket
+        FROM h),
+      s AS (
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM b)
+      SELECT split, lang, count(*) AS n_docs,
+             sum(n_tokens) AS total_tokens
+      FROM s
+      GROUP BY split, lang
+      ORDER BY split, lang""",
     "q_text_encode_ids" -> """
       WITH tok AS (
         SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,

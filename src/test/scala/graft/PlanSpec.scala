@@ -244,4 +244,42 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "Scan parquet") === 1, p)
     assert(p.contains("Expand"), p) // exact countDistinct form
   }
+
+  test("AQE splits the hot partition of a skewed join (skew=true)") {
+    // The runtime half of the skew story: saltedJoin is the static
+    // tool, AQE skew-join the dynamic one -- a planted hot key whose
+    // partition exceeds the (lowered) threshold must come out of the
+    // final adaptive plan split, visible as skew=true on the SMJ.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Incompressible payload (md5) so the hot partition's SHUFFLE
+      // bytes, not just row count, cross the lowered threshold; and
+      // the downstream agg groups on a DIFFERENT key than the join --
+      // AQE refuses to split a skewed partition whose output
+      // partitioning a downstream stage would reuse.
+      val hot = spark.range(0, 60000)
+        .select(lit(1L).as("k"), md5(col("id").cast("string")).as("v"))
+      val rest = spark.range(0, 3000)
+        .select((col("id") % 50 + 2).as("k"),
+          md5(col("id").cast("string")).as("v"))
+      val dim = spark.range(0, 60)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = hot.unionByName(rest).join(dim, "k")
+        .groupBy(substring(col("v"), 1, 2).as("p"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      j.collect() // drive to completion so the adaptive plan finalizes
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
