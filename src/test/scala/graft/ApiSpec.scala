@@ -494,4 +494,81 @@ class ApiSpec extends SparkSpec {
     assert(out(1L) === ((1L, true)), s"got ${out(1L)}")
     assert(out(2L) === ((0L, false)), s"got ${out(2L)}")
   }
+
+  test("containmentPairs: planted sub-document scores 1.0 where Jaccard is low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),                          // contained whole in doc 2
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "zz yy xx")                        // unrelated
+    ).toDF("id", "text").withColumn("blk", lit(0))
+    val toks = array_distinct(split(col("text"), " "))
+    val cont = df.containmentPairs(col("id"), toks, col("blk"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Directed: 1 contained in 2 at 3/3 = 1.0; never the reverse
+    // (3/20), never doc 3.
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)), cont.mkString(","))
+    val jac = df.jaccardPairs(col("id"), toks, col("blk"), threshold = 0.0)
+      .filter(col("d1") === 1 && col("d2") === 2)
+      .head.getAs[Double]("jaccard")
+    assert(jac < 0.2, s"jaccard $jac should be low for the same pair")
+  }
+
+  test("encodeTokenIds: preview ids decode back to the original tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "w x w y"), (2L, "y z q w")).toDF("id", "text")
+    val toks = split(col("text"), " ")
+    val out = df.encodeTokenIds(col("id"), toks, vocabSize = 3, preview = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+         r.getAs[String]("ids"))).toMap
+    // Counts: w=3, y=2, x=z=q=1. Vocab(3) by (cnt desc, term asc):
+    // w=1, y=2, q=3 (q wins the count tie alphabetically); x and z
+    // are OOV -> 0.
+    assert(out(1L) === ((4L, 1L, "1,0,1,2")), s"got ${out(1L)}")
+    assert(out(2L) === ((4L, 1L, "2,0,3,1")), s"got ${out(2L)}")
+  }
+
+  test("profileColumns counts nulls and ignores them in min/max/distinct") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"),
+      (3L, null)).toDF("num", "str")
+    val rows = df.profileColumns(Seq("num" -> true, "str" -> false))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = rows("num"); val t = rows("str")
+    assert(n.getAs[Long]("n_rows") === 3L)
+    assert(n.getAs[Long]("n_nulls") === 1L)
+    assert(n.getAs[Long]("n_distinct") === 2L)
+    assert(n.getAs[Double]("min_num") === 1.0)
+    assert(n.getAs[Double]("max_num") === 3.0)
+    assert(t.getAs[Long]("n_nulls") === 1L)
+    assert(t.getAs[String]("min_str") === "a")
+    assert(t.getAs[String]("max_str") === "b")
+  }
+
+  test("pageRank long-loop (checkpointed) branch matches the short-loop result") {
+    import spark.implicits._
+    val edges = (101L to 105L).map(l => (0L, l)).toDF("a", "b")
+    def ranks(iters: Int) =
+      edges.pageRank("a", "b", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // iters = 6 crosses the pin threshold (checkpoint-per-round path);
+    // its iteration arithmetic must be identical: compare iteration 6
+    // unpinned is unavailable, so assert the invariants instead.
+    val r6 = ranks(6)
+    assert(r6.size === 6)
+    assert(math.abs(r6.values.sum - 6.0) < 1e-9)
+    assert((101L to 105L).forall(l => r6(0L) > r6(l)))
+    // A star is bipartite, so ranks oscillate by parity -- compare
+    // SAME-parity depths across the pin threshold: iteration 4
+    // (unpinned) and 6 (pinned) must be damping-contracted toward the
+    // fixed point, not diverging.
+    val r4 = ranks(4)
+    // Star fixed point: r_h = 0.15 + 0.85·n·r_l, r_l = 0.15 + 0.85·r_h/n
+    // => r_h = 0.15(1 + 0.85n) / (1 - 0.85²); n = 5 leaves.
+    val fixedHub = 0.15 * (1 + 0.85 * 5) / (1 - 0.85 * 0.85)
+    assert(math.abs(r6(0L) - fixedHub) <= math.abs(r4(0L) - fixedHub) + 1e-9,
+      s"pinned path moved away from the fixed point: " +
+        s"${r4(0L)} -> ${r6(0L)} (target $fixedHub)")
+  }
 }
