@@ -340,7 +340,35 @@ object Aggregates extends QueryModule {
       .orderBy("col_name")
   }
 
+  /** max_by / min_by (arg-max/arg-min) per order status: which ORDER
+    * carries the extreme price, not what the extreme price is — the
+    * "representative row per group" aggregate that otherwise costs a
+    * full window sort. One partial-aggregable hash-agg, no shuffle of
+    * whole rows. o_totalprice ties exist in the data (14999 distinct /
+    * 15000 rows at sf0.01), so the comparand is the cent value
+    * composite-keyed with the orderkey via fixed-width lpad —
+    * lexicographic order on zero-padded non-negative ints equals
+    * numeric order, and it is engine-portable where struct-valued
+    * arg_max is not.
+    */
+  val aggExtrema: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+    val tieKey = concat(
+      lpad(col("cents").cast("string"), 14, "0"),
+      lpad(col("o_orderkey").cast("string"), 14, "0"))
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), tieKey).as("max_price_order"),
+        min_by(col("o_orderkey"), tieKey).as("min_price_order"),
+        Norm.r4(max(col("o_totalprice"))).as("max_price"),
+        Norm.r4(min(col("o_totalprice"))).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_extrema" -> aggExtrema,
     "q_agg_profile" -> aggProfile,
     "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_histogram" -> aggHistogram,
@@ -362,6 +390,23 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_extrema" -> """
+      WITH o AS (
+        SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      k AS (
+        SELECT *, lpad(CAST(cents AS VARCHAR), 14, '0') ||
+                  lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS tie_key
+        FROM o)
+      SELECT o_orderstatus,
+             max_by(o_orderkey, tie_key) AS max_price_order,
+             min_by(o_orderkey, tie_key) AS min_price_order,
+             round(max(o_totalprice), 4) AS max_price,
+             round(min(o_totalprice), 4) AS min_price,
+             count(*) AS n
+      FROM k
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
     "q_agg_profile" -> """
       SELECT * FROM (
         SELECT 'o_custkey' AS col_name, count(*) AS n_rows,

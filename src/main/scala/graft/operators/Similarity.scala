@@ -238,7 +238,55 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-shaped semantic dedup (cluster, then prune WITHIN the
+    * cluster — Abbas et al. 2023): vectors are assigned to their
+    * nearest data-derived centroid (per-label elementwise means via
+    * the CentroidAgg UDAF — a trained quantizer stand-in; swap in
+    * [[graft.api.ops.GraftDataFrameOps.lloydRefine]] output for real
+    * k-means), then ONLY within-cluster pairs are cosine-scored. That
+    * clustering is the whole trick: pairwise work drops from O(n²) to
+    * Σ|cluster|², and each cluster's pairs co-locate under one shuffle
+    * key. Assignment broadcasts the k-row centroid table (bytes at any
+    * SF); argmax is a row_number over the 4-dp-rounded similarity so
+    * both engines break near-ties identically. The corpus plants no
+    * near-dups (max cos ≈ 0.51), so the production `cos ≥ τ` drop set
+    * would be empty — the query emits each cluster's top-2 closest
+    * pairs with the `would_drop` verdict column instead, exercising
+    * the full assign → block → score → prune plan while staying
+    * non-empty and oracle-checkable (same trick as q_dedup_embedding).
+    */
+  val dedupSemantic: Q = (spark, dir) => {
+    import graft.api.ops._
+    val e = emb(spark, dir)
+    val cents = Tables(spark, dir, "embeddings")
+      .centroidPerKey(col("label"), col("embedding"))
+      .select(col("key").as("clabel"), col("centroid").as("cemb"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("clabel"))
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("clabel"),
+        Norm.r4(cosine(col("emb"), col("cemb"))).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").as("cluster"), col("emb"))
+    val a = best.select(col("cluster"), col("vec_id").as("v1"),
+      col("emb").as("e1"))
+    val b = best.select(col("cluster").as("cluster_b"),
+      col("vec_id").as("v2"), col("emb").as("e2"))
+    val wPair = Window.partitionBy("cluster")
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+    a.join(b, a("cluster") === b("cluster_b") && a("v1") < b("v2"))
+      .select(col("cluster"), col("v1"), col("v2"),
+        Norm.r4(cosine(col("e1"), col("e2"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(wPair))
+      .filter(col("rank") <= 2)
+      .withColumn("would_drop", col("cos_sim") >= 0.9)
+      .select("cluster", "v1", "v2", "cos_sim", "would_drop")
+      .orderBy("cluster", "v1", "v2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_blocked_join" -> simBlockedJoin,
@@ -250,6 +298,58 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_semantic" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cemb
+        FROM (SELECT label, pos, avg(v) AS cv
+              FROM (SELECT label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           unnest(CAST(embedding AS DOUBLE[])) AS v
+                    FROM embeddings)
+              GROUP BY label, pos)
+        GROUP BY label),
+      scored AS (
+        SELECT vec_id, emb, clabel,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> emb[i] * cemb[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> emb[i] * emb[i])),
+                      (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> cemb[i] * cemb[i])),
+                      (acc, x) -> acc + x))), 4) AS csim
+        FROM e CROSS JOIN cent),
+      best AS (
+        SELECT vec_id, clabel AS cluster, emb
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])),
+                      (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
+                      (acc, x) -> acc + x))), 4) AS cos_sim
+        FROM best a JOIN best b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER
+          (PARTITION BY cluster ORDER BY cos_sim DESC, v1, v2) AS rank
+        FROM pairs)
+      SELECT cluster, v1, v2, cos_sim, cos_sim >= 0.9 AS would_drop
+      FROM ranked WHERE rank <= 2
+      ORDER BY cluster, v1, v2""",
     "q_embed_quantize" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),

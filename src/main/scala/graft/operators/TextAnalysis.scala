@@ -376,7 +376,65 @@ object TextAnalysis extends QueryModule {
       .orderBy("split", "lang")
   }
 
+  /** Per-language p75 length gate: keep documents at or above their
+    * language's 75th-percentile length. The "filter by a per-group
+    * quantile" curation pattern (per-language quality cuts à la
+    * CCNet): the cut is an exact interpolated percentile (Spark
+    * `percentile` ≡ SQL `percentile_cont`), computed per group and
+    * broadcast back — group count (languages) is tiny, so the join
+    * adds no shuffle of the corpus. Both engines compare against the
+    * SAME 4-dp-rounded cut so interpolation ulps can't flip a row. At
+    * scale swap `percentile` for `approx_percentile` (documented knob;
+    * the plan is unchanged).
+    */
+  val textQualityCut: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val cuts = d.groupBy("lang")
+      .agg(Norm.r4(percentile(col("n_chars"), lit(0.75))).as("p75_chars"))
+    d.join(broadcast(cuts), Seq("lang"))
+      .filter(col("n_chars") >= col("p75_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p75_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 retrieval scoring (Robertson/Sparck-Jones; the Lucene
+    * `ln(1 + (N-df+.5)/(df+.5))` idf form, k1 = 1.2, b = 0.75) of the
+    * whole corpus against a 3-term query. Plan shape: one corpus scan
+    * → explode to matched query terms only (the filter lands BEFORE
+    * the shuffle, so only query-term postings move) → per-(doc, term)
+    * tf hash-agg → broadcast the 3-row df table and the 1-row
+    * (N, avgdl) scalars → per-doc score sum → top-20. No corpus-sized
+    * shuffle at any point; at 100 TB the df/avgdl side stays bytes.
+    */
+  val textBm25: Q = (spark, dir) => {
+    val terms = Seq("spark", "join", "vector")
+    val k1 = 1.2; val b = 0.75
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", idf * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(Norm.r4(sum(col("s"))).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_quality_cut" -> textQualityCut,
+    "q_text_bm25" -> textBm25,
     "q_pipeline_corpus" -> pipelineCorpus,
     "q_text_encode_ids" -> textEncodeIds,
     "q_text_decontaminate" -> textDecontaminate,
@@ -400,6 +458,40 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_quality_cut" -> """
+      WITH cuts AS (
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.75), 4) AS p75_chars
+        FROM documents GROUP BY lang)
+      SELECT d.doc_id, d.lang, d.n_chars, c.p75_chars
+      FROM documents d JOIN cuts c ON d.lang = c.lang
+      WHERE d.n_chars >= c.p75_chars
+      ORDER BY d.doc_id""",
+    "q_text_bm25" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        WHERE term IN ('spark', 'join', 'vector')
+        GROUP BY doc_id, dl, term),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT doc_id,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+      SELECT doc_id, round(sum(s), 4) AS bm25, count(*) AS n_terms
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20""",
     "q_pipeline_corpus" -> """
       WITH canon AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
