@@ -282,4 +282,41 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_text_bm25 broadcasts df/avgdl; the corpus never sort-merge-joins") {
+    // tf rows (query-term postings only) join a 3-row df table and a
+    // 1-row stats row -- both must broadcast. A SortMergeJoin here
+    // would shuffle every posting at 100 TB for a bytes-sized side.
+    val p = plan("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats cross
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_text_quality_cut broadcasts the per-language cut table") {
+    // The p75 cut table has one row per language; the corpus-side
+    // probe must be a broadcast hash join, not a corpus shuffle.
+    val p = plan("q_text_quality_cut")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_dedup_semantic broadcasts centroids; pairs shuffle only by cluster") {
+    // Assignment is corpus x k-centroids -- the k-row side broadcasts
+    // (BNLJ from crossJoin). The pairwise stage may shuffle, but only
+    // keyed by cluster; the corpus must never shuffle for assignment.
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_agg_extrema partial-aggs max_by below the shuffle") {
+    // arg-extrema must combine map-side: the shuffle carries one row
+    // per (partition, status), not the orders table. max_by lowers to
+    // SortAggregate (its ordering buffer is not hash-aggregable) --
+    // the partial_ stage below the exchange is the property that
+    // matters; sort-vs-hash agg strategy is Spark's call.
+    val p = plan("q_agg_extrema")
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("partial_min_by"), p)
+  }
 }
