@@ -309,6 +309,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_graph_triangles never self-joins the fact table") {
+    // Edge enumeration must be ONE skinny shuffle (groupBy order) +
+    // lambda expansion; wedge/closure probes broadcast the edge-bytes
+    // side. A SortMergeJoin anywhere means either the fact-table
+    // self-join came back or the edge list stopped broadcasting.
+    // (The checkpointed edge list truncates lineage, so the plan
+    // starts at the materialized edges — scans aren't visible here;
+    // the join strategy of every downstream stage is.)
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_agg_extrema partial-aggs max_by below the shuffle") {
     // arg-extrema must combine map-side: the shuffle carries one row
     // per (partition, status), not the orders table. max_by lowers to
