@@ -131,7 +131,37 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id", "ts", "ewma_cents")
   }
 
+  /** Rolling z-score anomaly flags: each event scored against the
+    * mean/stddev of its user's PRECEDING 10 events (the trailing
+    * frame excludes the current row — scoring a point against a
+    * baseline that includes it dampens the very spike being tested).
+    * One shuffle (by user), O(frame) state per partition — the
+    * monitoring-side twin of the EWMA smoother above. Warm-up guard:
+    * at least 8 prior points and nonzero spread, else no verdict.
+    * Determinism: integer-cent inputs, both engines filter on the
+    * SAME 4-dp-rounded z, and (user_id, ts) is collision-free in
+    * this data so the frame contents are totally ordered.
+    */
+  val tsAnomaly: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(-10, -1)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("double").as("cents"))
+      .select(col("user_id"), col("ts"), col("cents"),
+        count(col("cents")).over(w).as("n_prev"),
+        avg(col("cents")).over(w).as("mu"),
+        stddev_samp(col("cents")).over(w).as("sigma"))
+      .filter(col("n_prev") >= 8 && col("sigma") > 0)
+      .withColumn("z", Norm.r4((col("cents") - col("mu")) / col("sigma")))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("user_id"), Norm.tstr(col("ts")).as("ts"),
+        col("cents").cast("long").as("cents"), col("z"))
+      .orderBy("user_id", "ts")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_anomaly" -> tsAnomaly,
     "q_ts_ewma" -> ewma,
     "q_ts_gapfill" -> gapFill,
     "q_window_tumbling" -> windowTumbling,
@@ -140,6 +170,27 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_anomaly" -> """
+      WITH e AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS DOUBLE) AS cents
+        FROM events),
+      w AS (
+        SELECT user_id, ts, cents,
+               count(cents) OVER win AS n_prev,
+               avg(cents) OVER win AS mu,
+               stddev_samp(cents) OVER win AS sigma
+        FROM e
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT user_id, ts, cents,
+               round((cents - mu) / sigma, 4) AS z
+        FROM w WHERE n_prev >= 8 AND sigma > 0)
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             CAST(cents AS BIGINT) AS cents, z
+      FROM z WHERE abs(z) >= 2.5
+      ORDER BY user_id, ts""",
     "q_ts_ewma" -> """
       WITH ser AS (
         SELECT user_id, ts,
