@@ -160,7 +160,74 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id", "ts")
   }
 
+  /** Ordered funnel conversion (view → click → purchase): how many
+    * users reach each stage, where a stage counts only STRICTLY AFTER
+    * the previous one completed. The naive form is K chained
+    * min-after-join passes (K shuffles + K joins); here the whole
+    * funnel is a one-pass state machine on the typed secondary-sort
+    * surface — ONE shuffle by user, each group streams through in
+    * event-time order with O(1) state (the stage counter), the same
+    * shape as [[ewma]]. (user_id, ts) is collision-free in this data,
+    * so "after" is unambiguous; the DuckDB twin is the chained
+    * min-after form, proving the two formulations agree.
+    */
+  val funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val rows = Tables(spark, dir, "events")
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .as[(Long, Long, String)]
+    val staged = rows.groupByKey(_._1)
+      .flatMapSortedGroups(col("tus")) { (user, it) =>
+        var stage = 0
+        it.foreach { case (_, _, et) =>
+          if (stage == 0 && et == "view") stage = 1
+          else if (stage == 1 && et == "click") stage = 2
+          else if (stage == 2 && et == "purchase") stage = 3
+        }
+        Iterator.single((user, stage))
+      }
+      .toDF("user_id", "stage")
+    staged.agg(
+      sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their
+    * FIRST event; each later active week counts them at its offset.
+    * BOTH inputs to the user-keyed join are groupBy(user) aggregates
+    * — first-touch week, and the distinct-week SET via collect_set —
+    * so the two sides arrive identically hash-partitioned and the
+    * join repartitions neither (below the broadcast threshold Spark
+    * still prefers a BHJ — also shuffle-free; a flat `distinct()` of
+    * (user, week) would instead partition by the pair and force a
+    * re-shuffle of the event volume once past broadcast). collect_set
+    * state is bounded by the CALENDAR (distinct weeks), not the
+    * user's event count; weeks explode only after the join, into the
+    * tiny (cohorts × offsets) count. Offsets divide exactly by 7
+    * (both sides week-truncated), so the arithmetic is integer-exact
+    * in both engines.
+    */
+  val cohortRetention: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("w0"))
+    val active = ev.groupBy("user_id")
+      .agg(collect_set(date_trunc("week", col("ts"))).as("ws"))
+    active.join(first, "user_id")
+      .select(col("w0"), explode(col("ws")).as("w"))
+      .withColumn("week_offset",
+        (datediff(col("w"), col("w0")) / 7).cast("long"))
+      .groupBy(date_format(col("w0"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel,
+    "q_cohort_retention" -> cohortRetention,
     "q_ts_anomaly" -> tsAnomaly,
     "q_ts_ewma" -> ewma,
     "q_ts_gapfill" -> gapFill,
@@ -170,6 +237,34 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (
+        SELECT e.user_id, min(ts) AS t2 FROM events e
+        JOIN t1 USING (user_id)
+        WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      t3 AS (
+        SELECT e.user_id, min(ts) AS t3 FROM events e
+        JOIN t2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM t1) AS n_view,
+             (SELECT count(*) FROM t2) AS n_click,
+             (SELECT count(*) FROM t3) AS n_purchase""",
+    "q_cohort_retention" -> """
+      WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS w0
+        FROM events GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        FROM events)
+      SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+             date_diff('day', w0, w) // 7 AS week_offset,
+             count(*) AS n_users
+      FROM active JOIN first USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_week, week_offset""",
     "q_ts_anomaly" -> """
       WITH e AS (
         SELECT user_id, ts,

@@ -309,6 +309,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_funnel is one shuffle + a state machine: no joins anywhere") {
+    // The K-stage funnel must NOT be K chained min-after joins; the
+    // whole thing is one user-keyed shuffle feeding the sorted-group
+    // fold, plus the single-partition final count.
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange") === 2, p)
+  }
+
+  test("q_cohort_retention joins two user-keyed aggs without repartitioning") {
+    // Both join inputs are groupBy(user) aggregates: exactly their two
+    // hash exchanges plus the final (cohort, offset) count — a flat
+    // distinct() of (user, week) would add a pair-keyed exchange and
+    // re-shuffle the event volume.
+    val p = plan("q_cohort_retention")
+    assert(countOcc(p, "Exchange hashpartitioning") === 3, p)
+  }
+
   test("q_graph_triangles never self-joins the fact table") {
     // Edge enumeration must be ONE skinny shuffle (groupBy order) +
     // lambda expansion; wedge/closure probes broadcast the edge-bytes
