@@ -225,7 +225,28 @@ object TimeWindows extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Event-transition matrix (first-order Markov estimate of user
+    * behavior): adjacent event-type pairs per user via lag, counted
+    * and normalized to per-source probabilities. One shuffle by user
+    * for the lag window; the normalizing window runs over the
+    * |types|² transition matrix, never the events. Long/long division
+    * is double in both engines; probabilities tie-proof-rounded.
+    */
+  val eventTransitions: Q = (spark, dir) => {
+    val wLag = Window.partitionBy("user_id").orderBy("ts")
+    val wNorm = Window.partitionBy("prev")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wLag))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", Norm.r4(col("n") / sum(col("n")).over(wNorm)))
+      .orderBy("prev", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_transitions" -> eventTransitions,
     "q_funnel" -> funnel,
     "q_cohort_retention" -> cohortRetention,
     "q_ts_anomaly" -> tsAnomaly,
@@ -237,6 +258,18 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" -> """
+      WITH t AS (
+        SELECT event_type,
+               lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+      SELECT prev, event_type, count(*) AS n,
+             round(count(*) / sum(count(*)) OVER (PARTITION BY prev), 4)
+               AS p
+      FROM t WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+      ORDER BY prev, event_type""",
     "q_funnel" -> """
       WITH t1 AS (
         SELECT user_id, min(ts) AS t1 FROM events
