@@ -109,13 +109,62 @@ object Mutations extends QueryModule {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Incremental materialized-view refresh: a per-status (count, sum)
+    * MV updated from a change set WITHOUT re-aggregating the base —
+    * the maintenance path every MV/summary-table pipeline runs. The
+    * change set (derived from the table so the oracle can re-derive
+    * it: every 10th customer's orders get a 10% price bump, every 7th
+    * customer's orders are deleted; the DELETE wins the %70 overlap —
+    * a deleted row's bump never lands) becomes DELTA rows in (Δcount,
+    * Δcents) space — updates contribute (0, new−old), deletes
+    * (−1, −old) — and the refreshed MV is one tiny agg over
+    * MV ∪ deltas: refresh cost scales with |changes| + |groups|,
+    * never |base|. The DuckDB twin recomputes the post-mutation agg
+    * FROM SCRATCH, so a hash match proves the incremental algebra
+    * equals the full recompute — the MV-maintenance correctness
+    * statement itself.
+    */
+  val mvRefresh: Q = (spark, dir) => {
+    val t = target(spark, dir)
+    val mv0 = t.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+    val touched = t.filter(col("o_custkey") % 10 === 0 ||
+      col("o_custkey") % 7 === 0)
+    val deltas = touched.select(col("o_orderstatus"),
+      when(col("o_custkey") % 7 === 0, lit(-1L)).otherwise(lit(0L)).as("n"),
+      when(col("o_custkey") % 7 === 0, -col("price_cents"))
+        .otherwise(expr("price_cents * 11 div 10") - col("price_cents"))
+        .as("cents"))
+    mv0.unionByName(deltas)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mv_refresh" -> mvRefresh,
     "q_merge_upsert" -> mergeUpsert,
     "q_mutation_update_delete" -> updateDelete,
     "q_scd2_merge" -> scd2,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_refresh" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders),
+      mutated AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_custkey % 10 = 0
+                    THEN price_cents * 11 // 10
+                    ELSE price_cents END AS price_cents
+        FROM base
+        WHERE o_custkey % 7 <> 0)
+      SELECT o_orderstatus, count(*) AS n, sum(price_cents) AS cents
+      FROM mutated
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
     "q_merge_upsert" -> """
       WITH t AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
