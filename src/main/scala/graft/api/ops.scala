@@ -149,6 +149,44 @@ object ops {
       s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
 
+  /** Shared core of [[GraftDataFrameOps.triangleCount]] and the
+    * scored `q_graph_triangles` (whose edge build pre-filters colors
+    * inside its expansion lambda): degree-oriented wedge closure over
+    * a canonical (s1 < s2) pair list, `multiplier` scaling the
+    * sampled count back to the full-graph estimate (1 = exact).
+    * Dedupes, checkpoints (the edge list feeds degree, orientation,
+    * and all three count branches), and broadcasts the edge-bytes
+    * side of the wedge/closure probes.
+    */
+  private[graft] def triangleCore(rawPairs: DataFrame,
+                                  multiplier: Long): DataFrame = {
+    val pairs = rawPairs.distinct().localCheckpoint()
+    val deg = pairs.select(col("s1").as("s"))
+      .unionAll(pairs.select(col("s2").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
+    val fwd = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
+    val o = withDeg.select(
+      when(fwd, col("s1")).otherwise(col("s2")).as("u"),
+      when(fwd, col("s2")).otherwise(col("s1")).as("v"),
+      when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
+    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = o.select(col("u").as("u2"), col("v").as("v2"),
+      col("dv").as("dv2"))
+    val wedges = e1.join(broadcast(e2), col("u") === col("u2") &&
+        struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
+      .select(col("v1"), col("v2"))
+    val closed = wedges.join(
+      broadcast(o.select(col("u").as("v1"), col("v").as("v2"))),
+      Seq("v1", "v2"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles"),
+        (count(lit(1)) * multiplier).as("est_total")))
+  }
+
   implicit class GraftDataFrameOps(private val df: DataFrame) {
 
     // ───────────────────────── dedup ─────────────────────────
@@ -471,6 +509,43 @@ object ops {
             .as("rank")))
       }
       ranks
+    }
+
+    /** Triangle count of the undirected graph whose edges are rows
+      * (`a`, `b`), by the degree-oriented node-iterator (Suri &
+      * Vassilvitskii): orient each edge from its (degree, id)-smaller
+      * endpoint — bounding every out-degree by O(√m), which minimizes
+      * wedge work exactly on skewed graphs — enumerate wedges at each
+      * apex, close them against the oriented edge set. Input edges
+      * are canonicalized here (self-loops dropped, duplicates and
+      * reversals deduped), so callers can pass any raw pair list.
+      *
+      * `nColors` > 1 switches on COLORFUL sparsification (Pagh &
+      * Tsourakakis 2012) for graphs too dense to count exactly: nodes
+      * get a deterministic md5 color, only monochromatic edges
+      * survive, and `est_total` = count × nColors² is the unbiased
+      * full-graph estimate. nColors = 1 keeps every edge (exact;
+      * est_total = n_triangles). Output: ONE row
+      * (n_nodes, n_edges, n_triangles, est_total).
+      *
+      * The canonical edge list is localCheckpoint'd — it feeds the
+      * degree table, the orientation, and all count branches; the
+      * wedge/closure probes broadcast it (edge-bytes). Past broadcast
+      * scale, drop to shuffles keyed by apex / pair by removing the
+      * hints — the algebra is unchanged.
+      */
+    def triangleCount(a: String, b: String, nColors: Int = 1): DataFrame = {
+      require(nColors >= 1 && nColors <= 65536,
+        s"nColors must be in [1, 65536], got $nColors")
+      val raw = df.select(col(a).as("x"), col(b).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("s1"),
+          greatest(col("x"), col("y")).as("s2"))
+      val sampled =
+        if (nColors == 1) raw
+        else raw.filter(md5Bucket(col("s1"), nColors) ===
+          md5Bucket(col("s2"), nColors))
+      triangleCore(sampled, nColors.toLong * nColors)
     }
 
     /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)

@@ -90,40 +90,10 @@ object Graphs extends QueryModule {
             x.getField("sk").as("s1"), y.getField("sk").as("s2"))),
           p => p.getField("c1") === p.getField("c2"))))).as("p"))
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
-      .distinct()
-      // The edge list feeds degree, orientation, and all three count
-      // branches — materialize the (small: edge-bytes) sampled graph
-      // once instead of re-running the edge build per branch.
-      .localCheckpoint()
-    val deg = pairs.select(col("s1").as("s"))
-      .unionAll(pairs.select(col("s2").as("s")))
-      .groupBy("s").agg(count(lit(1)).as("d"))
-    val withDeg = pairs
-      .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
-      .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
-    val fwd = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
-    val o = withDeg.select(
-      when(fwd, col("s1")).otherwise(col("s2")).as("u"),
-      when(fwd, col("s2")).otherwise(col("s1")).as("v"),
-      when(fwd, col("d2")).otherwise(col("d1")).as("dv"))
-    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-    val e2 = o.select(col("u").as("u2"), col("v").as("v2"),
-      col("dv").as("dv2"))
-    // The oriented edge list is edge-bytes (O(m/N) rows of 3 longs):
-    // broadcast it for the wedge and closure probes rather than
-    // shuffling the (much larger) wedge stream. At a scale where even
-    // the sparsified edge list outgrows broadcast, drop the hints and
-    // both joins degrade gracefully to shuffles keyed by apex / pair.
-    val wedges = e1.join(broadcast(e2), col("u") === col("u2") &&
-        struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
-      .select(col("v1"), col("v2"))
-    val closed = wedges.join(
-      broadcast(o.select(col("u").as("v1"), col("v").as("v2"))),
-      Seq("v1", "v2"))
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles"),
-        (count(lit(1)) * 64).as("est_total"))) // x N^2, N = 8 colors
+    // Count via the shared degree-oriented wedge-closure core
+    // (graft.api.ops.triangleCore — ApiSpec pins it exact on planted
+    // graphs at nColors = 1); ×N² rescales the monochromatic count.
+    graft.api.ops.triangleCore(pairs, multiplier = 64)
   }
 
   val queries: Map[String, Q] = Map(

@@ -35,6 +35,19 @@ object StreamScored extends QueryModule {
     * bounded test table; production sinks (parquet/Kafka) share the
     * identical plan upstream of the sink.
     */
+  /** Shuffle-partition count for the streaming drains. Stateful
+    * streaming stages pay a FIXED per-partition state-store cost every
+    * micro-batch (provider open + commit + snapshot — and a
+    * stream-stream join runs FOUR stores per partition), so the
+    * partition count must track STATE VOLUME (keys × bytes), not core
+    * count: at this SF, 32 partitions spend more time administering
+    * 128 near-empty stores than joining (measured 2.2× on the drained
+    * join, 5.5 s → 2.5 s at 8). Size it up with state, not executors —
+    * it is baked into the checkpoint at first run, so production
+    * re-sizing means a new checkpoint.
+    */
+  private val streamStateParts = "8"
+
   private def runToTable(out: DataFrame, mode: OutputMode,
                          name: String): DataFrame = {
     val spark = out.sparkSession
@@ -42,9 +55,11 @@ object StreamScored extends QueryModule {
     // that never terminated) would make start() throw on the duplicate
     // name — stop it first so reruns in one session are safe.
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val confKey = "spark.sql.streaming.forceDeleteTempCheckpointLocation"
-    val prior = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
+    val confs = Seq(
+      "spark.sql.streaming.forceDeleteTempCheckpointLocation" -> "true",
+      "spark.sql.shuffle.partitions" -> streamStateParts)
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = out.writeStream
         .format("memory")
@@ -54,10 +69,12 @@ object StreamScored extends QueryModule {
         .start()
       q.awaitTermination()
     } finally {
-      // Restore rather than leak the session-wide conf mutation.
-      prior match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
+      // Restore rather than leak the session-wide conf mutations (the
+      // batch half of every scored query must keep the session's own
+      // parallelism).
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     spark.table(name)
@@ -314,9 +331,11 @@ object StreamScored extends QueryModule {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val confKey = "spark.sql.streaming.forceDeleteTempCheckpointLocation"
-    val prior = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
+    val confs = Seq(
+      "spark.sql.streaming.forceDeleteTempCheckpointLocation" -> "true",
+      "spark.sql.shuffle.partitions" -> streamStateParts)
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = changes.writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -330,9 +349,9 @@ object StreamScored extends QueryModule {
         .start()
       q.awaitTermination()
     } finally {
-      prior match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
     snapshot.orderBy("user_id")

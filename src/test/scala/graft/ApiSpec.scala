@@ -546,6 +546,24 @@ class ApiSpec extends SparkSpec {
     assert(t.getAs[String]("max_str") === "b")
   }
 
+  test("triangleCount is exact on planted graphs and canonicalizes input") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = edges.toDF("a", "b").triangleCount("a", "b").head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 nodes, 6 edges, 4 triangles; exact mode => est == count.
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tri(k4) === ((4L, 6L, 4L, 4L)))
+    // Path graph: wedges exist but never close.
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((4L, 3L, 0L, 0L)))
+    // Dirty input: reversals, duplicates, and self-loops must not
+    // change the count (one triangle {1,2,3} + a pendant edge).
+    val dirty = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 3L), (3L, 4L))
+    assert(tri(dirty) === ((4L, 4L, 1L, 1L)))
+  }
+
   test("pageRank long-loop (checkpointed) branch matches the short-loop result") {
     import spark.implicits._
     val edges = (101L to 105L).map(l => (0L, l)).toDF("a", "b")
