@@ -367,7 +367,44 @@ object Aggregates extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Count-Min point-frequency estimates vs exact counts for five
+    * probe terms: ONE bounded-memory scan builds the mergeable
+    * depth×width sketch ([[graft.functions.CountMinAgg]]); the probe
+    * terms are literals, so their grid slots are computed at
+    * PLAN-BUILD time and each estimate is a `least()` over `depth`
+    * element_at lookups — no driver-side sketch readback, the whole
+    * thing stays one Catalyst plan. `one_sided` must be true on every
+    * row (CM errors only inflate). No DuckDB twin (no portable
+    * murmur); QualitySpec gates the bounds + merge linearity.
+    */
+  val aggCountMin: Q = (spark, dir) => {
+    import graft.functions.CountMinAgg
+    val width = 256; val depth = 4
+    val probes = Seq("join", "hash", "spark", "vector", "the")
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sk = toks.agg(CountMinAgg.column(width, depth)(col("term"))
+      .as("grid"))
+    val exact = toks.filter(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val estFor: String => org.apache.spark.sql.Column = t =>
+      least((0 until depth).map { r =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c + r)
+        // element_at is 1-based; same slot arithmetic as the UDAF.
+        element_at(col("grid"), r * width + ((h & Int.MaxValue) % width) + 1)
+      }: _*)
+    val est = probes.tail.foldLeft(
+        when(col("term") === probes.head, estFor(probes.head))) {
+      (acc, t) => acc.when(col("term") === t, estFor(t))
+    }
+    exact.crossJoin(broadcast(sk))
+      .select(col("term"), col("n_exact"), est.as("n_est"))
+      .withColumn("one_sided", col("n_est") >= col("n_exact"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_count_min" -> aggCountMin,
     "q_agg_extrema" -> aggExtrema,
     "q_agg_profile" -> aggProfile,
     "q_agg_heavy_hitters" -> aggHeavyHitters,
