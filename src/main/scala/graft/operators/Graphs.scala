@@ -80,15 +80,18 @@ object Graphs extends QueryModule {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .join(broadcast(colors), "sk")
-    val sets = li.groupBy("ok")
-      .agg(array_sort(collect_set(struct(col("c"), col("sk")))).as("ss"))
+    // Group per (order, COLOR): only monochromatic pairs can survive
+    // colorful sampling, so collecting same-color supplier sets makes
+    // the lambda enumerate exactly the ~m/N kept pairs instead of
+    // building all m candidates and filtering — same rows shuffled,
+    // 8× fewer pairs materialized.
+    val sets = li.groupBy("ok", "c")
+      .agg(array_sort(collect_set(col("sk"))).as("ss"))
       .filter(size(col("ss")) >= 2)
     val pairs = sets
       .select(explode(flatten(transform(col("ss"), (x, i) =>
-        filter(transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
-          struct(x.getField("c").as("c1"), y.getField("c").as("c2"),
-            x.getField("sk").as("s1"), y.getField("sk").as("s2"))),
-          p => p.getField("c1") === p.getField("c2"))))).as("p"))
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("s1"), y.as("s2")))))).as("p"))
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
     // Count via the shared degree-oriented wedge-closure core
     // (graft.api.ops.triangleCore — ApiSpec pins it exact on planted
