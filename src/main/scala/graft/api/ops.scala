@@ -799,6 +799,53 @@ object ops {
             col("total")))).as("surprisal"))
     }
 
+    /** Per-document mean BIGRAM surprisal under the corpus's own
+      * interpolated bigram model — the next LM-filter rung above
+      * [[unigramSurprisal]]: P(cur|prev) = λ·c(prev,cur)/c(prev,•)
+      * + (1−λ)·c(cur)/N. Unigram interpolation (λ an exact binary
+      * fraction, default 1/2) makes every probability strictly
+      * positive without smoothing hyperparameters, and the identical
+      * multiply-add order on both engines keeps the IEEE arithmetic
+      * reproducible before the tie-proof rounding.
+      *
+      * Shape: bigram instances build as a pure per-row projection
+      * (element_at pairs over an index sequence, the dupNgramStats
+      * idiom — no window, no shuffle to form them) and checkpoint
+      * once for their three consumers (bigram counts, context counts,
+      * probability join); both count tables are vocab²-bounded and
+      * broadcast, so the corpus shuffles only for the per-doc agg.
+      */
+    def bigramSurprisal(id: Column, tokens: Column,
+                        lambda: Double = 0.5): DataFrame = {
+      require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+      val pairs = df.select(id.as("doc_id"), tokens.as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("_t")) - 2),
+            i => struct(
+              element_at(col("_t"), (i + lit(1)).cast("int")).as("prev"),
+              element_at(col("_t"), (i + lit(2)).cast("int")).as("cur"))))
+            .as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"),
+          col("b.cur").as("cur"))
+        .localCheckpoint()
+      val cbig = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cbig"))
+      val cctx = pairs.groupBy("prev").agg(count(lit(1)).as("cctx"))
+      val tok = df.select(explode(tokens).as("term"))
+      val cuni = tok.groupBy("term").agg(count(lit(1)).as("cuni"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      pairs.join(broadcast(cbig), Seq("prev", "cur"))
+        .join(broadcast(cctx), Seq("prev"))
+        .join(broadcast(cuni.withColumnRenamed("term", "cur")), Seq("cur"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Norm.r4tie(avg(-log(
+            lit(lambda) * (col("cbig").cast("double") / col("cctx")) +
+            lit(1 - lambda) * (col("cuni").cast("double") / col("total")))))
+            .as("surprisal"))
+    }
+
     /** Cross-document duplicated n-gram statistics — the corpus-level
       * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
       * Makes Language Models Better", arXiv:2107.06499), engine-

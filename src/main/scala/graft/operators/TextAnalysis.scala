@@ -443,6 +443,12 @@ object TextAnalysis extends QueryModule {
     "q_text_repetition" -> textRepetition,
     "q_text_pii_redact" -> textPiiRedact,
     "q_text_unigram_surprisal" -> textSurprisal,
+    "q_text_bigram_surprisal" -> ((spark, dir) => {
+      import graft.api.ops._
+      docs(spark, dir)
+        .bigramSurprisal(col("doc_id"), split(col("text"), " "))
+        .orderBy("doc_id")
+    }),
     "q_sample_stratified" -> sampleStratified,
     "q_text_vocab" -> textVocab,
     "q_pack_sequences" -> packSequences,
@@ -686,6 +692,31 @@ object TextAnalysis extends QueryModule {
              CAST(length(redacted) AS INT) AS redacted_len,
              right(redacted, 30) AS tail
       FROM r
+      ORDER BY doc_id""",
+    "q_text_bigram_surprisal" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS xs
+                 FROM documents),
+      bg AS (
+        SELECT doc_id, xs[i - 1] AS prev, xs[i] AS cur
+        FROM (SELECT doc_id, xs, unnest(range(2, len(xs) + 1)) AS i
+              FROM d WHERE len(xs) >= 2)),
+      cb AS (SELECT prev, cur, count(*) AS cbig FROM bg GROUP BY 1, 2),
+      cc AS (SELECT prev, count(*) AS cctx FROM bg GROUP BY 1),
+      tok AS (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents),
+      cu AS (SELECT term, count(*) AS cuni FROM tok GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM tok)
+      SELECT doc_id, count(*) AS n_bigrams,
+             floor(avg(-ln(
+               0.5 * (CAST(cbig AS DOUBLE) / cctx) +
+               0.5 * (CAST(cuni AS DOUBLE) / total))) * 10000 + 0.5)
+               / 10000 AS surprisal
+      FROM bg
+      JOIN cb USING (prev, cur)
+      JOIN cc USING (prev)
+      JOIN cu ON bg.cur = cu.term
+      CROSS JOIN t
+      GROUP BY doc_id
       ORDER BY doc_id""",
     "q_text_unigram_surprisal" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
