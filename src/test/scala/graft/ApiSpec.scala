@@ -546,6 +546,21 @@ class ApiSpec extends SparkSpec {
     assert(t.getAs[String]("max_str") === "b")
   }
 
+  test("bigramSurprisal: repetitive bigrams score lower than unique ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y x y x y x y"), // one dominant bigram -> predictable
+      (2L, "a b c d e f g h i j") // every bigram unique -> surprising
+    ).toDF("id", "text")
+    val out = df.bigramSurprisal(col("id"), split(col("text"), " "))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("surprisal"))).toMap
+    assert(out(1L)._1 === 9L)
+    assert(out(2L)._1 === 9L)
+    assert(out(1L)._2 < out(2L)._2,
+      s"repetitive doc should be less surprising: $out")
+  }
+
   test("triangleCount is exact on planted graphs and canonicalizes input") {
     import spark.implicits._
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
