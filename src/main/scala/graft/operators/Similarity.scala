@@ -285,7 +285,51 @@ object Similarity extends QueryModule {
       .orderBy("cluster", "v1", "v2")
   }
 
+  /** The embedding-prep pipeline END-TO-END in one Catalyst plan —
+    * the vector-side twin of q_pipeline_corpus: int8 scalar
+    * quantization → reconstruction → nearest-centroid assignment of
+    * the RECONSTRUCTED vector → per-cluster footprint audit (count,
+    * mean L2 reconstruction error, mean cosine to the centroid).
+    * This is the audit a pipeline runs before committing to a
+    * quantized ANN index: does SQ8 preserve cluster geometry? One
+    * plan, so the quantization projection fuses into the scan and
+    * the k-row centroid table broadcasts into the assignment —
+    * nothing materializes between stages. Reconstruction error uses
+    * (x−r)·(x−r), not pow, so the IEEE arithmetic is identical in
+    * the DuckDB twin; per-vector values round before the argmax and
+    * the per-cluster means round tie-proof.
+    */
+  val pipelineEmbeddings: Q = (spark, dir) => {
+    import graft.api.ops._
+    val cents = Tables(spark, dir, "embeddings")
+      .centroidPerKey(col("label"), col("embedding"))
+      .select(col("key").as("clabel"), col("centroid").as("cemb"))
+    val q = emb(spark, dir)
+      .withColumn("scale",
+        array_max(transform(col("emb"), x => abs(x))) / 127d)
+      .withColumn("recon",
+        when(col("scale") === 0, transform(col("emb"), _ => lit(0d)))
+          .otherwise(transform(col("emb"),
+            x => floor(x / col("scale") + 0.5) * col("scale"))))
+      .withColumn("err_l2", sqrt(aggregate(
+        zip_with(col("emb"), col("recon"), (x, r) => (x - r) * (x - r)),
+        lit(0d), (a, x) => a + x)))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("clabel"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("err_l2"), col("clabel"),
+        Norm.r4(cosine(col("recon"), col("cemb"))).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("clabel").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Norm.r4tie(avg(col("err_l2"))).as("mean_err"),
+        Norm.r4tie(avg(col("csim"))).as("mean_csim"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pipeline_embeddings" -> pipelineEmbeddings,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> simCosineTopk,
@@ -298,6 +342,61 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_embeddings" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, list(cv ORDER BY pos) AS cemb
+        FROM (SELECT label, pos, avg(v) AS cv
+              FROM (SELECT label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           unnest(CAST(embedding AS DOUBLE[])) AS v
+                    FROM embeddings)
+              GROUP BY label, pos)
+        GROUP BY label),
+      q AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+        FROM e),
+      r AS (
+        SELECT vec_id, emb,
+               CASE WHEN scale = 0
+                    THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(emb,
+                      x -> floor(x / scale + 0.5) * scale) END AS recon
+        FROM q),
+      err AS (
+        SELECT vec_id, recon,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> (emb[i] - recon[i]) * (emb[i] - recon[i]))),
+                 (a, x) -> a + x)) AS err_l2
+        FROM r),
+      scored AS (
+        SELECT vec_id, err_l2, clabel,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> recon[i] * cemb[i])),
+                   (a, x) -> a + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> recon[i] * recon[i])),
+                      (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> cemb[i] * cemb[i])),
+                      (a, x) -> a + x))), 4) AS csim
+        FROM err CROSS JOIN cent),
+      best AS (
+        SELECT vec_id, err_l2, clabel, csim
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rn
+              FROM scored)
+        WHERE rn = 1)
+      SELECT clabel AS cluster, count(*) AS n_vecs,
+             floor(avg(err_l2) * 10000 + 0.5) / 10000 AS mean_err,
+             floor(avg(csim) * 10000 + 0.5) / 10000 AS mean_csim
+      FROM best
+      GROUP BY clabel
+      ORDER BY cluster""",
     "q_dedup_semantic" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
