@@ -114,7 +114,34 @@ object ScalarFuncs extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** ANSI-safe `try_*` arithmetic — Spark 4 runs ANSI mode by
+    * default, where raw division/casts THROW on bad input, so the
+    * `try_` family is how production pipelines express "NULL, don't
+    * kill the job": try_divide against a denominator that hits zero
+    * on every 10th row, try_add at overflow-prone magnitudes, and
+    * try_cast of a non-numeric string. Planted failures are derived
+    * from the key so the oracle reproduces them with CASE guards
+    * (DuckDB divides-by-zero errors too — its twin IS the guard).
+    */
+  val tryFuncs: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5))
+    // cents ≤ 5e7 in this data, so the ×1e11 product (≤ 5e18) never
+    // overflows the MULTIPLY; the ADD overflows exactly when
+    // cents ≥ 46116861 (price ≥ $461,168.61 — the top ~0.8% of
+    // orders), giving a NULL-bearing but mostly-populated column.
+    o.select(col("o_orderkey"),
+        try_divide(col("cents"), col("o_orderkey") % 10).as("per_mod"),
+        try_add(col("cents") * lit(100000000000L),
+          lit(Long.MaxValue / 2)).as("overflowed"),
+        try_to_number(when(col("o_orderkey") % 3 === 0, lit("oops"))
+          .otherwise(col("cents").cast("string")), lit("999999999999"))
+          .cast("long").as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_try_funcs" -> tryFuncs,
     "q_string_funcs" -> stringFuncs,
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
@@ -125,6 +152,21 @@ object ScalarFuncs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_try_funcs" -> """
+      WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE cents / (o_orderkey % 10) END AS per_mod,
+             CASE WHEN cents >= 46116861 THEN NULL
+                  ELSE cents * 100000000000 + 4611686018427387903
+               END AS overflowed,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE cents END
+               AS parsed
+      FROM o
+      ORDER BY o_orderkey""",
     "q_string_funcs" -> """
       SELECT p_partkey,
              upper(p_name) AS uname,
