@@ -403,7 +403,22 @@ object Aggregates extends QueryModule {
       .orderBy("term")
   }
 
+  /** Boolean aggregates — `bool_and`/`bool_or`/`count_if`, the
+    * predicate-summary family (data-quality assertions compile to
+    * exactly these): all partial-aggregable single-bit state.
+    */
+  val aggBool: Q = (spark, dir) =>
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"),
+        count_if(col("o_custkey") % 2 === 0).as("n_even_cust"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
+    "q_agg_bool" -> aggBool,
     "q_agg_count_min" -> aggCountMin,
     "q_agg_extrema" -> aggExtrema,
     "q_agg_profile" -> aggProfile,
@@ -427,6 +442,15 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bool" -> """
+      SELECT o_orderpriority,
+             bool_and(o_totalprice > 1000) AS all_over_1k,
+             bool_or(o_orderstatus = 'F') AS any_final,
+             count(*) FILTER (o_custkey % 2 = 0) AS n_even_cust,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q_agg_extrema" -> """
       WITH o AS (
         SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
