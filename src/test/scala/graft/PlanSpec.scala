@@ -309,6 +309,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("AQE coalesces under-filled shuffle partitions (AQEShuffleRead)") {
+    // The third AQE lever next to the skew-split and DPP pins: tiny
+    // post-shuffle partitions must merge at runtime, so a plan sized
+    // for 100 TB doesn't schedule thousands of near-empty tasks when
+    // a filter collapses the data. 7 groups over 4 shuffle partitions
+    // of trivial bytes -> the final adaptive plan reads coalesced.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .groupBy((col("id") % 7).as("k")).count()
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"), p)
+  }
+
   test("q_funnel is one shuffle + a state machine: no joins anywhere") {
     // The K-stage funnel must NOT be K chained min-after joins; the
     // whole thing is one user-keyed shuffle feeding the sorted-group
