@@ -511,6 +511,37 @@ object ops {
       ranks
     }
 
+    /** Ordered funnel progression: for each `id`, the highest stage
+      * index reached walking its events in `ts` order, where stage
+      * k+1 counts only STRICTLY AFTER stage k completed (an earlier
+      * out-of-order occurrence is ignored, not banked). One user-keyed
+      * shuffle feeding a sorted-group fold with O(1) state — the
+      * K-stage funnel without K chained min-after self-joins. Output:
+      * (id, stage) with stage in [0, stages.length].
+      */
+    def funnelStages(id: Column, ts: Column, event: Column,
+                     stages: Seq[String]): DataFrame = {
+      require(stages.nonEmpty, "stages must be non-empty")
+      require(stages.distinct.size == stages.size,
+        s"stages must be distinct, got $stages")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rows = df.select(id.cast("long").as("_fid"),
+          unix_micros(ts.cast("timestamp")).as("_fts"),
+          event.cast("string").as("_fet"))
+        .as[(Long, Long, String)]
+      val stageArr = stages.toArray
+      rows.groupByKey(_._1)
+        .flatMapSortedGroups(col("_fts")) { (user, it) =>
+          var s = 0
+          it.foreach { case (_, _, et) =>
+            if (s < stageArr.length && et == stageArr(s)) s += 1
+          }
+          Iterator.single((user, s))
+        }
+        .toDF("id", "stage")
+    }
+
     /** Triangle count of the undirected graph whose edges are rows
       * (`a`, `b`), by the degree-oriented node-iterator (Suri &
       * Vassilvitskii): orient each edge from its (degree, id)-smaller

@@ -172,22 +172,10 @@ object TimeWindows extends QueryModule {
     * min-after form, proving the two formulations agree.
     */
   val funnel: Q = (spark, dir) => {
-    import spark.implicits._
-    val rows = Tables(spark, dir, "events")
-      .select(col("user_id").cast("long"),
-        unix_micros(col("ts")).as("tus"), col("event_type"))
-      .as[(Long, Long, String)]
-    val staged = rows.groupByKey(_._1)
-      .flatMapSortedGroups(col("tus")) { (user, it) =>
-        var stage = 0
-        it.foreach { case (_, _, et) =>
-          if (stage == 0 && et == "view") stage = 1
-          else if (stage == 1 && et == "click") stage = 2
-          else if (stage == 2 && et == "purchase") stage = 3
-        }
-        Iterator.single((user, stage))
-      }
-      .toDF("user_id", "stage")
+    import graft.api.ops._
+    val staged = Tables(spark, dir, "events")
+      .funnelStages(col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
     staged.agg(
       sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
       sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click"),

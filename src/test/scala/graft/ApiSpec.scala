@@ -546,6 +546,27 @@ class ApiSpec extends SparkSpec {
     assert(t.getAs[String]("max_str") === "b")
   }
 
+  test("funnelStages honors strict order: early out-of-order events don't bank") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(t0 + m * 60000L)
+    val df = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "purchase"), (2L, ts(2), "click"), (2L, ts(3), "view"),
+      (3L, ts(1), "click"), (3L, ts(2), "view"), (3L, ts(3), "click"),
+      (3L, ts(4), "purchase"),
+      (4L, ts(1), "view"), (4L, ts(2), "purchase")
+    ).toDF("uid", "ts", "et")
+    val out = df.funnelStages(col("uid"), col("ts"), col("et"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // u1 completes in order; u2's purchase/click precede its view
+    // (only view counts); u3's first click precedes its view but the
+    // SECOND click lands after -> full funnel; u4 skips click, so the
+    // purchase can't count.
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 1), out.toString)
+  }
+
   test("bigramSurprisal: repetitive bigrams score lower than unique ones") {
     import spark.implicits._
     val df = Seq(
