@@ -122,4 +122,33 @@ class PropertySpec extends SparkSpec {
          sqrt(dot(col("emb"), col("emb"))))).as("c"))
     assert(self.filter(abs(col("c") - 1.0) > 1e-9).count() === 0)
   }
+
+  test("triangleCount(exact) matches brute force on seeded random graphs") {
+    import spark.implicits._
+    import graft.api.ops._
+    // 12 seeded Erdos-Renyi-ish graphs over 8 nodes at varying density
+    // vs an O(n^3) reference -- randomized coverage of the
+    // degree-orientation total order beyond the planted K4/path cases
+    // (ties in degree are common at n=8, which is exactly the
+    // tie-break logic worth fuzzing).
+    val allPairs = for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)
+    for (seed <- 1 to 12) {
+      val keep = sample(Gen.listOfN(allPairs.size, Gen.choose(0, 99)), seed)
+      val p = 20 + 5 * seed // density 25%..80%
+      val edges = allPairs.zip(keep).collect {
+        case ((i, j), r) if r < p => (i.toLong, j.toLong) }
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def has(a: Long, b: Long) = adj((a min b, a max b))
+        val brute = (for {
+          a <- 0L until 8L; b <- (a + 1) until 8L; c <- (b + 1) until 8L
+          if has(a, b) && has(a, c) && has(b, c)
+        } yield 1).size.toLong
+        val row = edges.toDF("a", "b").triangleCount("a", "b").head
+        assert(row.getLong(2) === brute,
+          s"seed=$seed: got ${row.getLong(2)}, brute=$brute, edges=$edges")
+        assert(row.getLong(3) === brute) // exact mode: est == count
+      }
+    }
+  }
 }
