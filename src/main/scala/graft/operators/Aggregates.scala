@@ -417,7 +417,38 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Deequ-style expectation suite as ONE scan: every check metric is
+    * an aggregate over the same pass (completeness, key uniqueness,
+    * value range, set membership), folded to a long-form
+    * (check, metric, passed) verdict table — the CI gate a pipeline
+    * runs before publishing a table. Adding a check adds a column to
+    * the single agg, never a scan.
+    */
+  val aggExpectations: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val m = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      count_if(col("o_custkey").isNull).as("n_null_cust"),
+      count_if(col("o_totalprice") <= 0).as("n_nonpos_price"),
+      count_if(!col("o_orderstatus").isin("F", "O", "P"))
+        .as("n_bad_status"))
+    val checks = Seq(
+      ("key_unique", col("n_keys"), col("n_keys") === col("n_rows")),
+      ("custkey_complete", col("n_null_cust"), col("n_null_cust") === 0),
+      ("price_positive", col("n_nonpos_price"),
+        col("n_nonpos_price") === 0),
+      ("status_in_domain", col("n_bad_status"), col("n_bad_status") === 0))
+    m.select(col("n_rows"), explode(array(checks.map { case (name, v, ok) =>
+        struct(lit(name).as("check_name"), v.cast("long").as("metric"),
+          ok.as("passed")) }: _*)).as("c"))
+      .select(col("c.check_name").as("check_name"), col("n_rows"),
+        col("c.metric").as("metric"), col("c.passed").as("passed"))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_expectations" -> aggExpectations,
     "q_agg_bool" -> aggBool,
     "q_agg_count_min" -> aggCountMin,
     "q_agg_extrema" -> aggExtrema,
@@ -442,6 +473,28 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_expectations" -> """
+      WITH m AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_keys,
+               count(*) FILTER (o_custkey IS NULL) AS n_null_cust,
+               count(*) FILTER (o_totalprice <= 0) AS n_nonpos_price,
+               count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+                 AS n_bad_status
+        FROM orders)
+      SELECT check_name, n_rows, metric, passed FROM (
+        SELECT 'key_unique' AS check_name, n_rows, n_keys AS metric,
+               n_keys = n_rows AS passed FROM m
+        UNION ALL
+        SELECT 'custkey_complete', n_rows, n_null_cust,
+               n_null_cust = 0 FROM m
+        UNION ALL
+        SELECT 'price_positive', n_rows, n_nonpos_price,
+               n_nonpos_price = 0 FROM m
+        UNION ALL
+        SELECT 'status_in_domain', n_rows, n_bad_status,
+               n_bad_status = 0 FROM m)
+      ORDER BY check_name""",
     "q_agg_bool" -> """
       SELECT o_orderpriority,
              bool_and(o_totalprice > 1000) AS all_over_1k,
