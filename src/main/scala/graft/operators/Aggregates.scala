@@ -447,7 +447,28 @@ object Aggregates extends QueryModule {
       .orderBy("check_name")
   }
 
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) over a flag bitmap
+    * derived from order fields — how permission masks, feature flags,
+    * and bloom-ish membership bitmaps aggregate; single-long state,
+    * partial-aggregable, and xor doubles as an order-insensitive
+    * checksum of the group's key set.
+    */
+  val aggBitwise: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("flags",
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L) +
+        when(col("o_totalprice") > 100000, 2L).otherwise(0L) +
+        when(col("o_orderpriority").startsWith("1"), 4L).otherwise(0L))
+    o.groupBy(col("o_orderpriority"))
+      .agg(bit_and(col("flags")).as("flags_all"),
+        bit_or(col("flags")).as("flags_any"),
+        bit_xor(col("o_orderkey")).as("key_checksum"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_bitwise" -> aggBitwise,
     "q_agg_expectations" -> aggExpectations,
     "q_agg_bool" -> aggBool,
     "q_agg_count_min" -> aggCountMin,
@@ -473,6 +494,22 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitwise" -> """
+      WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) +
+               (CASE WHEN o_totalprice > 100000 THEN 2 ELSE 0 END) +
+               (CASE WHEN o_orderpriority LIKE '1%' THEN 4 ELSE 0 END)
+                 AS flags
+        FROM orders)
+      SELECT o_orderpriority,
+             bit_and(flags) AS flags_all,
+             bit_or(flags) AS flags_any,
+             bit_xor(o_orderkey) AS key_checksum,
+             count(*) AS n
+      FROM o
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q_agg_expectations" -> """
       WITH m AS (
         SELECT count(*) AS n_rows,
