@@ -6,11 +6,31 @@ Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
 Loads each table as a DuckDB view over the sf parquet, runs every SQL in
 oracle_sql.json, loads the Spark result parquet, sorts columns by name,
 and compares cell values (doubles to 1e-9 after the queries' own 4dp
-rounding). Dev-only tool — not part of the shipped library.
+rounding). DTYPE-STRICT: the driver hashes *typed* cells, so an oracle
+column that comes back float64 (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+double) against a Spark int64 column is a FAIL here even when the values
+are numerically identical — that exact gap shipped 10 green-local /
+red-driver queries in round 5. Dev-only tool — not part of the shipped
+library.
 """
 import sys, json, glob, math
 import duckdb
 import pandas as pd
+
+
+def dtype_class(dt):
+    """Collapse a pandas dtype into the class the driver's typed hash
+    distinguishes: int / float / bool / datetime / other."""
+    k = dt.kind  # biufcmMOSUV
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -34,8 +54,11 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             exp = con.sql(sql).df()
         except Exception as e:
@@ -54,6 +77,14 @@ def main():
             n_fail += 1
             continue
         exp, got = exp[ec].reset_index(drop=True), got[ec].reset_index(drop=True)
+        dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in ec
+                  if dtype_class(exp[c].dtype) != dtype_class(got[c].dtype)]
+        if dt_bad:
+            c, e, g = dt_bad[0]
+            print(f"FAIL {name}: dtype col {c}: oracle={e} spark={g} "
+                  f"(driver hashes typed cells — CAST the oracle aggregate)")
+            n_fail += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1

@@ -617,7 +617,7 @@ object Aggregates extends QueryModule {
       ORDER BY bucket""",
     "q_agg_conditional" -> """
       SELECT o_orderstatus,
-             count_if(o_totalprice > 150000) AS n_big,
+             CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
              bool_and(o_totalprice > 0) AS all_positive,
              bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
              round(median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 4)

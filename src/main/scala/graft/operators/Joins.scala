@@ -340,8 +340,8 @@ object Joins extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_join_bloom" -> """
       SELECT o_orderstatus, count(*) AS n_items,
-             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-               AS sum_cents
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_cents
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'

@@ -161,7 +161,8 @@ object Mutations extends QueryModule {
                     ELSE price_cents END AS price_cents
         FROM base
         WHERE o_custkey % 7 <> 0)
-      SELECT o_orderstatus, count(*) AS n, sum(price_cents) AS cents
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(price_cents) AS BIGINT) AS cents
       FROM mutated
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",

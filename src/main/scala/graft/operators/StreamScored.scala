@@ -403,7 +403,8 @@ object StreamScored extends QueryModule {
       ORDER BY wstart, rk""",
     "q_stream_enrich" -> """
       SELECT n_name, count(*) AS n_events,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_cents
       FROM events
       JOIN nation ON n_nationkey = user_id % 25
       GROUP BY n_name
@@ -427,7 +428,8 @@ object StreamScored extends QueryModule {
              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
                AS session_end,
-             count(*) AS n_events, sum(cents) AS sum_cents
+             count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM numbered
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",

@@ -525,7 +525,7 @@ object TextAnalysis extends QueryModule {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM b)
       SELECT split, lang, count(*) AS n_docs,
-             sum(n_tokens) AS total_tokens
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM s
       GROUP BY split, lang
       ORDER BY split, lang""",
@@ -546,7 +546,8 @@ object TextAnalysis extends QueryModule {
         SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
         FROM tok t LEFT JOIN vocab v ON t.term = v.term)
       SELECT doc_id, count(*) AS n_tokens,
-             sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
              string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
                FILTER (WHERE pos < 10) AS ids
       FROM enc
@@ -568,8 +569,8 @@ object TextAnalysis extends QueryModule {
       train AS (
         SELECT doc_id, g FROM inst WHERE NOT ev)
       SELECT t.doc_id, count(*) AS n_grams,
-             sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_contaminated,
+             CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated,
              sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) > 0
                AS contaminated
       FROM train t LEFT JOIN ev_grams e ON t.g = e.g
@@ -610,7 +611,8 @@ object TextAnalysis extends QueryModule {
         FROM (SELECT DISTINCT doc_id, g FROM inst)
         GROUP BY g)
       SELECT doc_id, count(*) AS n_grams,
-             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
              floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
                    * 10000.0 / count(*) + 0.5) / 10000 AS dup_frac
       FROM inst JOIN dfreq USING (g)

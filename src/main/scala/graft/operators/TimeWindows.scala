@@ -341,7 +341,8 @@ object TimeWindows extends QueryModule {
         FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN hrs),
       obs AS (
         SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
         FROM events WHERE value > 95
         GROUP BY 1, 2)
       SELECT s.event_type,
