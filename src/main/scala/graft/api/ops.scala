@@ -149,24 +149,55 @@ object ops {
       s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
 
+  /** Lineage pin for iterative / multi-consumer frames. The default
+    * (`reliable = false`) is `localCheckpoint()`: executor-memory-
+    * backed, fast, and the right choice single-node — but NOT
+    * fault-tolerant. On a real cluster a lost executor makes the
+    * pinned partitions unrecoverable and fails the job, and at 100 TB
+    * on 1000 executors, executor loss is routine, not exceptional —
+    * so long-running iterative jobs (components, PageRank, dup-ngram
+    * corpora) pass `reliable = true`, which routes to `checkpoint()`
+    * under the SparkContext checkpoint directory (HDFS / object
+    * store): slower per round (a write + read of the frame) but the
+    * pinned state survives executor loss. Requires
+    * `sc.setCheckpointDir(...)` — enforced loudly here, because
+    * `checkpoint()` without a dir fails deep inside the job instead.
+    */
+  private def pinLineage(d: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) d.localCheckpoint()
+    else {
+      require(
+        d.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true requires SparkContext.setCheckpointDir(<fault-tolerant dir>)")
+      d.checkpoint()
+    }
+
   /** Shared core of [[GraftDataFrameOps.triangleCount]] and the
     * scored `q_graph_triangles` (whose edge build pre-filters colors
     * inside its expansion lambda): degree-oriented wedge closure over
     * a canonical (s1 < s2) pair list, `multiplier` scaling the
     * sampled count back to the full-graph estimate (1 = exact).
     * Dedupes, checkpoints (the edge list feeds degree, orientation,
-    * and all three count branches), and broadcasts the edge-bytes
-    * side of the wedge/closure probes.
+    * and all three count branches), and — while `broadcastEdges` holds
+    * — broadcasts the edge-bytes side of the wedge/closure probes.
+    * The hint bypasses `autoBroadcastJoinThreshold`, so past broadcast
+    * scale (edge list larger than driver / executor broadcast limits)
+    * callers pass `broadcastEdges = false`: the wedge join then
+    * shuffles by apex `u` and the closure join by `(v1, v2)` — the
+    * same algebra, shuffle-planned.
     */
   private[graft] def triangleCore(rawPairs: DataFrame,
-                                  multiplier: Long): DataFrame = {
+                                  multiplier: Long,
+                                  broadcastEdges: Boolean = true): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastEdges) broadcast(_) else identity
     val pairs = rawPairs.distinct().localCheckpoint()
     val deg = pairs.select(col("s1").as("s"))
       .unionAll(pairs.select(col("s2").as("s")))
       .groupBy("s").agg(count(lit(1)).as("d"))
     val withDeg = pairs
-      .join(broadcast(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
-      .join(broadcast(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
+      .join(hint(deg.select(col("s").as("s1"), col("d").as("d1"))), "s1")
+      .join(hint(deg.select(col("s").as("s2"), col("d").as("d2"))), "s2")
     val fwd = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
     val o = withDeg.select(
       when(fwd, col("s1")).otherwise(col("s2")).as("u"),
@@ -175,11 +206,11 @@ object ops {
     val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = o.select(col("u").as("u2"), col("v").as("v2"),
       col("dv").as("dv2"))
-    val wedges = e1.join(broadcast(e2), col("u") === col("u2") &&
+    val wedges = e1.join(hint(e2), col("u") === col("u2") &&
         struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
       .select(col("v1"), col("v2"))
     val closed = wedges.join(
-      broadcast(o.select(col("u").as("v1"), col("v").as("v2"))),
+      hint(o.select(col("u").as("v1"), col("v").as("v2"))),
       Seq("v1", "v2"))
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
@@ -418,20 +449,26 @@ object ops {
       * needed = graph diameter, which for near-dup clusters is tiny
       * (dup clusters are dense). For adversarial long-path graphs
       * swap in alternating large-star/small-star contraction
-      * (O(log²n) rounds, same join/agg shape). `localCheckpoint` per
+      * (O(log²n) rounds, same join/agg shape). A lineage pin per
       * round truncates lineage — without it the iterative plan grows
-      * exponentially. The driver coordinates but never holds data:
+      * exponentially. `reliable = false` pins with `localCheckpoint`
+      * (memory-backed — fine single-node, but a lost executor kills
+      * the job); pass `reliable = true` on a real cluster to pin with
+      * `checkpoint()` under `sc.setCheckpointDir` so hours of
+      * propagation rounds survive executor loss. The driver
+      * coordinates but never holds data:
       * its only per-round action is an `isEmpty` convergence probe.
       * Raises if not converged within `maxIter` — an unconverged
       * labeling silently merges/splits clusters, so fail loudly.
       */
     def connectedComponents(a: String, b: String,
-                            maxIter: Int = 25): DataFrame = {
-      val edges = df.select(col(a).as("s"), col(b).as("t"))
+                            maxIter: Int = 25,
+                            reliable: Boolean = false): DataFrame = {
+      val edges = pinLineage(df.select(col(a).as("s"), col(b).as("t"))
         .unionByName(df.select(col(b).as("s"), col(a).as("t")))
-        .distinct().localCheckpoint()
-      var labels = edges.select(col("s").as("id")).distinct()
-        .withColumn("comp", col("id")).localCheckpoint()
+        .distinct(), reliable)
+      var labels = pinLineage(edges.select(col("s").as("id")).distinct()
+        .withColumn("comp", col("id")), reliable)
       var it = 0
       var done = false
       while (!done && it < maxIter) {
@@ -441,15 +478,14 @@ object ops {
         // checkpointed result — NOT a second edges-sized join per
         // round, which previously cost each iteration an extra
         // shuffle of the whole label frame.
-        val next = edges
+        val next = pinLineage(edges
           .join(labels.select(col("id").as("t"), col("comp")), "t")
           .select(col("s").as("id"), col("comp"),
             when(lit(false), col("comp")).as("prev"))
           .unionByName(labels.select(col("id"), col("comp"),
             col("comp").as("prev")))
           .groupBy("id").agg(min("comp").as("comp"),
-            min("prev").as("prev"))
-          .localCheckpoint()
+            min("prev").as("prev")), reliable)
         done = next.filter(col("comp") =!= col("prev")).isEmpty
         labels = next.select(col("id"), col("comp"))
         it += 1
@@ -466,7 +502,7 @@ object ops {
       * dangling nodes and no mass-leak correction term. Output:
       * (id, rank) — UNROUNDED; callers round for oracle compares.
       *
-      * Scale shape: the edge list is deduped + localCheckpoint'd once
+      * Scale shape: the edge list is deduped + lineage-pinned once
       * and reused every iteration (at 100 TB the edge build dominates;
       * re-deriving it per iteration would rescan the fact table
       * `iters` times); degrees ride along on the same checkpoint, so
@@ -474,21 +510,27 @@ object ops {
       * the source id) + one partial-agg'd sum — the textbook
       * distributed PageRank step. Ranks are checkpointed per iteration
       * to cut the lineage (an uncheckpointed loop replans the whole
-      * prefix each time, quadratic plan growth).
+      * prefix each time, quadratic plan growth). `reliable = true`
+      * swaps the memory-backed `localCheckpoint` pins for
+      * fault-tolerant `checkpoint()` under `sc.setCheckpointDir` —
+      * mandatory on a real cluster, where losing the one executor
+      * holding a pinned edge partition otherwise kills every
+      * remaining iteration.
       */
     def pageRank(a: String, b: String, iters: Int = 3,
-                 damping: Double = 0.85): DataFrame = {
+                 damping: Double = 0.85,
+                 reliable: Boolean = false): DataFrame = {
       require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
       val half = df.select(col(a).as("s"), col(b).as("t"))
       // Hash-partition the checkpointed edges on the join key ONCE:
       // LogicalRDD keeps the physical partitioning, so none of the
       // `iters` joins below re-exchanges the (large) edge side — only
       // the rank side (O(nodes)) shuffles per iteration.
-      val edges = half
+      val edges = pinLineage(half
         .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-        .distinct().repartition(col("s")).localCheckpoint()
+        .distinct().repartition(col("s")), reliable)
       val deg = edges.groupBy("s").agg(count(lit(1)).as("_deg"))
-      val withDeg = edges.join(deg, "s").localCheckpoint()
+      val withDeg = pinLineage(edges.join(deg, "s"), reliable)
       // Lineage pinning is only needed when the loop is long: each
       // round's plan nests the previous one, so at small fixed `iters`
       // the whole rank recursion compiles into ONE multi-shuffle job
@@ -496,7 +538,7 @@ object ops {
       // quadratically growing prefix — checkpoint per round past the
       // threshold, exactly like connectedComponents' unbounded loop.
       val pin: DataFrame => DataFrame =
-        if (iters > 5) _.localCheckpoint() else identity
+        if (iters > 5) pinLineage(_, reliable) else identity
       var ranks = pin(edges.select(col("s").as("id")).distinct()
         .withColumn("rank", lit(1.0)))
       for (_ <- 1 to iters) {
@@ -518,6 +560,18 @@ object ops {
       * shuffle feeding a sorted-group fold with O(1) state — the
       * K-stage funnel without K chained min-after self-joins. Output:
       * (id, stage) with stage in [0, stages.length].
+      *
+      * REQUIRES a numeric (long-castable) `id`: the typed sorted-group
+      * surface needs a concrete key encoder, and the fold keys on
+      * `id.cast("long")` — under Spark 4's default ANSI mode a
+      * non-numeric string id throws at runtime (with ANSI off it
+      * would null-collapse ids into one group, which is why the cast
+      * failing loudly is the safe behavior). Non-numeric ids: derive a
+      * numeric surrogate first (e.g. `xxhash64(id)` — collision odds
+      * are the standard 64-bit birthday bound). Same-timestamp events
+      * are folded in `(ts, event)` order — the event name is the
+      * deterministic tie-break, so reruns and different partitionings
+      * always produce the same stage.
       */
     def funnelStages(id: Column, ts: Column, event: Column,
                      stages: Seq[String]): DataFrame = {
@@ -532,7 +586,7 @@ object ops {
         .as[(Long, Long, String)]
       val stageArr = stages.toArray
       rows.groupByKey(_._1)
-        .flatMapSortedGroups(col("_fts")) { (user, it) =>
+        .flatMapSortedGroups(col("_fts"), col("_fet")) { (user, it) =>
           var s = 0
           it.foreach { case (_, _, et) =>
             if (s < stageArr.length && et == stageArr(s)) s += 1
@@ -561,11 +615,16 @@ object ops {
       *
       * The canonical edge list is localCheckpoint'd — it feeds the
       * degree table, the orientation, and all count branches; the
-      * wedge/closure probes broadcast it (edge-bytes). Past broadcast
-      * scale, drop to shuffles keyed by apex / pair by removing the
-      * hints — the algebra is unchanged.
+      * wedge/closure probes broadcast it (edge-bytes) while
+      * `broadcastEdges` holds. The hint bypasses
+      * `autoBroadcastJoinThreshold`, so past broadcast scale (an edge
+      * list that exceeds driver/broadcast limits) pass
+      * `broadcastEdges = false` to shuffle the wedge join by apex and
+      * the closure join by (v1, v2) instead — same algebra, same
+      * counts.
       */
-    def triangleCount(a: String, b: String, nColors: Int = 1): DataFrame = {
+    def triangleCount(a: String, b: String, nColors: Int = 1,
+                      broadcastEdges: Boolean = true): DataFrame = {
       require(nColors >= 1 && nColors <= 65536,
         s"nColors must be in [1, 65536], got $nColors")
       val raw = df.select(col(a).as("x"), col(b).as("y"))
@@ -576,7 +635,7 @@ object ops {
         if (nColors == 1) raw
         else raw.filter(md5Bucket(col("s1"), nColors) ===
           md5Bucket(col("s2"), nColors))
-      triangleCore(sampled, nColors.toLong * nColors)
+      triangleCore(sampled, nColors.toLong * nColors, broadcastEdges)
     }
 
     /** MinHash/LSH near-dup dedup → per-row keep/discard flag (O(n)
@@ -899,7 +958,8 @@ object ops {
       * instances count toward every holder's n_dup (df ≥ 2 ⟺ "some
       * OTHER doc has it" for each holder individually).
       */
-    def dupNgramStats(id: Column, tokens: Column, n: Int): DataFrame = {
+    def dupNgramStats(id: Column, tokens: Column, n: Int,
+                      reliable: Boolean = false): DataFrame = {
       require(n >= 2 && n <= 32, s"n must be in [2, 32], got $n")
       // Three measured-at-sf0.1 performance rules shape this stage:
       // (1) `tokens` is projected to an attribute BEHIND the Generate
@@ -911,20 +971,23 @@ object ops {
       // (n unrolled at plan time) — the md5 digest runs AFTER the
       // explode as a top-level codegen'd projection;
       // (3) the instance table feeds TWO consumers (df-count and the
-      // join back), so it's localCheckpoint'd — (id, digest) pairs,
+      // join back), so it's lineage-pinned — (id, digest) pairs,
       // the standard materialization point of suffix-style dedup —
       // rather than recomputed per consumer (same discipline as
       // simhash64's sketch). Net: ~9× end-to-end vs the naive plan.
+      // At corpus scale the pinned instance table is n-grams × 32 B —
+      // large enough that `reliable = true` (fault-tolerant
+      // checkpoint() instead of memory-backed localCheckpoint) is the
+      // right call on a real cluster.
       val grams = when(size(col("_t")) >= n,
         transform(sequence(lit(0), size(col("_t")) - n),
           i => concat_ws(" ",
             (0 until n).map(j =>
               element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
         .otherwise(array().cast("array<string>"))
-      val inst = df.select(id.as("doc_id"), tokens.as("_t"))
+      val inst = pinLineage(df.select(id.as("doc_id"), tokens.as("_t"))
         .select(col("doc_id"), explode(grams).as("_gs"))
-        .select(col("doc_id"), md5(col("_gs")).as("_g"))
-        .localCheckpoint()
+        .select(col("doc_id"), md5(col("_gs")).as("_g")), reliable)
       val dfreq = inst.distinct()
         .groupBy("_g").agg(count(lit(1)).as("_df"))
       inst.join(dfreq, "_g")

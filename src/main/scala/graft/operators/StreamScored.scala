@@ -229,22 +229,16 @@ object StreamScored extends QueryModule {
       "graft_stream_stateful")
 
   /** Same counters on Spark 4's `transformWithState` (RocksDB state
-    * store). The provider conf that statefulUserCountsTws sets is
-    * restored afterwards so later streaming queries in the session are
-    * unaffected.
+    * store). The provider flip is scoped by
+    * [[Streams.withRocksDbStateStore]] so later streaming queries in
+    * the session are unaffected.
     */
-  val streamStatefulTws: Q = (spark, dir) => {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    try {
+  val streamStatefulTws: Q = (spark, dir) =>
+    Streams.withRocksDbStateStore(spark) {
       drainUserCounts(
         Streams.statefulUserCountsTws(eventsInCents(spark, dir)),
         "graft_stream_stateful_tws")
-    } finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
-  }
 
   /** Streaming session windows scored: the window-MERGING stateful
     * operator (a session's extent is data-dependent) through the real

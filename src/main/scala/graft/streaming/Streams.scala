@@ -15,7 +15,8 @@ case class UserAggState(nEvents: Long, sumValue: Double)
   * (`transformWithState`): named `ValueState` with optional TTL,
   * timers, and a state-store schema of its own — the successor to
   * `flatMapGroupsWithState`. Requires the RocksDB state-store
-  * provider (set in [[Streams.statefulUserCountsTws]]).
+  * provider — start the query inside
+  * [[Streams.withRocksDbStateStore]].
   */
 class UserCountsProcessor
     extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
@@ -112,6 +113,28 @@ class SessionTimeoutProcessor(gapMs: Long)
   */
 object Streams {
 
+  /** Runs `body` with the RocksDB state-store provider set for any
+    * streaming query STARTED inside it, restoring the prior provider
+    * (or unsetting) afterwards. `transformWithState` requires RocksDB,
+    * but the provider conf is session-wide and baked into a query at
+    * start — leaving it flipped would silently switch the provider
+    * under later stateful queries and break resumption of checkpoints
+    * created under the default HDFS-backed provider, so the flip is
+    * scoped here and the plan builders below never mutate session
+    * conf themselves.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** events.parquet raw schema — ts read as raw int64 nanos
     * (timestamp[ns] parquet, same workaround as Tables.events) and
     * converted after load; file-source streams need an explicit schema.
@@ -187,12 +210,11 @@ object Streams {
   /** s_stateful_tws: [[statefulUserCounts]] re-expressed on
     * `transformWithState` (see [[UserCountsProcessor]]). State lives in
     * RocksDB per partition — bounded memory at any key cardinality.
+    * Start the query inside [[withRocksDbStateStore]].
     */
   def statefulUserCountsTws(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
@@ -207,14 +229,13 @@ object Streams {
     * state evicted — when the watermark passes lastActivity + `gap`.
     * Watermark delay 0 keeps test drains deterministic: the watermark
     * is exactly the max event time seen, so which sessions close is a
-    * pure function of the data.
+    * pure function of the data. Start the query inside
+    * [[withRocksDbStateStore]] (transformWithState requires RocksDB).
     */
   def sessionTimeouts(events: DataFrame,
                       gapMs: Long = 30L * 60 * 1000): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .withWatermark("ts", "0 seconds")
       .select(col("user_id").cast("long"),

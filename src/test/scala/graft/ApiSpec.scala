@@ -244,6 +244,38 @@ class ApiSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents reliable=true pins via fault-tolerant checkpoint") {
+    import spark.implicits._
+    // reliable=false pins lineage with localCheckpoint (memory-backed:
+    // a lost executor kills a 100 TB job mid-propagation); reliable=
+    // true routes to checkpoint() under the configured dir so iterative
+    // state survives executor loss. Same labels either way — and the
+    // knob must fail LOUDLY when no checkpoint dir is set, because
+    // checkpoint() without one otherwise dies deep inside the job.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val sc = spark.sparkContext
+    val priorDir = sc.getCheckpointDir
+    assert(priorDir.isEmpty || priorDir.exists(_.nonEmpty))
+    if (priorDir.isEmpty) {
+      val ex = intercept[IllegalArgumentException] {
+        pairs.connectedComponents("d1", "d2", reliable = true)
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val rel = pairs.connectedComponents("d1", "d2", reliable = true)
+        .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(rel.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // The pins actually landed in the fault-tolerant dir.
+      val files = java.nio.file.Files.walk(dir).count()
+      assert(files > 1, "checkpoint dir is empty — reliable pin did not run")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("stratifiedHashSample: nested samples, exact strata, no RNG drift") {
     import graft.api.ops._
     val docs = Tables(spark, sfDir, "documents")
@@ -598,6 +630,12 @@ class ApiSpec extends SparkSpec {
     val dirty = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
       (3L, 3L), (3L, 4L))
     assert(tri(dirty) === ((4L, 4L, 1L, 1L)))
+    // broadcastEdges=false (the past-broadcast-scale path: wedge join
+    // shuffles by apex, closure by pair) — same algebra, same counts.
+    val shuffled = k4.toDF("a", "b")
+      .triangleCount("a", "b", broadcastEdges = false).head
+    assert((shuffled.getLong(0), shuffled.getLong(1), shuffled.getLong(2),
+      shuffled.getLong(3)) === ((4L, 6L, 4L, 4L)))
   }
 
   test("pageRank long-loop (checkpointed) branch matches the short-loop result") {

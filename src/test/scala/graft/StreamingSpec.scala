@@ -92,13 +92,15 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[Ev]
-    val out = run(Streams.statefulUserCountsTws(in.toDF), "tws", "update") { q =>
-      in.addData(
-        Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.5),
-        Ev(2, t("2024-01-01 10:01:00"), 7, "click", 2.5))
-      q.processAllAvailable()
-      in.addData(Ev(3, t("2024-01-01 10:02:00"), 7, "view", 4.0))
-      q.processAllAvailable()
+    val out = Streams.withRocksDbStateStore(spark) {
+      run(Streams.statefulUserCountsTws(in.toDF), "tws", "update") { q =>
+        in.addData(
+          Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.5),
+          Ev(2, t("2024-01-01 10:01:00"), 7, "click", 2.5))
+        q.processAllAvailable()
+        in.addData(Ev(3, t("2024-01-01 10:02:00"), 7, "view", 4.0))
+        q.processAllAvailable()
+      }
     }
     val last = out.filter("user_id = 7 and n_events = 3").collect()
     assert(last.length === 1)
@@ -300,7 +302,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[Ev]
-    val out = run(Streams.sessionTimeouts(in.toDF), "sesstimer", "append") { q =>
+    val out = Streams.withRocksDbStateStore(spark) {
+      run(Streams.sessionTimeouts(in.toDF), "sesstimer", "append") { q =>
       // Batch 1: user 7 active until 10:05, user 8 until 10:00.
       in.addData(
         Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
@@ -313,6 +316,7 @@ class StreamingSpec extends SparkSpec {
       // and the stale 10:30 timer from batch 1 must NOT close it.
       in.addData(Ev(4, t("2024-01-01 11:30:00"), 8, "view", 1.0))
       q.processAllAvailable()
+      }
     }
     val closed = out.filter("closed").collect()
     assert(closed.length === 1, s"expected exactly one closed session")
@@ -320,5 +324,82 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.getAs[Long]("n_events") === 2L)
     // Progress rows for both users were emitted while open.
     assert(out.filter("user_id = 8 and not closed").count() >= 1)
+  }
+
+  test("stream-stream join: watermark EVICTS buffered state (metrics pin)") {
+    // The "watermark bounds state" claim as a test, not a comment:
+    // read the engine's own StateOperatorProgress. The join buffers
+    // both sides; once the watermark passes c_ts + 1h + delay, the
+    // rows must leave the store — numRowsTotal at the end is strictly
+    // below its peak, with removals reported.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    var peakState = 0L
+    var endState = Long.MaxValue
+    var removed = 0L
+    run(Streams.clickPurchaseJoin(in.toDF, in.toDF), "joinmet", "append") { q =>
+      in.addData(
+        Ev(100, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(101, t("2024-01-01 10:01:00"), 2, "click", 1.0),
+        Ev(200, t("2024-01-01 10:30:00"), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // Jump the event clock ~10 h ON BOTH SIDES: the global watermark
+      // is the MIN across the two watermark nodes (default policy), so
+      // a click alone would leave the purchase side's watermark — and
+      // the join's eviction clock — stuck at 10:20. With both at
+      // 20:00, the watermark reaches 19:50, far past every 10:xx row's
+      // eviction deadline (ts + 1 h band + 10 min delay).
+      in.addData(
+        Ev(300, t("2024-01-01 20:00:00"), 3, "click", 1.0),
+        Ev(310, t("2024-01-01 20:00:00"), 9, "purchase", 2.0))
+      q.processAllAvailable()
+      // One more batch so the post-jump watermark drives the eviction.
+      in.addData(
+        Ev(301, t("2024-01-01 21:00:00"), 4, "click", 1.0),
+        Ev(311, t("2024-01-01 21:00:00"), 8, "purchase", 2.0))
+      q.processAllAvailable()
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      assert(sops.exists(_.operatorName.contains("symmetricHashJoin")),
+        s"expected a join state operator, got ${sops.map(_.operatorName).toSet}")
+      peakState = sops.map(_.numRowsTotal).max
+      endState = sops.last.numRowsTotal
+      removed = sops.map(_.numRowsRemoved).sum
+    }
+    assert(peakState >= 3L, s"join never buffered the fed rows: $peakState")
+    assert(endState < peakState,
+      s"watermark did not evict join state: end=$endState peak=$peakState")
+    assert(removed > 0L, "state store reported no removals")
+  }
+
+  test("session window: late rows are dropped BY THE WATERMARK (metrics pin)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    var dropped = 0L
+    var peakState = 0L
+    var opNames = Set.empty[String]
+    run(Streams.sessionizedCounts(in.toDF), "sessmet", "append") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Ev(2, t("2024-01-01 10:05:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // Watermark → 11:50; the 10:00–10:35 session finalizes.
+      in.addData(Ev(3, t("2024-01-01 12:00:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // 10:20 is 90 min behind the watermark → the state operator must
+      // count it in numRowsDroppedByWatermark (not merge it).
+      in.addData(Ev(4, t("2024-01-01 10:20:00"), 7, "click", 9.0))
+      q.processAllAvailable()
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      opNames = sops.map(_.operatorName).toSet
+      dropped = sops.map(_.numRowsDroppedByWatermark).sum
+      peakState = sops.map(_.numRowsTotal).max
+    }
+    assert(opNames.exists(_.toLowerCase.contains("session")),
+      s"expected a session-window state operator, got $opNames")
+    assert(peakState > 0L, "session state never materialized")
+    assert(dropped >= 1L,
+      s"late row was not dropped by the watermark (dropped=$dropped)")
   }
 }
