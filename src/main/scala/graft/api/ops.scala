@@ -495,6 +495,73 @@ object ops {
       labels
     }
 
+    /** Connected components by alternating LARGE-STAR / SMALL-STAR
+      * contraction (Kiveris et al., "Connected Components in MapReduce
+      * and Beyond", SoCC '14) — the O(log² n)-round alternative to
+      * [[connectedComponents]]' O(diameter) min-label propagation.
+      * Same output contract: (id, comp) for every vertex of the pair
+      * list, comp = MIN id reachable. Min-label stays the default for
+      * near-dup graphs (dup clusters are dense, diameter ~2-3, and its
+      * per-round plan is one join + one agg); THIS form is for
+      * high-diameter graphs — chains, meshes, road-network shapes —
+      * where diameter-many rounds is the scale killer: a 10⁶-long
+      * path needs 10⁶ min-label rounds but ~tens of star rounds.
+      *
+      * Per round, both operations are pure join + agg (no collect_set
+      * — a hub's neighborhood never materializes in one row, so the
+      * min-center node of a huge component is shuffle skew, not OOM):
+      * large-star connects every neighbor v > u to m = min(N(u)∪{u});
+      * small-star connects every neighbor v ≤ u (plus u itself) to m.
+      * Both strictly reduce the potential Σ(edge stretch); the edge
+      * set converges to min-rooted stars, read out as labels.
+      * Convergence probe = row-count match, then an exact `except`
+      * check (count equality alone could alias a swap). Lineage is
+      * pinned per round ([[pinLineage]]; `reliable` as in
+      * [[connectedComponents]]).
+      */
+    def connectedComponentsStar(a: String, b: String,
+                                maxIter: Int = 30,
+                                reliable: Boolean = false): DataFrame = {
+      val verts = df.select(col(a).cast("long").as("id"))
+        .unionByName(df.select(col(b).cast("long").as("id"))).distinct()
+      // Orient child > parent; self-loops carry no connectivity.
+      var e = pinLineage(df
+        .select(greatest(col(a), col(b)).cast("long").as("u"),
+          least(col(a), col(b)).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct(), reliable)
+      var it = 0
+      var done = false
+      while (!done && it < maxIter) {
+        // Large-star over the symmetric neighbor view.
+        val nb = e.unionByName(
+          e.select(col("v").as("u"), col("u").as("v")))
+        val mins = nb.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val large = nb.filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // Small-star on the oriented (child > parent) edges.
+        val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+        val small = large.join(smins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionByName(smins.select(col("u"), col("m").as("v")))
+          .distinct()
+        val next = pinLineage(small, reliable)
+        done = next.count() == e.count() &&
+          next.exceptAll(e).isEmpty
+        e = next
+        it += 1
+      }
+      require(done,
+        s"connectedComponentsStar: not converged after $maxIter rounds")
+      val lbl = e.select(col("u").as("id"), col("v").as("comp"))
+        .unionByName(e.select(col("v").as("id"), col("v").as("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+      verts.join(lbl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    }
+
     /** Fixed-iteration PageRank over an undirected edge list (columns
       * `a`, `b`; node ids must be globally unique across both columns).
       * rank₀ = 1.0; rankᵢ₊₁(v) = (1−d) + d·Σ_{u∼v} rankᵢ(u)/deg(u).

@@ -136,6 +136,28 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** [[dedupComponents]] on the alternating large-star/small-star
+    * contraction (`connectedComponentsStar`) instead of min-label
+    * propagation — O(log² n) rounds vs O(diameter), the form for
+    * high-diameter similarity graphs. Hash-matching the SAME
+    * recursive-transitive-closure oracle as q_dedup_components proves
+    * the two distributed algorithms compute the identical fixpoint
+    * through the driver's gate, not just in unit tests.
+    */
+  val dedupComponentsStar: Q = (spark, dir) => {
+    val pairs = docsWithTokens(spark, dir)
+      .jaccardPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
+    val comp = pairs.connectedComponentsStar("d1", "d2")
+      .withColumnRenamed("id", "doc_id")
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -144,7 +166,43 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_components" -> dedupComponents,
+    "q_dedup_components_star" -> dedupComponentsStar,
   )
+
+  /** Shared by q_dedup_components and q_dedup_components_star: the
+    * oracle is the recursive transitive closure (tractable at oracle
+    * SF), so a hash match proves BOTH distributed algorithms — the
+    * O(diameter) min-label loop and the O(log² n) star contraction —
+    * compute the identical fixpoint.
+    */
+  private val componentsOracleSql = """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, source, lang,
+               list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents),
+      p AS (
+        SELECT d1, d2 FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                   AS jaccard
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.lang = b.lang
+               AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      e AS (SELECT d1 AS s, d2 AS t FROM p
+            UNION SELECT d2, d1 FROM p),
+      reach(a, b) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+      comp AS (SELECT a AS doc_id, min(b) AS component
+               FROM reach GROUP BY a)
+      SELECT doc.doc_id,
+             coalesce(c.component, doc.doc_id) AS component,
+             coalesce(c.component, doc.doc_id) = doc.doc_id AS is_canonical
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+      ORDER BY doc.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> """
@@ -190,34 +248,10 @@ object Dedup extends QueryModule {
       FROM dirs
       WHERE containment >= 0.9
       ORDER BY inner_id, outer_id""",
-    "q_dedup_components" -> """
-      WITH RECURSIVE d AS (
-        SELECT doc_id, source, lang,
-               list_distinct(string_split(text, ' ')) AS tokset
-        FROM documents),
-      p AS (
-        SELECT d1, d2 FROM (
-          SELECT a.doc_id AS d1, b.doc_id AS d2,
-                 round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
-                   len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
-                   AS jaccard
-          FROM d a JOIN d b
-            ON a.source = b.source AND a.lang = b.lang
-               AND a.doc_id < b.doc_id)
-        WHERE jaccard >= 0.8),
-      e AS (SELECT d1 AS s, d2 AS t FROM p
-            UNION SELECT d2, d1 FROM p),
-      reach(a, b) AS (
-        SELECT s, s FROM e
-        UNION
-        SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
-      comp AS (SELECT a AS doc_id, min(b) AS component
-               FROM reach GROUP BY a)
-      SELECT doc.doc_id,
-             coalesce(c.component, doc.doc_id) AS component,
-             coalesce(c.component, doc.doc_id) = doc.doc_id AS is_canonical
-      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
-      ORDER BY doc.doc_id""",
+    "q_dedup_components" -> componentsOracleSql,
+    // Identical oracle on purpose: min-label and star contraction
+    // must produce the identical typed result table.
+    "q_dedup_components_star" -> componentsOracleSql,
     "q_dedup_embedding" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -411,4 +411,44 @@ class QualitySpec extends SparkSpec {
       assert(e <= f + slack, s"CM overcounted $t: est=$e > ${f + slack}")
     }
   }
+
+  test("star connectedComponents matches min-label on seeded random graphs") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Erdős–Rényi-ish: p tuned to straddle the connectivity threshold
+    // so runs produce MANY components of mixed sizes, not one blob.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 1.2 / n
+      } yield (i, j)).toSeq
+      // Keep isolated-vertex coverage honest: self-pairs only.
+      val withIso = edges ++ Seq((n + 1L, n + 1L), (n + 2L, n + 2L))
+      val df = withIso.toDF("a", "b")
+      val minLabel = df.connectedComponents("a", "b", maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = df.connectedComponentsStar("a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === minLabel, s"trial $trial: labelings differ")
+    }
+  }
+
+  test("star connectedComponents handles diameters min-label cannot") {
+    import spark.implicits._
+    import graft.api.ops._
+    // A 300-path has diameter 299: min-label needs ~300 rounds (its
+    // default maxIter=25 raises), the alternating star form must
+    // finish inside its DEFAULT 30-round budget — the O(log² n) claim
+    // as an executable bound, not a comment.
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      chain.connectedComponents("a", "b") // default maxIter = 25
+    }
+    val star = chain.connectedComponentsStar("a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length === 301)
+    assert(star.forall(_._2 === 0L), "single path must collapse to comp 0")
+  }
 }
