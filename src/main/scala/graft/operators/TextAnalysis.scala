@@ -254,6 +254,30 @@ object TextAnalysis extends QueryModule {
     * Cumulative counts are exact longs; the one double division per
     * row is rounded tie-proof.
     */
+  /** One-scan vocabulary heavy-hitters via the mergeable string
+    * Misra–Gries UDAF — the bounded-memory twin of [[textVocab]]: the
+    * exact form's `groupBy(term)` shuffles the FULL vocabulary (at
+    * 100 TB: billions of distinct terms), while this moves one
+    * ≤k-entry buffer per partition regardless of corpus size. Scored
+    * with an exact oracle on purpose: k = 128 exceeds the synthetic
+    * corpus's distinct-term count, and Misra–Gries with k ≥ |vocab|
+    * never decrements — the sketch IS the exact frequency table, so
+    * the DuckDB hash match verifies the whole UDAF/merge path, not
+    * just bounds (the k < vocab sketch regime is QualitySpec-gated on
+    * forced-decrement runs).
+    */
+  val textVocabSketch: Q = (spark, dir) => {
+    import graft.functions.MisraGriesStrAgg
+    val tok = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    tok.select(MisraGriesStrAgg.column(128)(col("term")).as("mg"))
+      .select(explode(col("mg")).as(Seq("term", "cnt")))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+      .select(row_number().over(w).as("rank"), col("term"), col("cnt"))
+      .orderBy("rank")
+  }
+
   val textVocab: Q = (spark, dir) => {
     val tok = docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
@@ -451,6 +475,7 @@ object TextAnalysis extends QueryModule {
     }),
     "q_sample_stratified" -> sampleStratified,
     "q_text_vocab" -> textVocab,
+    "q_text_vocab_sketch" -> textVocabSketch,
     "q_pack_sequences" -> packSequences,
     "q_sample_hash_split" -> sampleHashSplit,
     "q_text_tokenize" -> textTokenize,
@@ -747,6 +772,16 @@ object TextAnalysis extends QueryModule {
                                WHEN 'de' THEN 5000
                                ELSE 10000 END
       ORDER BY doc_id""",
+    "q_text_vocab_sketch" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+      top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+               AS rank,
+             term, cnt
+      FROM top
+      ORDER BY rank""",
     "q_text_vocab" -> """
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
                    FROM documents),

@@ -412,6 +412,36 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("string Misra-Gries: MG bounds under forced decrements; exact at k>=vocab") {
+    import graft.functions.MisraGriesStrAgg
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // Sketch regime: k = 8 << |vocab| forces real decrement/compact
+    // cycles through the lazy-offset path AND partial-agg merges.
+    val k = 8
+    val bound = n / (k + 1)
+    val res = toks.repartition(8)
+      .select(MisraGriesStrAgg.column(k)(col("term")))
+      .head.getAs[Map[String, Long]](0)
+    assert(res.size <= k)
+    exact.filter(_._2 > bound).foreach { case (t, f) =>
+      assert(res.contains(t), s"heavy term $t (f=$f > $bound) missing") }
+    res.foreach { case (t, e) =>
+      val f = exact.getOrElse(t, 0L)
+      assert(e <= f, s"overcount $t: $e > $f")
+      assert(e >= f - bound, s"undercount $t: $e < ${f - bound}") }
+    // Exact regime: k >= |vocab| never decrements, so the summary IS
+    // the frequency table — the property q_text_vocab_sketch's exact
+    // DuckDB oracle relies on.
+    val full = toks.repartition(8)
+      .select(MisraGriesStrAgg.column(math.max(128, exact.size))(col("term")))
+      .head.getAs[Map[String, Long]](0)
+    assert(full === exact, "k >= vocab must reproduce exact counts")
+  }
+
   test("star connectedComponents matches min-label on seeded random graphs") {
     import spark.implicits._
     import graft.api.ops._
