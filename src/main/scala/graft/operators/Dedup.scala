@@ -158,6 +158,41 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The production dedup DECISION rule: near-dup clusters keep their
+    * highest-QUALITY member, not the min-id one — min-id canonicals
+    * are a stable placeholder, but real pipelines keep the best copy
+    * (RefinedWeb/FineWeb keep-one-per-cluster step). Clusters come
+    * from [[dedupComponents]]' pair graph; the kept doc is the
+    * 4dp-quality argmax with doc_id as the deterministic tie-break
+    * (rounded quality on purpose — both engines agree on 4dp, so ties
+    * break identically). One component-keyed window over the labeled
+    * docs (per-cluster cardinality is small by construction, so the
+    * window partition is never a skew concern at corpus scale).
+    * Output: (doc_id, component, quality, keep).
+    */
+  val dedupKeepBest: Q = (spark, dir) => {
+    val pairs = docsWithTokens(spark, dir)
+      .jaccardPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
+    val comp = pairs.connectedComponents("d1", "d2")
+      .withColumnRenamed("id", "doc_id")
+    val qual = Tables(spark, dir, "documents")
+      .qualityScores(col("doc_id"), split(col("text"), " "), col("n_chars"),
+        stopwords = Seq("the", "a", "of", "and", "to", "in"))
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .join(qual, "doc_id")
+      .withColumn("keep", col("doc_id") === first(col("doc_id")).over(w))
+      .select("doc_id", "component", "quality", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -167,6 +202,7 @@ object Dedup extends QueryModule {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_components_star" -> dedupComponentsStar,
+    "q_dedup_keep_best" -> dedupKeepBest,
   )
 
   /** Shared by q_dedup_components and q_dedup_components_star: the
@@ -252,6 +288,55 @@ object Dedup extends QueryModule {
     // Identical oracle on purpose: min-label and star contraction
     // must produce the identical typed result table.
     "q_dedup_components_star" -> componentsOracleSql,
+    // Same component closure + the q_text_quality score formula +
+    // a per-component argmax window (quality DESC, doc_id tie-break).
+    "q_dedup_keep_best" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, source, lang,
+               list_distinct(string_split(text, ' ')) AS tokset
+        FROM documents),
+      p AS (
+        SELECT d1, d2 FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                   AS jaccard
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.lang = b.lang
+               AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8),
+      e AS (SELECT d1 AS s, d2 AS t FROM p
+            UNION SELECT d2, d1 FROM p),
+      reach(a, b) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+      comp AS (SELECT a AS doc_id, min(b) AS component
+               FROM reach GROUP BY a),
+      qual AS (
+        SELECT doc_id,
+               round(
+                 (CAST(len(list_filter(toks, t -> regexp_full_match(
+                    t, '[a-z]+'))) AS DOUBLE) / len(toks)) *
+                 (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+                    ['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+                    / len(toks)) *
+                 least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 4) AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)),
+      m AS (
+        SELECT doc.doc_id,
+               coalesce(c.component, doc.doc_id) AS component,
+               q.quality
+        FROM documents doc
+        LEFT JOIN comp c ON doc.doc_id = c.doc_id
+        JOIN qual q ON doc.doc_id = q.doc_id)
+      SELECT doc_id, component, quality,
+             doc_id = first_value(doc_id) OVER (
+               PARTITION BY component
+               ORDER BY quality DESC, doc_id) AS keep
+      FROM m
+      ORDER BY doc_id""",
     "q_dedup_embedding" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
