@@ -1184,6 +1184,42 @@ object ops {
       df.withColumn(out, assigned)
     }
 
+    /** Token-budget mixture sampling — the Dolma/Pile mixture-building
+      * step: given target corpus SHARES per stratum (e.g. language)
+      * and a total token `budget`, derive each stratum's sampling rate
+      * FROM THE DATA (`rate = min(1, budget·share / stratum_tokens)`)
+      * and keep rows by the same content-stable md5 bucket as
+      * [[stratifiedHashSample]]. Rates are computed in-plan: one
+      * partial-agged shuffle over #strata keys, broadcast back onto
+      * the scan — no driver collect, so the same plan runs when the
+      * totals come from 100 TB. The md5 bucket makes samples
+      * reproducible AND nested: raising the budget only ADDS rows
+      * (ablation-friendly), never reshuffles the kept set. Strata
+      * absent from `shares` get share 0 → dropped. Output: the kept
+      * rows plus their stratum's `rate` column.
+      */
+    def tokenBudgetMixture(id: Column, stratum: Column, weight: Column,
+                           shares: Map[String, Double], budget: Long,
+                           buckets: Int = 10000): DataFrame = {
+      require(budget > 0, s"budget must be positive, got $budget")
+      require(shares.nonEmpty, "shares must be non-empty")
+      shares.values.foreach(s =>
+        require(s >= 0 && s <= 1, s"shares must be in [0,1], got $s"))
+      val shareCol = shares.toSeq.sortBy(_._1)
+        .foldLeft(lit(0.0): Column) { case (acc, (k, s)) =>
+          when(col("_stratum") === lit(k), lit(s)).otherwise(acc)
+        }
+      val d = df.withColumn("_stratum", stratum)
+      val rates = d.groupBy("_stratum")
+        .agg(sum(weight.cast("long")).as("_tot"))
+        .select(col("_stratum"),
+          least(lit(1.0), lit(budget.toDouble) * shareCol / col("_tot"))
+            .as("rate"))
+      d.join(broadcast(rates), "_stratum")
+        .filter(md5Bucket(id, buckets) < col("rate") * buckets)
+        .drop("_stratum")
+    }
+
     /** Stratified hash sampling: keep each row with a per-stratum rate
       * — the mixture-rebalancing primitive of training-data pipelines
       * (downweight the over-represented language/source without

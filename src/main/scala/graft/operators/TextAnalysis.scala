@@ -238,6 +238,29 @@ object TextAnalysis extends QueryModule {
     * content-stable per-stratum rates (en 25%, de 50%, rest kept) —
     * same md5 arithmetic as the split, so fully oracle-checkable.
     */
+  /** Token-budget mixture: per-language sampling rates derived from
+    * corpus token totals against a 10k-token budget with explicit
+    * target shares, applied via the content-stable md5 bucket. The
+    * scale point: rates are computed IN-PLAN (one #strata-key agg,
+    * broadcast back) — no driver collect, so the identical plan
+    * builds a mixture from 100 TB of totals. Result is the
+    * per-language audit table (docs kept, tokens kept, rate).
+    */
+  val sampleMixture: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .tokenBudgetMixture(col("doc_id"), col("lang"), col("n_tokens"),
+        shares = Map("en" -> 0.35, "zh" -> 0.20, "de" -> 0.15,
+          "es" -> 0.15, "fr" -> 0.15),
+        budget = 10000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("kept_tokens"),
+        Norm.r4tie(first(col("rate"))).as("rate"))
+      .orderBy("lang")
+  }
+
   val sampleStratified: Q = (spark, dir) => {
     import graft.api.ops._
     docs(spark, dir)
@@ -474,6 +497,7 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_mixture" -> sampleMixture,
     "q_text_vocab" -> textVocab,
     "q_text_vocab_sketch" -> textVocabSketch,
     "q_pack_sequences" -> packSequences,
@@ -772,6 +796,36 @@ object TextAnalysis extends QueryModule {
                                WHEN 'de' THEN 5000
                                ELSE 10000 END
       ORDER BY doc_id""",
+    "q_sample_mixture" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 10000
+                 AS bucket
+        FROM (SELECT doc_id, lang, text,
+                     lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+              FROM documents)),
+      tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+              FROM d GROUP BY lang),
+      r AS (SELECT lang,
+                   least(1.0, 10000.0 *
+                     CASE lang WHEN 'de' THEN 0.15 WHEN 'en' THEN 0.35
+                               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                               WHEN 'zh' THEN 0.20 ELSE 0.0 END
+                     / tot) AS rate
+            FROM tot),
+      s AS (SELECT d.lang, d.n_tokens, r.rate
+            FROM d JOIN r ON d.lang = r.lang
+            WHERE d.bucket < r.rate * 10000)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+             floor(rate * 10000 + 0.5) / 10000 AS rate
+      FROM s
+      GROUP BY lang, rate
+      ORDER BY lang""",
     "q_text_vocab_sketch" -> """
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
                    FROM documents),

@@ -276,6 +276,28 @@ class ApiSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("tokenBudgetMixture: nested budgets, determinism, share-0 drops") {
+    import graft.api.ops._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+    def kept(budget: Long): Set[Long] =
+      docs.tokenBudgetMixture(col("doc_id"), col("lang"), col("n_tokens"),
+          Map("en" -> 1.0), budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = kept(2000)
+    val k4 = kept(4000)
+    assert(k2.nonEmpty && k2.size < k4.size,
+      s"budget must scale the sample: ${k2.size} vs ${k4.size}")
+    // Raising the budget only ADDS rows (md5-bucket nesting) — the
+    // ablation property: the 2k-token corpus is a subset of the 4k one.
+    assert(k2.subsetOf(k4), s"${(k2 -- k4).size} rows lost at higher budget")
+    assert(kept(2000) === k2) // content-stable, no RNG drift
+    // Strata without a share are dropped, not passed through.
+    assert(docs.tokenBudgetMixture(col("doc_id"), col("lang"),
+        col("n_tokens"), Map("en" -> 1.0), 4000)
+      .filter(col("lang") =!= "en").count() === 0L)
+  }
+
   test("stratifiedHashSample: nested samples, exact strata, no RNG drift") {
     import graft.api.ops._
     val docs = Tables(spark, sfDir, "documents")
