@@ -184,6 +184,16 @@ class PlanSpec extends SparkSpec {
       s"sampling shuffled before the final sort:\n$p")
   }
 
+  test("q_sample_mixture broadcasts the derived rates; corpus never SMJs") {
+    // The rates table is #strata rows computed in-plan; it must come
+    // back as a BROADCAST onto the corpus scan — if it sort-merge-
+    // joins, the whole corpus shuffles to sample itself.
+    val p = plan("q_sample_mixture")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus SMJ'd for sampling:\n$p")
+  }
+
   test("q_join_bloom probes the sketch below the join, inside codegen") {
     // The semi-join reduction contract: bloom_might_contain filters the
     // probe side BEFORE the join (scan-side, pre-shuffle), and the
