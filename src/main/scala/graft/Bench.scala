@@ -17,10 +17,21 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_BENCH_RUNS > 1 (dev-only; the driver leaves it unset
+    // → 1, identical behavior) times each query N times and reports
+    // the MIN — the standard noise-floor estimate. Single-run timings
+    // on this box swing 2-3× per query (round-5's q_dedup_simhash
+    // "regression" was exactly that), so min-of-N is how a suspected
+    // regression gets confirmed or cleared locally.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+      .max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -529,6 +529,7 @@ object ops {
         .select(greatest(col(a), col(b)).cast("long").as("u"),
           least(col(a), col(b)).cast("long").as("v"))
         .filter(col("u") =!= col("v")).distinct(), reliable)
+      var eCount = e.count()
       var it = 0
       var done = false
       while (!done && it < maxIter) {
@@ -548,9 +549,13 @@ object ops {
           .unionByName(smins.select(col("u"), col("m").as("v")))
           .distinct()
         val next = pinLineage(small, reliable)
-        done = next.count() == e.count() &&
-          next.exceptAll(e).isEmpty
+        // One count job per round (the previous round's count is
+        // carried over); the exact `except` confirmation runs only
+        // when the counts already agree.
+        val nextCount = next.count()
+        done = nextCount == eCount && next.exceptAll(e).isEmpty
         e = next
+        eCount = nextCount
         it += 1
       }
       require(done,
