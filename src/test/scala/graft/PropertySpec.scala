@@ -123,6 +123,46 @@ class PropertySpec extends SparkSpec {
     assert(self.filter(abs(col("c") - 1.0) > 1e-9).count() === 0)
   }
 
+  test("both connectedComponents forms match union-find on dirty seeded graphs") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Independent reference (union-find in test code) so the two
+    // distributed algorithms can't share a bug and both pass. Dirty
+    // input on purpose: duplicate edges, reversals, and self-loops
+    // exercise the canonicalization paths.
+    for (seed <- 1 to 6) {
+      val n = 40
+      val m = 30 + 4 * seed
+      val raw = (0 until m).map { i =>
+        val a = sample(Gen.choose(0, n - 1), seed * 1000 + i).toLong
+        val b = sample(Gen.choose(0, n - 1), seed * 1000 + i + 500).toLong
+        (a, b)
+      }
+      val dirty = raw ++ raw.take(5).map(_.swap) ++ Seq((7L, 7L))
+      // Union-find reference over every id that appears.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      dirty.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // Canonical label = min id per set (min-root union above keeps
+      // roots minimal, so find() IS the min).
+      val expect = dirty.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val df = dirty.toDF("a", "b")
+      val minLabel = df.connectedComponents("a", "b", maxIter = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = df.connectedComponentsStar("a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minLabel === expect, s"seed=$seed: min-label != union-find")
+      assert(star === expect, s"seed=$seed: star != union-find")
+    }
+  }
+
   test("triangleCount(exact) matches brute force on seeded random graphs") {
     import spark.implicits._
     import graft.api.ops._
