@@ -240,6 +240,30 @@ object StreamScored extends QueryModule {
         "graft_stream_stateful_tws")
     }
 
+  /** FULL OUTER stream-stream join scored (see
+    * [[Streams.clickPurchaseFullJoin]] for the watermark-before-filter
+    * structure): the drained result must equal the batch FULL JOIN
+    * over the same cutoff windows — matches, click-only, and
+    * purchase-only rows all flushed by the final watermark.
+    */
+  val streamJoinFull: Q = (spark, dir) => {
+    val joined = Streams.clickPurchaseFullJoin(
+      Streams.eventsFileStream(spark, dir),
+      Streams.eventsFileStream(spark, dir),
+      cutoff = "2024-01-28 00:00:00")
+      .select("click_id", "purchase_id", "c_user", "p_user")
+    runToTable(joined, OutputMode.Append(), "graft_stream_join_full")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("click_id").isNotNull &&
+          col("purchase_id").isNotNull, 1)).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_click_only"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"),
+        countDistinct(coalesce(col("c_user"), col("p_user")))
+          .as("n_users"))
+  }
+
   /** Streaming session windows scored: the window-MERGING stateful
     * operator (a session's extent is data-dependent) through the real
     * engine. Complete mode emits the full merged-session state at the
@@ -361,6 +385,7 @@ object StreamScored extends QueryModule {
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
     "q_stream_join_left" -> streamJoinLeft,
+    "q_stream_join_full" -> streamJoinFull,
     "q_stream_stateful" -> streamStateful,
     "q_stream_stateful_tws" -> streamStatefulTws,
   )
@@ -470,6 +495,27 @@ object StreamScored extends QueryModule {
              count(DISTINCT c.event_id) AS n_clicks_matched,
              count(DISTINCT c.user_id) AS n_users
       FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
+       AND (epoch_ns(p.ts) // 1000) <=
+           (epoch_ns(c.ts) // 1000) + 3600000000""",
+    "q_stream_join_full" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'click'
+                   AND ts < TIMESTAMP '2024-01-28 00:00:00'),
+      p AS (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-28 00:00:00')
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN c.event_id IS NOT NULL
+                         AND p.event_id IS NOT NULL THEN 1 END)
+               AS n_matched,
+             CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click_only,
+             CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchase_only,
+             count(DISTINCT coalesce(c.user_id, p.user_id)) AS n_users
+      FROM c FULL JOIN p
         ON c.user_id = p.user_id
        AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(c.ts) // 1000)
        AND (epoch_ns(p.ts) // 1000) <=

@@ -333,6 +333,42 @@ object Streams {
       "left_outer")
   }
 
+  /** Stream-stream FULL OUTER click↔purchase attribution — the third
+    * watermark-driven join mode: inner matches plus null-extended rows
+    * from BOTH sides, each emitted only when the watermark proves no
+    * counterpart can still arrive (unmatched clicks at
+    * wm > c_ts + 1h + delay, unmatched purchases at wm > p_ts + delay).
+    *
+    * Structural difference from [[clickPurchaseLeftJoin]], and the
+    * part worth copying: the watermark is attached BEFORE the cutoff
+    * filter. Both sides need a `cutoff` so the drained unmatched sets
+    * are deterministic — but filtering first would also cap each
+    * side's WATERMARK at the cutoff, leaving every row in the last
+    * band+delay before it stranded in state (systematic under-count).
+    * Watermarking the raw stream lets the event-time clock run to
+    * stream end while the filter bounds the joined rows, so every
+    * cutoff row provably resolves. (Event-time metadata survives the
+    * rename/projection below — watermark-then-select is the supported
+    * order.)
+    */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame,
+                            cutoff: String): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "click" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase" &&
+        col("ts") < lit(cutoff).cast("timestamp"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+  }
+
   /** Publisher side of the reference (§2.A A7), streaming: JSON-encode
     * the row, AES-encrypt with the DEK, attach attributes carrying the
     * KEK-wrapped DEK and the HMAC signature.
