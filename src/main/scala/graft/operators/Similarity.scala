@@ -328,7 +328,36 @@ object Similarity extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding sibling of
+    * `q_text_decontaminate`'s n-gram recipe: flag every TRAINING
+    * vector whose max cosine against ANY eval-set vector crosses τ
+    * (paraphrased eval leakage that exact n-gram overlap misses —
+    * the Phi/FineWeb-style semantic decontamination pass). Eval set =
+    * vec_id % 10 == 0, the deterministic benchmark stand-in.
+    *
+    * Scale shape mirrors the n-gram form exactly: benchmarks are MBs
+    * against a TB corpus, so the EVAL side broadcasts and the check
+    * is one map-side pass over training vectors — pairs never
+    * shuffle; the per-vector max partial-aggregates to one row per
+    * vec_id before the only exchange. Cosines round to 4dp BEFORE the
+    * max so both engines take the max of identical values.
+    */
+  val decontaminateSemantic: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val ev = e.filter(col("vec_id") % 10 === 0)
+      .select(col("emb").as("eval_emb"))
+    e.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("label"),
+        Norm.r4(cosine(col("emb"), col("eval_emb"))).as("c"))
+      .groupBy("vec_id", "label")
+      .agg(max(col("c")).as("max_cos_eval"))
+      .withColumn("contaminated", col("max_cos_eval") >= 0.4)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_decontaminate_semantic" -> decontaminateSemantic,
     "q_pipeline_embeddings" -> pipelineEmbeddings,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
@@ -342,6 +371,31 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate_semantic" -> """
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+      ev AS (SELECT emb AS eemb FROM e WHERE vec_id % 10 = 0),
+      scored AS (
+        SELECT t.vec_id, t.label,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> t.emb[i] * ev.eemb[i])),
+                   (s, v) -> s + v)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> t.emb[i] * t.emb[i])),
+                      (s, v) -> s + v))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        i -> ev.eemb[i] * ev.eemb[i])),
+                      (s, v) -> s + v))), 4) AS c
+        FROM e t CROSS JOIN ev
+        WHERE t.vec_id % 10 <> 0)
+      SELECT vec_id, label, max(c) AS max_cos_eval,
+             max(c) >= 0.4 AS contaminated
+      FROM scored
+      GROUP BY vec_id, label
+      ORDER BY vec_id""",
     "q_pipeline_embeddings" -> """
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
