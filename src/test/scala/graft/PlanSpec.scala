@@ -194,6 +194,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus SMJ'd for sampling:\n$p")
   }
 
+  test("q_decontaminate_semantic broadcasts the eval side; pairs never shuffle") {
+    // The eval set plays the benchmark role: MBs against a TB corpus.
+    // It must arrive as a broadcast onto the training scan, and the
+    // only exchange after the join carries one row per vector (the
+    // partial max), never the pair table.
+    val p = plan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair table shuffled:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("q_text_vocab_sketch is ONE scan; the MG buffer partial-aggregates") {
+    // The whole point of the sketch form: no vocab-sized shuffle. One
+    // file scan, a partial (ObjectHashAggregate) MG buffer per
+    // partition, and only <=k-entry buffers through the exchange.
+    val p = plan("q_text_vocab_sketch")
+    assert(countOcc(p, "Scan parquet") == 1, s"expected one scan:\n$p")
+    assert(!p.contains("Join"), s"sketch must not join:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"MG buffer not partial-aggregated map-side:\n$p")
+  }
+
   test("q_join_bloom probes the sketch below the join, inside codegen") {
     // The semi-join reduction contract: bloom_might_contain filters the
     // probe side BEFORE the join (scan-side, pre-shuffle), and the
