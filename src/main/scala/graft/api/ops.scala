@@ -1113,6 +1113,44 @@ object ops {
         .withColumn("contaminated", col("n_contaminated") > 0)
     }
 
+    /** SEMANTIC benchmark decontamination — the embedding sibling of
+      * [[ngramDecontaminate]]: rows where `isEval` holds are the
+      * benchmark; every other row gets its max 4dp-rounded cosine
+      * against ANY eval vector and a `contaminated` flag at `tau`.
+      * Catches paraphrased eval leakage exact n-gram overlap misses.
+      * Scale shape mirrors the n-gram form: the eval side broadcasts
+      * (benchmarks are MBs against a TB corpus), the check is one
+      * map-side pass, and the per-row max partial-aggregates to one
+      * row per id before the only exchange — pairs never shuffle.
+      * Output: (id, max_cos_eval, contaminated).
+      */
+    def semanticDecontaminate(id: Column, vec: Column, isEval: Column,
+                              tau: Double): DataFrame = {
+      require(tau >= -1 && tau <= 1, s"tau must be in [-1,1], got $tau")
+      val ev = df.filter(isEval).select(vec.as("_ev_emb"))
+      df.filter(!isEval)
+        .select(id.as("id"), vec.as("_emb"))
+        .crossJoin(broadcast(ev))
+        .select(col("id"),
+          graft.Norm.r4(GraftFunctions.cosine_sim(col("_emb"),
+            col("_ev_emb"))).as("_c"))
+        .groupBy("id")
+        .agg(max(col("_c")).as("max_cos_eval"))
+        .withColumn("contaminated", col("max_cos_eval") >= tau)
+    }
+
+    /** One-scan vocabulary heavy-hitters: the string Misra–Gries
+      * summary ([[graft.functions.MisraGriesStrAgg]]) exploded to a
+      * (term, est) table. ≤k-entry buffer per partition through the
+      * shuffle — the bounded-memory alternative to `groupBy(term)`,
+      * which must shuffle the full vocabulary. Estimates carry the MG
+      * guarantee (f − n/(k+1) ≤ est ≤ f; every term with
+      * f > n/(k+1) present); at k ≥ |vocab| the summary is exact.
+      */
+    def vocabSketch(term: Column, k: Int): DataFrame =
+      df.select(graft.functions.MisraGriesStrAgg.column(k)(term).as("_mg"))
+        .select(explode(col("_mg")).as(Seq("term", "est")))
+
     /** Data-driven language/label ID: build per-label token profiles
       * (top `profileSize` terms by frequency — the "training" step),
       * score every row by distinct-token overlap with each profile,

@@ -343,16 +343,13 @@ object Similarity extends QueryModule {
     * max so both engines take the max of identical values.
     */
   val decontaminateSemantic: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = emb(spark, dir)
-    val ev = e.filter(col("vec_id") % 10 === 0)
-      .select(col("emb").as("eval_emb"))
-    e.filter(col("vec_id") % 10 =!= 0)
-      .crossJoin(broadcast(ev))
-      .select(col("vec_id"), col("label"),
-        Norm.r4(cosine(col("emb"), col("eval_emb"))).as("c"))
-      .groupBy("vec_id", "label")
-      .agg(max(col("c")).as("max_cos_eval"))
-      .withColumn("contaminated", col("max_cos_eval") >= 0.4)
+    e.semanticDecontaminate(col("vec_id"), col("emb"),
+        col("vec_id") % 10 === 0, tau = 0.4)
+      .withColumnRenamed("id", "vec_id")
+      .join(broadcast(e.select(col("vec_id"), col("label"))), "vec_id")
+      .select("vec_id", "label", "max_cos_eval", "contaminated")
       .orderBy("vec_id")
   }
 

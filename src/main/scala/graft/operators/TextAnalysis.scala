@@ -290,12 +290,12 @@ object TextAnalysis extends QueryModule {
     * forced-decrement runs).
     */
   val textVocabSketch: Q = (spark, dir) => {
-    import graft.functions.MisraGriesStrAgg
-    val tok = docs(spark, dir)
-      .select(explode(split(col("text"), " ")).as("term"))
+    import graft.api.ops._
     val w = Window.orderBy(col("cnt").desc, col("term"))
-    tok.select(MisraGriesStrAgg.column(128)(col("term")).as("mg"))
-      .select(explode(col("mg")).as(Seq("term", "cnt")))
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .vocabSketch(col("term"), k = 128)
+      .select(col("term"), col("est").as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(20)
       .select(row_number().over(w).as("rank"), col("term"), col("cnt"))
       .orderBy("rank")

@@ -276,6 +276,32 @@ class ApiSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("semanticDecontaminate + vocabSketch run on a foreign schema") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Planted leak: row 10 is the eval vector; row 1 is its exact copy
+    // (cos=1), rows 2-3 are orthogonal-ish. Any-schema contract: no
+    // doc_id/vec_id column names required.
+    val rows = Seq(
+      (10L, Array(1.0, 0.0, 0.0), true),
+      (1L, Array(1.0, 0.0, 0.0), false),
+      (2L, Array(0.0, 1.0, 0.0), false),
+      (3L, Array(0.0, 0.0, 1.0), false)
+    ).toDF("rid", "v", "ev")
+    val out = rows.semanticDecontaminate(col("rid"), col("v"), col("ev"),
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // eval row excluded
+    assert(out(1L) === ((1.0, true)), s"clone must flag: $out")
+    assert(!out(2L)._2 && !out(3L)._2, s"orthogonal must not flag: $out")
+    // vocabSketch at k >= vocab reproduces exact counts on any column.
+    val terms = Seq("x", "x", "y").toDF("t")
+      .vocabSketch(col("t"), k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(terms === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("tokenBudgetMixture: nested budgets, determinism, share-0 drops") {
     import graft.api.ops._
     val docs = Tables(spark, sfDir, "documents")
