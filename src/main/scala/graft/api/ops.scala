@@ -1203,6 +1203,47 @@ object ops {
           .as("quality"))
     }
 
+    /** Logistic quality-classifier scoring — the engine half of the
+      * fastText-style quality filter every web-scale pipeline runs
+      * (GPT-3/LLaMA "looks-like-WebText" filtering, CCNet's linear
+      * head): given PRETRAINED weights over interpretable per-doc
+      * features (stopword ratio, lowercase-alpha ratio, ln token
+      * count, mean token length), score = σ(b + w·x) and keep docs
+      * past `threshold`. Training happens offline; scoring is the
+      * 100 TB-shaped part and is a pure per-row projection here — no
+      * shuffle, no UDF, whole-stage codegen end to end.
+      *
+      * Determinism: the multiply-add chain is written in one fixed
+      * order (bias + stop + alpha + logTok + len) and replayed
+      * verbatim by the oracle, so the pre-round doubles agree
+      * bit-for-bit; `kept` compares the UNROUNDED logit against 0
+      * (σ(z) ≥ ½ ⟺ z ≥ 0) to dodge any rounded-edge flip.
+      */
+    def qualityClassify(id: Column, tokens: Column, nChars: Column,
+                        stopwords: Seq[String],
+                        bias: Double, wStop: Double, wAlpha: Double,
+                        wLogTok: Double, wLen: Double): DataFrame = {
+      require(stopwords.nonEmpty, "stopwords must be non-empty")
+      val d = df.select(id.as("doc_id"), nChars.as("n_chars"),
+          tokens.as("_toks"))
+        .withColumn("_n", size(col("_toks")))
+        .withColumn("_stop_r",
+          size(filter(col("_toks"), t => t.isInCollection(stopwords)))
+            .cast("double") / col("_n"))
+        .withColumn("_alpha_r",
+          size(filter(col("_toks"), t => t.rlike("^[a-z]+$")))
+            .cast("double") / col("_n"))
+        .withColumn("_z",
+          lit(bias) + lit(wStop) * col("_stop_r") +
+            lit(wAlpha) * col("_alpha_r") +
+            lit(wLogTok) * log(col("_n").cast("double")) +
+            lit(wLen) * (col("n_chars").cast("double") / col("_n")))
+      d.select(col("doc_id"), col("_n").as("n_tokens"),
+        graft.Norm.r4tie(lit(1.0) / (lit(1.0) + exp(-col("_z"))))
+          .as("score"),
+        (col("_z") >= 0).as("kept"))
+    }
+
     /** Deterministic, content-stable dataset split (train/val/test) by
       * hash bucket of `id` — the production pattern for corpus splits:
       * assignment depends only on the id, so it is reproducible across
@@ -1325,6 +1366,58 @@ object ops {
       df.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= k)
         .withColumnRenamed("_rn", "rank")
+    }
+
+    /** DSIR importance selection — Data Selection via Importance
+      * Resampling (Xie et al., NeurIPS 2023, arXiv:2302.03169): rank
+      * every raw document by how target-like its token distribution
+      * is, `logw = mean_t [ ln p_tgt(t) − ln p_raw(t) ]` under
+      * add-one-smoothed unigram models that share the raw corpus's
+      * vocabulary (the engine-expressible core of DSIR's hashed
+      * bag-of-ngrams models). `isTarget` marks the in-plan rows that
+      * train the target model (DSIR uses a held-out quality corpus;
+      * any stratum of the input works the same way). Canonical DSIR
+      * perturbs logw with Gumbel noise before the top-k; the
+      * deterministic form here orders by (logw desc, id) so every
+      * engine and every re-run selects the identical k rows — swap
+      * the ordering key for `logw + gumbel(md5(id))` when statistical
+      * resampling matters.
+      *
+      * Scale: both model aggs are partial-agged explode shuffles; the
+      * joined log-ratio model is vocab-sized and BROADCAST (cap the
+      * vocab with a min-count cut at web scale); scoring is one more
+      * partial agg over tokens and the top-k is TakeOrderedAndProject
+      * — no full sort, no driver state, no UDF. logw is rounded with
+      * the tie-proof floor identity, which the oracle replays verbatim
+      * (sign-safe here because BOTH engines use the same floor — the
+      * r4tie non-negativity caveat is about matching round(), which
+      * this path never calls).
+      */
+    def dsirTopK(id: Column, tokens: Column, isTarget: Column,
+                 k: Int): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val tok = df.select(id.as("doc_id"), isTarget.as("_tgt"),
+        explode(tokens).as("term"))
+      val raw = tok.groupBy("term").agg(count(lit(1)).as("_craw"))
+      val tgt = tok.filter(col("_tgt")).groupBy("term")
+        .agg(count(lit(1)).as("_ctgt"))
+      val stats = raw.agg(sum(col("_craw")).cast("double").as("_nraw"),
+        count(lit(1)).cast("double").as("_v"))
+      val ntgt = tgt.agg(coalesce(sum(col("_ctgt")), lit(0L))
+        .cast("double").as("_ntgt"))
+      val model = raw.join(tgt, Seq("term"), "left")
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(ntgt))
+        .select(col("term"),
+          (log((coalesce(col("_ctgt"), lit(0L)).cast("double") + 1) /
+               (col("_ntgt") + col("_v"))) -
+           log((col("_craw").cast("double") + 1) /
+               (col("_nraw") + col("_v")))).as("_logr"))
+      tok.join(broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.Norm.r4tie(avg(col("_logr"))).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(k)
     }
 
     def int8Quantize(id: Column, vec: Column): DataFrame = {

@@ -261,6 +261,37 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Quality-classifier scoring: σ(b + w·x) over interpretable
+    * features with fixed "pretrained" weights — the fastText-filter
+    * shape (see [[graft.api.ops.GraftDataFrameOps.qualityClassify]]).
+    * Weights favor alpha-heavy, stopword-light, longer documents.
+    */
+  val textQualityClassifier: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .qualityClassify(col("doc_id"), split(col("text"), " "),
+        col("n_chars"),
+        stopwords = Seq("the", "a", "of", "and", "to", "in"),
+        bias = -2.0, wStop = -3.0, wAlpha = 2.5,
+        wLogTok = 0.5, wLen = 0.1)
+      .orderBy("doc_id")
+  }
+
+  /** DSIR data selection (Xie et al. 2023): rank the corpus by
+    * importance weight toward an in-corpus English target model and
+    * keep the top-50 — the published importance-resampling recipe
+    * with the target LM trained in the SAME plan (see
+    * [[graft.api.ops.GraftDataFrameOps.dsirTopK]] for the scale and
+    * determinism notes).
+    */
+  val sampleDsir: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .dsirTopK(col("doc_id"), split(col("text"), " "),
+        col("lang") === "en", k = 50)
+      .orderBy(col("logw").desc, col("doc_id"))
+  }
+
   val sampleStratified: Q = (spark, dir) => {
     import graft.api.ops._
     docs(spark, dir)
@@ -498,6 +529,8 @@ object TextAnalysis extends QueryModule {
     }),
     "q_sample_stratified" -> sampleStratified,
     "q_sample_mixture" -> sampleMixture,
+    "q_sample_dsir" -> sampleDsir,
+    "q_text_quality_classifier" -> textQualityClassifier,
     "q_text_vocab" -> textVocab,
     "q_text_vocab_sketch" -> textVocabSketch,
     "q_pack_sequences" -> packSequences,
@@ -780,6 +813,55 @@ object TextAnalysis extends QueryModule {
       FROM tok JOIN c USING (term) CROSS JOIN t
       GROUP BY doc_id
       ORDER BY doc_id""",
+    "q_text_quality_classifier" -> """
+      WITH f AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents),
+      feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+                 / len(toks) AS stop_r,
+               CAST(len(list_filter(toks, t -> regexp_full_match(
+                 t, '[a-z]+'))) AS DOUBLE) / len(toks) AS alpha_r,
+               CAST(n_chars AS DOUBLE) / len(toks) AS avg_len
+        FROM f),
+      z AS (
+        SELECT doc_id, n_tokens,
+               -2.0 + (-3.0) * stop_r + 2.5 * alpha_r
+                 + 0.5 * ln(CAST(n_tokens AS DOUBLE)) + 0.1 * avg_len AS z
+        FROM feat)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000 AS score,
+             (z >= 0) AS kept
+      FROM z
+      ORDER BY doc_id""",
+    "q_sample_dsir" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      raw AS (SELECT term, count(*) AS craw FROM tok GROUP BY term),
+      tgt AS (SELECT term, count(*) AS ctgt FROM tok
+              WHERE lang = 'en' GROUP BY term),
+      stats AS (SELECT CAST(sum(craw) AS DOUBLE) AS nraw,
+                       CAST(count(*) AS DOUBLE) AS v FROM raw),
+      nt AS (SELECT CAST(coalesce(sum(ctgt), 0) AS DOUBLE) AS ntgt FROM tgt),
+      model AS (
+        SELECT r.term,
+               ln((coalesce(t.ctgt, 0) + 1) / (ntgt + v))
+                 - ln((r.craw + 1) / (nraw + v)) AS logr
+        FROM raw r LEFT JOIN tgt t USING (term)
+        CROSS JOIN stats CROSS JOIN nt),
+      scored AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               floor(avg(logr) * 10000 + 0.5) / 10000 AS logw
+        FROM tok JOIN model USING (term)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tokens, logw
+      FROM scored
+      ORDER BY logw DESC, doc_id
+      LIMIT 50""",
     "q_sample_stratified" -> """
       WITH b AS (
         SELECT doc_id, lang,
