@@ -336,6 +336,70 @@ object ops {
             .as("ids"))
     }
 
+    /** Source/domain-level quality gating — the CCNet/RefinedWeb move
+      * of dropping whole DOMAINS, not documents: aggregate a per-row
+      * quality signal to its stratum (source, domain, crawl host),
+      * compare each stratum's mean against the doc-weighted corpus
+      * mean, and emit the audit table (stratum, n_docs, mean_q,
+      * kept). Per-doc filters miss systematically-bad origins whose
+      * individual pages straddle the cut; the stratum gate removes
+      * them wholesale (join `kept` back onto the corpus to apply it).
+      *
+      * Shape: ONE partial-agged shuffle over #strata keys carrying
+      * (sum, count); the corpus mean derives from the same tiny
+      * per-stratum table (re-agg + broadcast cross join), so the raw
+      * rows are scanned exactly once at any scale. `kept` compares
+      * the tie-proof-ROUNDED means so both engines gate on the same
+      * 4dp value.
+      */
+    def stratumQualityGate(stratum: Column, quality: Column): DataFrame = {
+      val per = df.select(stratum.as("stratum"), quality.as("_q"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_docs"), sum(col("_q")).as("_sq"))
+      val tot = per.agg(sum(col("_sq")).as("_tsq"),
+        sum(col("n_docs")).as("_tn"))
+      per.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_docs"),
+          graft.Norm.r4tie(col("_sq") / col("n_docs")).as("mean_q"),
+          (graft.Norm.r4tie(col("_sq") / col("n_docs")) >=
+            graft.Norm.r4tie(col("_tsq") / col("_tn"))).as("kept"))
+    }
+
+    /** Fixed-size token chunking with overlap — the context-window
+      * prep step for RAG indexing and long-doc training: split each
+      * document's token stream into windows of `chunkSize` tokens
+      * starting every `stride` tokens (stride < chunkSize ⇒
+      * overlapping chunks; the tail chunk may be shorter). Output one
+      * row per chunk: (doc_id, chunk_id, start, n_chunk, digest) —
+      * the md5 digest stands in for the chunk text so downstream
+      * joins/dedup move 32-byte hashes, not text (emit the slice
+      * itself instead when the consumer needs content).
+      *
+      * Shape: pure per-row expansion — sequence + posexplode + slice
+      * inside whole-stage codegen; NO shuffle, no window, no UDF. Row
+      * growth is n/stride per doc, set by the caller's knobs; at
+      * 100 TB the expansion streams through the scan stage and
+      * whatever shuffle follows carries only the fixed-width chunk
+      * rows.
+      */
+    def tokenChunks(id: Column, tokens: Column, chunkSize: Int,
+                    stride: Int): DataFrame = {
+      require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+      require(stride >= 1 && stride <= chunkSize,
+        s"stride must be in [1, chunkSize], got $stride")
+      df.select(id.as("doc_id"), tokens.as("_t"))
+        .filter(size(col("_t")) >= 1)
+        .select(col("doc_id"), col("_t"),
+          posexplode(sequence(lit(0), size(col("_t")) - 1, lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          size(slice(col("_t"), col("start") + 1, lit(chunkSize)))
+            .as("n_chunk"),
+          md5(concat_ws(" ",
+            slice(col("_t"), col("start") + 1, lit(chunkSize))))
+            .as("digest"))
+    }
+
     /** One-scan column profiling (the Deequ/dbt-style data-quality
       * gate a pipeline runs before training ingestion): per column —
       * row count, null count, exact distinct count, and min/max
@@ -589,6 +653,64 @@ object ops {
       * holding a pinned edge partition otherwise kills every
       * remaining iteration.
       */
+    /** k-core decomposition by iterative degree peeling (Matula &
+      * Beck's algorithm, distributed form): repeatedly delete every
+      * node of degree < k until none remain; what survives is the
+      * maximal subgraph with all degrees ≥ k — the standard graph
+      * measure of "embedded enough to trust" (spam/bot rings fall out
+      * of low cores; k-core is also the classic pre-filter before
+      * expensive community detection). Takes the same two-column
+      * undirected edge list as [[pageRank]]; returns the core's nodes
+      * with their WITHIN-CORE degree: (id, deg).
+      *
+      * Each round is one partial-agged degree count over #nodes keys
+      * plus two anti joins against the (typically tiny, broadcast-
+      * eligible) sub-k node set — edges shuffle at most once per
+      * round, and the edge list is hash-partitioned once up front so
+      * degree counting never re-exchanges it. The loop runs to
+      * FIXPOINT with one scalar convergence probe per round (count of
+      * sub-k nodes — same driver footprint as connectedComponents'
+      * probe); rounds are data-bounded (≤ the peel depth, O(n) worst
+      * case on a path, small on real degree-skewed graphs), capped by
+      * `maxRounds` as a runaway guard. `reliable` routes the per-round
+      * lineage pin to fault-tolerant `checkpoint()` for long peels on
+      * real clusters.
+      */
+    def kCore(a: String, b: String, k: Int, maxRounds: Int = 50,
+              reliable: Boolean = false): DataFrame = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      require(maxRounds >= 1 && maxRounds <= 500,
+        s"maxRounds must be in [1,500], got $maxRounds")
+      val half = df.select(col(a).as("s"), col(b).as("t"))
+      var edges = pinLineage(half
+        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+        .distinct().repartition(col("s")), reliable)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        round += 1
+        val deg = pinLineage(
+          edges.groupBy("s").agg(count(lit(1)).as("_deg")), reliable)
+        val bad = deg.filter(col("_deg") < k).select(col("s").as("_bad"))
+        val nBad = bad.count()
+        if (nBad == 0) converged = true
+        else {
+          // No broadcast hint on purpose: the first peel's sub-k set
+          // can be a large fraction of the nodes (hints bypass the
+          // size threshold — the triangleCount lesson); the pinned
+          // frame carries size stats, so AQE picks broadcast-anti
+          // itself whenever `bad` is actually small.
+          edges = pinLineage(edges
+            .join(bad, col("s") === col("_bad"), "left_anti")
+            .join(bad.withColumnRenamed("_bad", "_badt"),
+              col("t") === col("_badt"), "left_anti"),
+            reliable)
+        }
+      }
+      edges.groupBy("s").agg(count(lit(1)).as("deg"))
+        .select(col("s").as("id"), col("deg"))
+    }
+
     def pageRank(a: String, b: String, iters: Int = 3,
                  damping: Double = 0.85,
                  reliable: Boolean = false): DataFrame = {

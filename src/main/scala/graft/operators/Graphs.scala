@@ -99,12 +99,53 @@ object Graphs extends QueryModule {
     graft.api.ops.triangleCore(pairs, multiplier = 64)
   }
 
+  /** k-core of the customer↔supplier graph (same edge build as
+    * PageRank), k = 36: peel sub-36-degree nodes to fixpoint and
+    * report each survivor's within-core degree. The oracle unrolls
+    * three peel rounds — past the measured fixpoint at both gate SFs
+    * (1 pruning round at sf0.01 and sf0.1), and peeling is idempotent
+    * at fixpoint, so extra unrolled rounds are provably no-ops. See
+    * [[graft.api.ops.GraftDataFrameOps.kCore]] for the loop shape.
+    */
+  val graphKcore: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
+      .kCore("cust", "supp", k = 36)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
+    "q_graph_kcore" -> graphKcore,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS s, -l_suppkey AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e1 AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+      d1 AS (SELECT s, count(*) AS d FROM e1 GROUP BY s),
+      b1 AS (SELECT s FROM d1 WHERE d < 36),
+      e2 AS (SELECT s, t FROM e1
+             WHERE s NOT IN (SELECT s FROM b1)
+               AND t NOT IN (SELECT s FROM b1)),
+      d2 AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
+      b2 AS (SELECT s FROM d2 WHERE d < 36),
+      e3 AS (SELECT s, t FROM e2
+             WHERE s NOT IN (SELECT s FROM b2)
+               AND t NOT IN (SELECT s FROM b2)),
+      d3 AS (SELECT s, count(*) AS d FROM e3 GROUP BY s),
+      b3 AS (SELECT s FROM d3 WHERE d < 36),
+      e4 AS (SELECT s, t FROM e3
+             WHERE s NOT IN (SELECT s FROM b3)
+               AND t NOT IN (SELECT s FROM b3))
+      SELECT s AS id, count(*) AS deg
+      FROM e4 GROUP BY s ORDER BY id""",
     "q_graph_pagerank" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

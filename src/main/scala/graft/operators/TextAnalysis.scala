@@ -261,6 +261,39 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Source-level quality gate: per-source mean of the unrounded
+    * quality signal vs the doc-weighted corpus mean — drops whole
+    * origins, the step per-doc filters can't express (see
+    * [[graft.api.ops.GraftDataFrameOps.stratumQualityGate]]).
+    */
+  val sourceGate: Q = (spark, dir) => {
+    import graft.api.ops._
+    val toks = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val stopR = size(filter(toks, t => t.isInCollection(stops)))
+      .cast("double") / size(toks)
+    val alphaR = size(filter(toks, t => t.rlike("^[a-z]+$")))
+      .cast("double") / size(toks)
+    val quality = alphaR * (lit(1.0) - stopR) *
+      least(size(toks).cast("double") / 50.0, lit(1.0))
+    docs(spark, dir)
+      .stratumQualityGate(col("source"), quality)
+      .withColumnRenamed("stratum", "source")
+      .orderBy("source")
+  }
+
+  /** RAG/context chunking: 16-token windows every 12 tokens (4-token
+    * overlap), digests only — see
+    * [[graft.api.ops.GraftDataFrameOps.tokenChunks]].
+    */
+  val chunkDocuments: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .tokenChunks(col("doc_id"), split(col("text"), " "),
+        chunkSize = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Quality-classifier scoring: σ(b + w·x) over interpretable
     * features with fixed "pretrained" weights — the fastText-filter
     * shape (see [[graft.api.ops.GraftDataFrameOps.qualityClassify]]).
@@ -531,6 +564,8 @@ object TextAnalysis extends QueryModule {
     "q_sample_mixture" -> sampleMixture,
     "q_sample_dsir" -> sampleDsir,
     "q_text_quality_classifier" -> textQualityClassifier,
+    "q_chunk_documents" -> chunkDocuments,
+    "q_source_gate" -> sourceGate,
     "q_text_vocab" -> textVocab,
     "q_text_vocab_sketch" -> textVocabSketch,
     "q_pack_sequences" -> packSequences,
@@ -813,6 +848,45 @@ object TextAnalysis extends QueryModule {
       FROM tok JOIN c USING (term) CROSS JOIN t
       GROUP BY doc_id
       ORDER BY doc_id""",
+    "q_source_gate" -> """
+      WITH q AS (
+        SELECT source,
+               (CAST(len(list_filter(toks, t -> regexp_full_match(
+                  t, '[a-z]+'))) AS DOUBLE) / len(toks)) *
+               (1.0 - CAST(len(list_filter(toks, t -> list_contains(
+                  ['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+                  / len(toks)) *
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS quality
+        FROM (SELECT source, string_split(text, ' ') AS toks
+              FROM documents)),
+      per AS (
+        SELECT source, count(*) AS n_docs, sum(quality) AS sq
+        FROM q GROUP BY source),
+      tot AS (
+        SELECT sum(sq) AS tsq, CAST(sum(n_docs) AS DOUBLE) AS tn FROM per)
+      SELECT source, n_docs,
+             floor(sq / n_docs * 10000 + 0.5) / 10000 AS mean_q,
+             (floor(sq / n_docs * 10000 + 0.5) / 10000 >=
+              floor(tsq / tn * 10000 + 0.5) / 10000) AS kept
+      FROM per CROSS JOIN tot
+      ORDER BY source""",
+    "q_chunk_documents" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 1),
+      s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 12)) AS start
+        FROM d)
+      SELECT doc_id,
+             CAST(start // 12 AS INT) AS chunk_id,
+             CAST(start AS INT) AS start,
+             CAST(len(list_slice(toks, start + 1, start + 16)) AS INT)
+               AS n_chunk,
+             lower(md5(array_to_string(
+               list_slice(toks, start + 1, start + 16), ' '))) AS digest
+      FROM s
+      ORDER BY doc_id, chunk_id""",
     "q_text_quality_classifier" -> """
       WITH f AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS toks

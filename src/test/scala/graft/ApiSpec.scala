@@ -711,4 +711,85 @@ class ApiSpec extends SparkSpec {
       s"pinned path moved away from the fixed point: " +
         s"${r4(0L)} -> ${r6(0L)} (target $fixedHub)")
   }
+
+  test("kCore: pendant chain peels over multiple rounds, clique survives") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} + chain 4-5-6-7. At k=2 the chain must peel
+    // one node per round (7, then 6, then 5) — three pruning rounds —
+    // while every clique node keeps within-core degree 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val core = edges.kCore("a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $core")
+    // k above the max degree: the whole graph peels away.
+    assert(edges.kCore("a", "b", k = 5).count() === 0)
+  }
+
+  test("tokenChunks: strided windows cover the doc with the set overlap") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = df.tokenChunks(col("id"), split(col("text"), " "),
+        chunkSize = 4, stride = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    // starts 0,3,6,9; all full chunks except the 1-token tail.
+    assert(out.toSeq === Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)),
+      out.mkString(","))
+    // Coverage: sum of (n_chunk - overlap) + overlap = doc length when
+    // stride divides the walk — here 4+3+3+0 trailing... check directly:
+    // every token index [0,10) falls inside at least one [start, start+4).
+    val covered = out.flatMap { case (_, s, n) => s until (s + n) }.toSet
+    assert(covered === (0 until 10).toSet, covered.toSeq.sorted.mkString(","))
+  }
+
+  test("dsirTopK ranks target-like raw docs above off-target ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g h g h g", true),   // target model trains on g/h
+      (2L, "g h g h h", true),
+      (3L, "g h g g h", false),  // raw, target-like
+      (4L, "j k j k j", false),  // raw, off-target
+      (5L, "g h j k g", false)   // raw, mixed
+    ).toDF("id", "text", "tgt")
+    val out = df.dsirTopK(col("id"), split(col("text"), " "), col("tgt"),
+        k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) > out(5L) && out(5L) > out(4L),
+      s"importance order wrong: $out")
+    // Weights are per-token means: a doc of pure target vocab beats one
+    // with any off-target token regardless of length.
+    assert(out(3L) > out(4L))
+  }
+
+  test("qualityClassify: kept agrees with the 0.5 threshold; stopwords hurt") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 35L),
+      (2L, "the a of and to in", 18L)   // pure stopwords
+    ).toDF("id", "text", "nc")
+    val out = df.qualityClassify(col("id"), split(col("text"), " "),
+        col("nc"), stopwords = Seq("the", "a", "of", "and", "to", "in"),
+        bias = -2.0, wStop = -3.0, wAlpha = 2.5, wLogTok = 0.5, wLen = 0.1)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 > out(2L)._1, s"stopword doc not penalized: $out")
+    out.values.foreach { case (score, kept) =>
+      assert(kept === (score >= 0.5), s"kept/threshold disagree: $out")
+    }
+  }
+
+  test("stratumQualityGate keeps the above-mean stratum, drops the below") {
+    import spark.implicits._
+    val df = Seq(("good", 0.9), ("good", 0.8), ("bad", 0.1), ("bad", 0.2))
+      .toDF("src", "q")
+    val out = df.stratumQualityGate(col("src"), col("q"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(out("good") === ((2L, 0.85, true)), s"got $out")
+    assert(out("bad") === ((2L, 0.15, false)), s"got $out")
+  }
 }

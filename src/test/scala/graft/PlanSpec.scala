@@ -399,4 +399,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max_by"), p)
     assert(p.contains("partial_min_by"), p)
   }
+
+  test("q_chunk_documents is pure expansion: no join, no pre-sort shuffle") {
+    // Chunking must stay a per-row sequence+explode+slice projection —
+    // any Join or hash Exchange means the expansion left the scan
+    // stage. The only allowed exchange is the oracle's final sort.
+    val p = plan("q_chunk_documents")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_sample_dsir broadcasts the log-ratio model onto the token stream") {
+    // The vocab-sized model must reach the exploded corpus as a
+    // BROADCAST: if the token stream sort-merge-joins the model, the
+    // whole exploded corpus shuffles by term — the scale killer DSIR
+    // scoring must avoid. (The vocab-sized raw⋈tgt model build may
+    // plan however Catalyst likes; the corpus-side join may not SMJ.)
+    val p = plan("q_sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, not full sort
+  }
 }
