@@ -120,6 +120,24 @@ object ops {
     }
   }
 
+  /** Seeded random PQ codebooks (m subspaces × k unit codes × subdim)
+    * — the untrained-baseline quantizer, exactly parallel to
+    * [[ivfAnchors]]. Train per-subspace with the caller-side Lloyd
+    * loop when distortion matters; the encode/search plans take the
+    * codebooks as data either way.
+    */
+  def pqCodebooks(m: Int, k: Int, subdim: Int,
+                  seed: Long = 7L): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && k >= 1 && subdim >= 1,
+      s"m, k, subdim must be >= 1: $m, $k, $subdim")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(k) {
+      val v = Seq.fill(subdim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    })
+  }
+
   /** Morton (Z-order) value of two non-negative int columns: the low
     * `bits` bits of `a` and `b` interleaved (a on even positions).
     * Sorting a table by z-value co-clusters BOTH dimensions, so
@@ -1192,6 +1210,66 @@ object ops {
           floor(col("n_dup") * lit(10000.0) / col("n_grams") + 0.5) / 10000)
     }
 
+    /** Duplicate-SPAN statistics — the maximal-substring step of
+      * exact-substring dedup (Lee et al. 2022, "Deduplicating
+      * Training Data Makes Language Models Better", arXiv:2107.06499,
+      * §3.1 ExactSubstr): where [[dupNgramStats]] counts duplicated
+      * n-grams, this merges each document's duplicated-gram hits into
+      * MAXIMAL token spans — the unit the paper actually cuts out of
+      * training text. A gram is duplicated when its corpus occurrence
+      * count is ≥ 2 (within- or cross-document, per the paper's
+      * suffix-array semantics); overlapping/adjacent hits [i, i+n)
+      * merge into islands. Output, one row per doc with ≥ 1 span:
+      * (doc_id, n_tokens, n_spans, dup_tokens, max_span, dup_frac).
+      *
+      * Scale shape: grams build as the same pure projection as
+      * [[dupNgramStats]] (lambda does element_at reads only; md5 runs
+      * post-explode in codegen) and the pinned instance table carries
+      * (doc, start, digest) — 32-byte digests shuffle, never text.
+      * Island-merging exploits the FIXED gram length: sorted by
+      * start, a new span begins exactly when start − prev_start > n
+      * (running max-end is prev_start + n), so the merge is one
+      * lag + running-sum window partitioned by doc — small per-doc
+      * partitions at any corpus size — and both downstream groupBys
+      * reuse the window's doc_id partitioning (subset clustering: no
+      * further exchange).
+      */
+    def dupSpans(id: Column, tokens: Column, n: Int,
+                 reliable: Boolean = false): DataFrame = {
+      require(n >= 2 && n <= 32, s"n must be in [2, 32], got $n")
+      val grams = when(size(col("_t")) >= n,
+        transform(sequence(lit(0), size(col("_t")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j =>
+              element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>"))
+      val inst = pinLineage(df.select(id.as("doc_id"), tokens.as("_t"))
+        .select(col("doc_id"), size(col("_t")).as("n_tokens"),
+          posexplode(grams).as(Seq("start", "_gs")))
+        .select(col("doc_id"), col("n_tokens"), col("start"),
+          md5(col("_gs")).as("_g")), reliable)
+      val dup = inst.groupBy("_g").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select("_g")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+      val spans = inst.join(dup, "_g")
+        .withColumn("_prev", lag(col("start"), 1).over(w))
+        .withColumn("_brk",
+          when(col("_prev").isNull ||
+            col("start") - col("_prev") > n, 1L).otherwise(0L))
+        .withColumn("_island", sum(col("_brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "n_tokens", "_island")
+        .agg(min(col("start")).as("_s0"),
+          (max(col("start")) + n).as("_e0"))
+      spans.groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("_e0") - col("_s0")).as("dup_tokens"),
+          max(col("_e0") - col("_s0")).as("max_span"))
+        .withColumn("dup_frac",
+          floor(col("dup_tokens") * lit(10000.0) / col("n_tokens") + 0.5)
+            / 10000)
+    }
+
     /** Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
       * flag every TRAINING document sharing at least one token n-gram
       * with an EVAL-set document, so contaminated examples can be
@@ -1564,6 +1642,104 @@ object ops {
         .select(col("vec_id"),
           graft.Norm.r4tie(col("scale")).as("scale"),
           col("q_sum"), col("err_l2"))
+    }
+
+    /** Product-quantization encode (Jégou, Douze & Schmid 2011,
+      * "Product Quantization for Nearest Neighbor Search") — the
+      * third leg of the FAISS quantizer family next to
+      * [[int8Quantize]] (SQ8) and IVF cells: split each vector into
+      * `m` contiguous subvectors and snap each to its nearest code
+      * (L2, tie → lower code id) from that subspace's codebook, so a
+      * dim-`d` float vector compresses to `m` small ints (d·4 bytes →
+      * m bytes at k ≤ 256). `codebooks(j)(c)` is the c-th code of
+      * subspace j; train them offline (Lloyd per subspace — the same
+      * caller-side loop as [[lloydRefine]]) or pass seeded random
+      * codes as the untrained baseline. Output: (vec_id, codes
+      * array<int>, err_l2 — the total quantization distortion, the
+      * auditable lossiness number).
+      *
+      * Scale shape: pure per-row projection — the codebooks are
+      * plan-time literals (m·k·subdim doubles, a few KB), subvector
+      * slices and self-dots are hoisted to attributes ONCE per row
+      * (higher-order lambdas get no subexpression elimination — the
+      * dupNgramStats lesson), and each argmin is a k-element
+      * array_sort on (dist, code) structs. No shuffle, no UDF, no
+      * driver state.
+      */
+    def pqEncode(id: Column, vec: Column,
+                 codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      val m = codebooks.length
+      require(m >= 1, "codebooks must be non-empty")
+      val k = codebooks.head.length
+      val subdim = codebooks.head.head.length
+      require(codebooks.forall(cb => cb.length == k &&
+        cb.forall(_.length == subdim)),
+        "codebooks must be rectangular: m × k × subdim")
+      val withSubs = (0 until m).foldLeft(
+        df.select(id.as("vec_id"), vec.as("_v"))) { (d, j) =>
+        d.withColumn(s"_s$j",
+            transform(slice(col("_v"), j * subdim + 1, subdim),
+              _.cast("double")))
+          .withColumn(s"_sd$j", dotd(col(s"_s$j"), col(s"_s$j")))
+      }
+      val mins = (0 until m).map { j =>
+        val cands = array(codebooks(j).indices.map { c =>
+          val code = codebooks(j)(c)
+          val d2 = col(s"_sd$j") -
+            lit(2.0) * dotd(col(s"_s$j"), typedLit(code)) +
+            lit(code.map(x => x * x).sum)
+          struct(d2.as("d"), lit(c).as("c"))
+        }: _*)
+        array_sort(cands).getItem(0)
+      }
+      withSubs
+        .withColumn("_mins", array(mins: _*))
+        .select(col("vec_id"),
+          transform(col("_mins"), x => x.getField("c")).as("codes"),
+          graft.Norm.r4tie(sqrt(greatest(lit(0.0),
+            aggregate(transform(col("_mins"), x => x.getField("d")),
+              lit(0.0), (a, x) => a + x)))).as("err_l2"))
+    }
+
+    /** Asymmetric-distance (ADC) top-k search over a PQ-encoded
+      * table: approximate q·v as Σ_j q_sub_j · codebook_j[code_j] —
+      * the query stays full-precision, the corpus stays m-byte codes
+      * (the PQ paper's ADC regime, the accuracy-preserving one). The
+      * inner-product lookup table per (subspace, code) is built as
+      * plan-time literal arithmetic against the broadcast query, so
+      * scoring an encoded row is m array-index adds — no vector
+      * reconstruction, no text/float traffic — followed by one
+      * per-query top-k window (WindowGroupLimit partial top-k below
+      * the shuffle).
+      */
+    def pqAdcTopK(queries: DataFrame,
+                  codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+      val codesDf = df // the PQ-encoded table: (vec_id, codes)
+      require(k >= 1, s"k must be >= 1, got $k")
+      val m = codebooks.length
+      val subdim = codebooks.head.head.length
+      val withQSubs = (0 until m).foldLeft(queries) { (d, j) =>
+        d.withColumn(s"_q$j",
+          transform(slice(col("qv"), j * subdim + 1, subdim),
+            _.cast("double")))
+      }
+      // Per subspace: the k-entry LUT of q_sub_j · code as an array
+      // literal-of-dots; scoring indexes it with the stored code.
+      val withLut = (0 until m).foldLeft(withQSubs) { (d, j) =>
+        d.withColumn(s"_lut$j", array(codebooks(j).map(code =>
+          dotd(col(s"_q$j"), typedLit(code))): _*))
+      }
+      val qcols = col("qid") +: (0 until m).map(j => col(s"_lut$j"))
+      val adc = (0 until m).map(j =>
+        element_at(col(s"_lut$j"), col("codes").getItem(j) + 1))
+        .reduce(_ + _)
+      val w = Window.partitionBy("qid")
+        .orderBy(col("adc").desc, col("vec_id"))
+      codesDf.crossJoin(broadcast(withLut.select(qcols: _*)))
+        .select(col("qid"), col("vec_id"),
+          graft.Norm.r4tie(adc).as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
     }
 
     // ───────────────── mutations (copy-on-write) ─────────────────

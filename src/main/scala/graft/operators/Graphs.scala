@@ -100,10 +100,10 @@ object Graphs extends QueryModule {
   }
 
   /** k-core of the customer↔supplier graph (same edge build as
-    * PageRank), k = 36: peel sub-36-degree nodes to fixpoint and
+    * PageRank), k = 8: peel sub-8-degree nodes to fixpoint and
     * report each survivor's within-core degree. The oracle unrolls
-    * three peel rounds — past the measured fixpoint at both gate SFs
-    * (1 pruning round at sf0.01 and sf0.1), and peeling is idempotent
+    * three peel rounds — past the measured fixpoint at every tested SF
+    * (1 pruning round at sf0.001/sf0.01/sf0.1), and peeling is idempotent
     * at fixpoint, so extra unrolled rounds are provably no-ops. See
     * [[graft.api.ops.GraftDataFrameOps.kCore]] for the loop shape.
     */
@@ -113,7 +113,7 @@ object Graphs extends QueryModule {
     val ord = Tables(spark, dir, "orders")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
-      .kCore("cust", "supp", k = 36)
+      .kCore("cust", "supp", k = 8)
       .orderBy("id")
   }
 
@@ -130,17 +130,17 @@ object Graphs extends QueryModule {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e1 AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
       d1 AS (SELECT s, count(*) AS d FROM e1 GROUP BY s),
-      b1 AS (SELECT s FROM d1 WHERE d < 36),
+      b1 AS (SELECT s FROM d1 WHERE d < 8),
       e2 AS (SELECT s, t FROM e1
              WHERE s NOT IN (SELECT s FROM b1)
                AND t NOT IN (SELECT s FROM b1)),
       d2 AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
-      b2 AS (SELECT s FROM d2 WHERE d < 36),
+      b2 AS (SELECT s FROM d2 WHERE d < 8),
       e3 AS (SELECT s, t FROM e2
              WHERE s NOT IN (SELECT s FROM b2)
                AND t NOT IN (SELECT s FROM b2)),
       d3 AS (SELECT s, count(*) AS d FROM e3 GROUP BY s),
-      b3 AS (SELECT s FROM d3 WHERE d < 36),
+      b3 AS (SELECT s FROM d3 WHERE d < 8),
       e4 AS (SELECT s, t FROM e3
              WHERE s NOT IN (SELECT s FROM b3)
                AND t NOT IN (SELECT s FROM b3))

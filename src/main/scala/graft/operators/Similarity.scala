@@ -353,8 +353,28 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** PQ encode + ADC top-3 (m=4 subspaces × k=16 codes over dim 64):
+    * the codes table is built and searched in ONE plan; queries are
+    * every 50th vector. No-oracle-by-design (the 1024-double codebook
+    * literal has no sane SQL twin) — QualitySpec gates self-hit and
+    * recall vs brute-force cosine. See
+    * [[graft.api.ops.GraftDataFrameOps.pqEncode]] /
+    * [[graft.api.ops.GraftDataFrameOps.pqAdcTopK]].
+    */
+  val simPq: Q = (spark, dir) => {
+    import graft.api.ops._
+    val books = pqCodebooks(m = 4, k = 16, subdim = 16)
+    val e = emb(spark, dir)
+    val codes = e.pqEncode(col("vec_id"), col("emb"), books)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    codes.pqAdcTopK(queries, books, k = 3)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate_semantic" -> decontaminateSemantic,
+    "q_sim_pq" -> simPq,
     "q_pipeline_embeddings" -> pipelineEmbeddings,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,

@@ -422,6 +422,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — the first stage of every cleaning
+    * pipeline (C4/CCNet shape): lowercase, strip non-alphanumerics to
+    * spaces, collapse runs of whitespace, trim. The md5 digest of the
+    * NORMALIZED text crosses the oracle hash — an end-to-end proof
+    * both engines normalize byte-identically (the digest is also the
+    * natural key for exact dedup after normalization). Projection
+    * only: no shuffle, stays in whole-stage codegen.
+    */
+  val textNormalize: Q = (spark, dir) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("raw_chars"),
+        length(norm).as("norm_chars"),
+        md5(norm).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Maximal duplicated-substring spans at n=3 (ExactSubstr, Lee et
+    * al. 2022) — the cut-these-tokens step above [[textDupNgrams]]'s
+    * counts; see [[graft.api.ops.GraftDataFrameOps.dupSpans]].
+    */
+  val textDupSpans: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "documents")
+      .dupSpans(col("doc_id"), split(col("text"), " "), n = 3)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination at n=3 (the fixture's ~20-token docs;
     * the plan is n-invariant — production uses the paper's n=13). The
     * eval set is carved deterministically from the corpus
@@ -551,6 +581,8 @@ object TextAnalysis extends QueryModule {
     "q_text_decontaminate" -> textDecontaminate,
     "q_sample_weighted" -> sampleWeighted,
     "q_text_dup_ngrams" -> textDupNgrams,
+    "q_text_dup_spans" -> textDupSpans,
+    "q_text_normalize" -> textNormalize,
     "q_text_repetition" -> textRepetition,
     "q_text_pii_redact" -> textPiiRedact,
     "q_text_unigram_surprisal" -> textSurprisal,
@@ -716,6 +748,55 @@ object TextAnalysis extends QueryModule {
       FROM ranked
       WHERE rank <= 20
       ORDER BY lang, rank""",
+    "q_text_normalize" -> """
+      SELECT doc_id,
+             CAST(len(text) AS INT) AS raw_chars,
+             CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT)
+               AS norm_chars,
+             lower(md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS digest
+      FROM documents
+      ORDER BY doc_id""",
+    "q_text_dup_spans" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      gr AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               unnest(generate_series(0, len(toks) - 3)) AS start, toks
+        FROM d),
+      g AS (
+        SELECT doc_id, n_tokens, start,
+               array_to_string(list_slice(toks, start + 1, start + 3), ' ')
+                 AS gram
+        FROM gr),
+      cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+      hits AS (
+        SELECT doc_id, n_tokens, start
+        FROM g JOIN cnt USING (gram) WHERE c >= 2),
+      lagged AS (
+        SELECT doc_id, n_tokens, start,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+        FROM hits),
+      isl AS (
+        SELECT doc_id, n_tokens, start,
+               sum(CASE WHEN prev IS NULL OR start - prev > 3
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY start) AS island
+        FROM lagged),
+      sp AS (
+        SELECT doc_id, n_tokens, island,
+               min(start) AS s0, max(start) + 3 AS e0
+        FROM isl GROUP BY doc_id, n_tokens, island)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             count(*) AS n_spans,
+             CAST(sum(e0 - s0) AS BIGINT) AS dup_tokens,
+             CAST(max(e0 - s0) AS INT) AS max_span,
+             floor(CAST(sum(e0 - s0) AS BIGINT) * 10000.0 / n_tokens + 0.5)
+               / 10000 AS dup_frac
+      FROM sp GROUP BY doc_id, n_tokens
+      ORDER BY doc_id""",
     "q_text_dup_ngrams" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -712,6 +712,25 @@ class ApiSpec extends SparkSpec {
         s"${r4(0L)} -> ${r6(0L)} (target $fixedHub)")
   }
 
+  test("dupSpans merges overlapping hits; within-doc repeats count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e x y z"),   // shares "a b c d e" grams with doc 2
+      (2L, "a b c d e p q r"),
+      (3L, "m n o q s t"),       // unique: no row
+      (4L, "u v w k k u v w")    // "u v w" twice WITHIN the doc
+    ).toDF("id", "text")
+    val out = df.dupSpans(col("id"), split(col("text"), " "), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    // Docs 1/2: hits at starts 0,1,2 merge into ONE span [0,5).
+    assert(out(1L) === ((8, 1L, 5L, 5)), s"got $out")
+    assert(out(2L) === ((8, 1L, 5L, 5)), s"got $out")
+    // Doc 4: "u v w" at starts 0 and 5 — gap 5 > n, so TWO len-3 spans.
+    assert(out(4L) === ((8, 2L, 6L, 3)), s"got $out")
+    assert(!out.contains(3L), s"unique doc flagged: $out")
+  }
+
   test("kCore: pendant chain peels over multiple rounds, clique survives") {
     import spark.implicits._
     // K4 clique {1,2,3,4} + chain 4-5-6-7. At k=2 the chain must peel

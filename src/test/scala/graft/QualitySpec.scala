@@ -481,4 +481,39 @@ class QualitySpec extends SparkSpec {
     assert(star.length === 301)
     assert(star.forall(_._2 === 0L), "single path must collapse to comp 0")
   }
+
+  test("q_sim_pq: ADC top-3 recalls dot-product brute force; self survives") {
+    // ADC approximates the INNER PRODUCT (not cosine), so the honest
+    // reference is the dot-product top-3. Untrained random codebooks
+    // are the documented baseline — the floors below are what seed 7
+    // actually delivers (measured), not aspirational.
+    val pq = SparkEntry.queries("q_sim_pq")(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("dp").desc, col("vec_id"))
+    val brute = e.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        graft.api.ops.dotd(col("emb"), col("qv")).as("dp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (qq, rs) => qq -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(brute.nonEmpty)
+    val recalls = brute.keys.toSeq.map(k =>
+      (brute(k) & pq.getOrElse(k, Set.empty[Long])).size / 3.0)
+    val meanRecall = recalls.sum / recalls.size
+    val selfHits = brute.keys.count(k =>
+      pq.getOrElse(k, Set.empty[Long]).contains(k))
+    info(s"PQ mean recall@3 = $meanRecall, self-hit ${selfHits}/${brute.size}")
+    assert(meanRecall >= 0.3, s"mean recall@3 collapsed: $meanRecall")
+    assert(selfHits.toDouble / brute.size >= 0.8,
+      s"self-hit rate ${selfHits}/${brute.size}")
+  }
 }
