@@ -1701,6 +1701,47 @@ object ops {
               lit(0.0), (a, x) => a + x)))).as("err_l2"))
     }
 
+    /** Per-subspace Lloyd training of PQ codebooks — the exact twin
+      * of [[lloydRefine]] for the product-quantizer: each subspace
+      * independently runs `iters` rounds of assign (L2 argmin, the
+      * same distance [[pqEncode]] uses) + re-center (mean via the
+      * mergeable CentroidAgg — plain means, NOT unit-normalized:
+      * PQ is an L2 quantizer, not a cosine one). Empty codes keep
+      * their previous center, so k never shrinks. Driver state is m
+      * k×subdim collects per iteration — the bounded MLlib-KMeans
+      * footprint; subvectors never leave the executors. Subspace
+      * inertia (Σ min-d²) is non-increasing per round — pinned in
+      * QualitySpec via [[pqEncode]]'s err_l2 rather than re-derived.
+      */
+    def pqTrain(vec: Column, codebooks: Seq[Seq[Seq[Double]]],
+                iters: Int): Seq[Seq[Seq[Double]]] = {
+      require(iters >= 1, s"iters must be >= 1, got $iters")
+      val m = codebooks.length
+      val subdim = codebooks.head.head.length
+      (0 until m).map { j =>
+        var cb = codebooks(j)
+        val sub = df.select(
+            transform(slice(vec, j * subdim + 1, subdim), _.cast("double"))
+              .as("_sv"))
+          .withColumn("_sd", dotd(col("_sv"), col("_sv")))
+        for (_ <- 1 to iters) {
+          val cands = array(cb.indices.map { c =>
+            val code = cb(c)
+            struct((col("_sd") - lit(2.0) * dotd(col("_sv"), typedLit(code))
+              + lit(code.map(x => x * x).sum)).as("d"),
+              lit(c).as("c"))
+          }: _*)
+          val cents = sub
+            .withColumn("_code", array_sort(cands).getItem(0).getField("c"))
+            .centroidPerKey(col("_code"),
+              transform(col("_sv"), _.cast("float")))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          cb = cb.indices.map(c => cents.getOrElse(c, cb(c)).toIndexedSeq)
+        }
+        cb
+      }
+    }
+
     /** Asymmetric-distance (ADC) top-k search over a PQ-encoded
       * table: approximate q·v as Σ_j q_sub_j · codebook_j[code_j] —
       * the query stays full-precision, the corpus stays m-byte codes

@@ -409,6 +409,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q_text_dup_spans groupBys reuse the window's doc partitioning") {
+    // The island merge shuffles by doc_id ONCE (the window); both
+    // downstream groupBys key on supersets of doc_id, so subset
+    // clustering must plan NO further exchange — and the join side
+    // shuffles digests, never text (same contract as dup_ngrams).
+    val p = plan("q_text_dup_spans")
+    // Plans print top-down, so the operators ABOVE the island window
+    // (both span groupBys + the final sort) are the text BEFORE the
+    // first "Window" line — that segment must hold no hash exchange.
+    val aboveWindow = p.substring(0, p.indexOf("Window"))
+    assert(!aboveWindow.contains("Exchange hashpartitioning"),
+      s"a groupBy re-shuffled above the doc window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"duplicated-gram set not broadcast onto the instance table:\n$p")
+  }
+
+  test("q_sim_pq: encode is shuffle-free; search broadcasts query LUTs") {
+    // PQ encode is a pure projection (codebooks are literals); the
+    // only exchanges allowed are the ADC top-k window's qid shuffle
+    // and the final sort. The LUT side must arrive broadcast.
+    val p = plan("q_sim_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"query LUTs not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"codes table SMJ'd:\n$p")
+    assert(countOcc(p, "Exchange hashpartitioning") <= 1,
+      s"extra shuffle beyond the top-k window:\n$p")
+  }
+
   test("q_sample_dsir broadcasts the log-ratio model onto the token stream") {
     // The vocab-sized model must reach the exploded corpus as a
     // BROADCAST: if the token stream sort-merge-joins the model, the

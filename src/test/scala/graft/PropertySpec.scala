@@ -191,4 +191,91 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("kCore matches sequential peeling on seeded random graphs") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Independent reference: sequential whole-graph peeling in test
+    // code. Dirty input: duplicate edges, reversals, self-loops —
+    // the distributed form must canonicalize identically.
+    for (seed <- 1 to 5; k <- Seq(2, 3)) {
+      val n = 25
+      val m = 35 + 3 * seed
+      val raw = (0 until m).map { i =>
+        val a = sample(Gen.choose(0, n - 1), seed * 2000 + i).toLong
+        val b = sample(Gen.choose(0, n - 1), seed * 2000 + i + 999).toLong
+        (a, b)
+      }
+      val dirty = raw ++ raw.take(4).map(_.swap) ++ Seq((3L, 3L))
+      // Reference peel over the canonical undirected simple graph
+      // (self-loops contribute both directions of (a,a) → collapse to
+      // one adjacency entry, like the distinct() in kCore).
+      var adj = dirty.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val badNodes = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = badNodes.nonEmpty
+        if (changed)
+          adj = adj.filterNot(e => badNodes(e._1))
+            .view.mapValues(_ -- badNodes).toMap
+            .filter(_._2.nonEmpty)
+      }
+      val expect = adj.map { case (v, ns) => v -> ns.size.toLong }
+      val got = dirty.toDF("a", "b").kCore("a", "b", k = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"seed=$seed k=$k: kCore != sequential peel")
+    }
+  }
+
+  test("dupSpans covered tokens match a brute-force span scan") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Reference: mark every token index covered by an n-gram whose
+    // exact text occurs >= 2 times across the corpus, then read spans
+    // off the boolean mask — an implementation with nothing in common
+    // with the window/island plan.
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 1 to 5) {
+      val n = 3
+      val docs = (0 until 8).map { d =>
+        val len = 5 + sample(Gen.choose(0, 10), seed * 300 + d)
+        val toks = (0 until len).map(i =>
+          vocab(sample(Gen.choose(0, vocab.size - 1), seed * 300 + d * 37 + i)))
+        (d.toLong, toks.mkString(" "))
+      }
+      val counts = scala.collection.mutable.Map[String, Int]()
+      val grams = docs.map { case (id, text) =>
+        val t = text.split(" ")
+        val gs = (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+        gs.foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+        id -> (t.length, gs)
+      }.toMap
+      val expect = grams.flatMap { case (id, (len, gs)) =>
+        val mask = Array.fill(len)(false)
+        gs.zipWithIndex.foreach { case (g, i) =>
+          if (counts(g) >= 2) (i until i + n).foreach(mask(_) = true)
+        }
+        if (!mask.contains(true)) None
+        else {
+          // spans = maximal true runs
+          val spans = scala.collection.mutable.ArrayBuffer[Int]()
+          var i = 0
+          while (i < len) {
+            if (mask(i)) {
+              var j = i; while (j < len && mask(j)) j += 1
+              spans += (j - i); i = j
+            } else i += 1
+          }
+          Some(id -> (spans.size.toLong, spans.sum.toLong, spans.max))
+        }
+      }
+      val got = docs.toDF("id", "text")
+        .dupSpans(col("id"), split(col("text"), " "), n = n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+      assert(got === expect, s"seed=$seed: dupSpans != brute force\n" +
+        s"docs=${docs.mkString("\n")}")
+    }
+  }
 }

@@ -516,4 +516,22 @@ class QualitySpec extends SparkSpec {
     assert(selfHits.toDouble / brute.size >= 0.8,
       s"self-hit rate ${selfHits}/${brute.size}")
   }
+
+  test("pqTrain: Lloyd rounds never increase quantization distortion") {
+    import graft.api.ops._
+    val e = Tables(spark, sfDir, "embeddings")
+    def inertia(books: Seq[Seq[Seq[Double]]]): Double =
+      e.pqEncode(col("vec_id"), col("embedding"), books)
+        .agg(sum(col("err_l2") * col("err_l2"))).head.getDouble(0)
+    val b0 = pqCodebooks(m = 4, k = 16, subdim = 16)
+    val b1 = e.pqTrain(col("embedding"), b0, iters = 1)
+    val b2 = e.pqTrain(col("embedding"), b1, iters = 1)
+    val (i0, i1, i2) = (inertia(b0), inertia(b1), inertia(b2))
+    info(s"PQ inertia: untrained $i0 -> 1 iter $i1 -> 2 iters $i2")
+    // err_l2 is 4dp-rounded, so allow that quantization in the compare.
+    assert(i1 <= i0 + 1e-4, s"first Lloyd round increased distortion: $i0 -> $i1")
+    assert(i2 <= i1 + 1e-4, s"second Lloyd round increased distortion: $i1 -> $i2")
+    // Training must be worth a meaningful distortion cut on this data.
+    assert(i1 < i0 * 0.9, s"training barely moved distortion: $i0 -> $i1")
+  }
 }
