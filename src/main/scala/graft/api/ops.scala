@@ -400,6 +400,82 @@ object ops {
       * whatever shuffle follows carries only the fixed-width chunk
       * rows.
       */
+    /** BPE merge-rule learning (Sennrich, Haddow & Birch 2016, the
+      * subword-tokenizer training step): learn `numMerges` merge
+      * rules from the corpus, returning the merge table
+      * (merge_round, p1, p2, merged, pair_count) in learned order.
+      *
+      * Trains on the WORD-FREQUENCY dictionary, like every production
+      * BPE trainer: the only corpus-scale work is one explode +
+      * hash-agg building (word, freq) — partial-agged before its
+      * shuffle — after which all rounds run on the vocab-sized dict
+      * (Heaps' law: ~√N types for N tokens, so 100 TB of text trains
+      * on a dict that fits one executor's shuffle partition). Each
+      * round is (a) adjacent-pair counts weighted by freq — a pure
+      * projection + explode + tiny agg, (b) the argmax pair by
+      * (count DESC, p1, p2) — deterministic tie-break, taken with
+      * limit(1), (c) a 1-row BROADCAST cross join carrying the winner
+      * into (d) a left-fold `aggregate` that replays the greedy
+      * left-to-right non-overlapping merge per word. No collect, no
+      * driver state: the k-round loop only stacks plan nodes, so
+      * Catalyst sees one DAG and the winner never leaves the cluster.
+      *
+      * The fold IS the greedy merge: walking symbols left to right,
+      * a (p1, p2) adjacency collapses to p1||p2 and the merged symbol
+      * is never itself re-matched as p1 within the round (run "aaa"
+      * with pair (a,a) → [aa, a], the canonical non-overlap rule) —
+      * fuzzed against an imperative reference in PropertySpec.
+      *
+      * The dict is lineage-pinned per round (each round's plan embeds
+      * the previous dict twice — once in the pair agg, once under the
+      * winner's cross join — so an unpinned loop doubles the plan per
+      * round and re-derives the dict 2^k times). `reliable` as in
+      * [[graft.api.ops.pinLineage]].
+      */
+    def bpeMergeTable(tokens: Column, numMerges: Int,
+                      reliable: Boolean = false): DataFrame = {
+      require(numMerges >= 1 && numMerges <= 64,
+        s"numMerges must be in [1, 64], got $numMerges")
+      var dict = pinLineage(df
+        .select(explode(tokens).as("word"))
+        .filter(col("word").isNotNull && col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        // split(s, "") keeps a trailing empty token (Java split with
+        // limit -1); filter it so symbols are exactly the characters.
+        .select(filter(split(col("word"), ""), s => s =!= "").as("syms"),
+          col("freq")), reliable)
+      var merges: DataFrame = null
+      for (r <- 1 to numMerges) {
+        val idx = when(size(col("syms")) >= 2,
+          sequence(lit(1), size(col("syms")) - 1))
+          .otherwise(array().cast("array<int>"))
+        val top = dict
+          .select(col("freq"), explode(transform(idx, i =>
+            struct(element_at(col("syms"), i).as("p1"),
+              element_at(col("syms"), i + 1).as("p2")))).as("pr"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .agg(sum("freq").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+          .limit(1)
+        val round = top.select(lit(r).as("merge_round"), col("p1"),
+          col("p2"), concat(col("p1"), col("p2")).as("merged"),
+          col("pair_count"))
+        merges = if (merges == null) round else merges.unionAll(round)
+        if (r < numMerges) dict = pinLineage(dict
+          .crossJoin(broadcast(top.select(col("p1").as("_p1"),
+            col("p2").as("_p2"))))
+          .select(aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              try_element_at(acc, lit(-1)) === col("_p1") &&
+                x === col("_p2"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("_p1"), col("_p2")))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+            col("freq")), reliable)
+      }
+      merges.orderBy("merge_round")
+    }
+
     def tokenChunks(id: Column, tokens: Column, chunkSize: Int,
                     stride: Int): DataFrame = {
       require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")

@@ -573,7 +573,54 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  /** BPE merge-rule learning on the corpus (Sennrich et al. 2016) —
+    * 4 merge rounds over the word-frequency dict; see
+    * [[graft.api.ops.GraftDataFrameOps.bpeMergeTable]].
+    */
+  val textBpeMerges: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir).bpeMergeTable(split(col("text"), " "), numMerges = 4)
+  }
+
+  /** DuckDB twin of [[textBpeMerges]], generated for `k` rounds so
+    * the two sides can't drift on round count: the greedy
+    * left-to-right fold is replayed per word by a recursive CTE whose
+    * list accumulator applies exactly the merge rule of the Spark
+    * `aggregate` lambda (depth = word length).
+    */
+  private def bpeOracle(k: Int): String = {
+    val head = """WITH RECURSIVE
+      tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      d0 AS (SELECT string_split(word, '') AS syms,
+                    CAST(count(*) AS BIGINT) AS freq
+             FROM tok WHERE word <> '' GROUP BY word)"""
+    val rounds = (1 to k).map { r =>
+      val p = r - 1
+      s"""
+      pc$r AS (SELECT syms[i] AS p1, syms[i+1] AS p2, sum(freq) AS cnt
+               FROM d$p, unnest(range(1, len(syms))) AS t(i)
+               GROUP BY 1, 2),
+      top$r AS (SELECT p1, p2, cnt FROM pc$r
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      a$r AS (
+        SELECT d.syms, d.freq, 1 AS i, [d.syms[1]] AS acc FROM d$p d
+        UNION ALL
+        SELECT a.syms, a.freq, a.i + 1,
+          CASE WHEN a.acc[-1] = t.p1 AND a.syms[a.i+1] = t.p2
+            THEN list_append(a.acc[1:len(a.acc)-1], t.p1 || t.p2)
+            ELSE list_append(a.acc, a.syms[a.i+1]) END
+        FROM a$r a, top$r t WHERE a.i < len(a.syms)),
+      d$r AS (SELECT acc AS syms, freq FROM a$r WHERE i = len(syms))"""
+    }.mkString(",")
+    val unions = (1 to k).map { r =>
+      s"""SELECT $r AS merge_round, p1, p2, p1 || p2 AS merged,
+                 CAST(cnt AS BIGINT) AS pair_count FROM top$r"""
+    }.mkString("\nUNION ALL ")
+    s"$head,$rounds\n$unions\nORDER BY merge_round"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_bpe_merges" -> textBpeMerges,
     "q_text_quality_cut" -> textQualityCut,
     "q_text_bm25" -> textBm25,
     "q_pipeline_corpus" -> pipelineCorpus,
@@ -613,6 +660,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_merges" -> bpeOracle(4),
     "q_text_quality_cut" -> """
       WITH cuts AS (
         SELECT lang,

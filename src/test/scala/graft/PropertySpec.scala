@@ -278,4 +278,55 @@ class PropertySpec extends SparkSpec {
         s"docs=${docs.mkString("\n")}")
     }
   }
+
+  test("bpeMergeTable matches an imperative BPE trainer on random corpora") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Reference trainer: word-freq dict, per round count adjacent
+    // pairs, argmax by (count desc, p1, p2), apply the greedy
+    // left-to-right non-overlapping merge imperatively — nothing in
+    // common with the fold/HOF plan. Small alphabet forces runs
+    // ("aaa…") so the non-overlap rule is actually exercised.
+    def greedyMerge(syms: Vector[String], p1: String, p2: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+          out += (p1 + p2); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    for (seed <- 1 to 5) {
+      val words = (0 until 40).map { w =>
+        val len = 1 + sample(Gen.choose(0, 7), seed * 1000 + w)
+        (0 until len).map(i =>
+          Seq("a", "b", "c")(sample(Gen.choose(0, 2), seed * 1000 + w * 13 + i)))
+          .mkString
+      }
+      var dict = words.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector, g.size.toLong)
+      }.toVector
+      val expect = (1 to 3).map { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        dict.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        val ((p1, p2), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        dict = dict.map { case (s, f) => (greedyMerge(s, p1, p2), f) }
+        (r, p1, p2, p1 + p2, cnt)
+      }
+      // One doc per word occurrence — tokens arrive pre-split.
+      val got = words.toDF("w")
+        .bpeMergeTable(array(col("w")), numMerges = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got === expect, s"seed=$seed: bpe != reference trainer\n" +
+        s"words=${words.mkString(" ")}")
+    }
+  }
 }
