@@ -1580,6 +1580,40 @@ object ops {
         .drop("_stratum")
     }
 
+    /** Temperature-smoothed mixture sampling (the multilingual
+      * rebalancing rule of XLM-R / mT5, Conneau et al. 2020 §3.1):
+      * instead of explicit target shares, stratum sampling mass is
+      * q_s ∝ (n_s)^α — α ∈ (0, 1) flattens the natural distribution,
+      * upweighting tail strata (α = 1 keeps natural proportions,
+      * α = 0 gives uniform). Per-stratum keep rate =
+      * min(1, budget · q_s / n_s), applied via the content-stable md5
+      * bucket (same nesting/replay guarantees as
+      * [[stratifiedHashSample]]).
+      *
+      * In-plan like [[tokenBudgetMixture]]: one #strata-key partial-
+      * agged shuffle for the totals, a 1-row agg for the normalizer
+      * Σ(n_m)^α, both broadcast back onto the stream — no collect, so
+      * the same plan derives the mixture from 100 TB of totals.
+      */
+    def temperatureMixture(id: Column, stratum: Column, weight: Column,
+                           alpha: Double, budget: Long,
+                           buckets: Int = 10000): DataFrame = {
+      require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+      require(budget > 0, s"budget must be positive, got $budget")
+      val d = df.withColumn("_stratum", stratum)
+      val totals = d.groupBy("_stratum")
+        .agg(sum(weight.cast("long")).as("_tot"))
+      val norm = totals.agg(sum(pow(col("_tot"), alpha)).as("_norm"))
+      val rates = totals.crossJoin(broadcast(norm))
+        .select(col("_stratum"),
+          least(lit(1.0),
+            lit(budget.toDouble) * pow(col("_tot"), alpha) / col("_norm")
+              / col("_tot")).as("rate"))
+      d.join(broadcast(rates), "_stratum")
+        .filter(md5Bucket(id, buckets) < col("rate") * buckets)
+        .drop("_stratum")
+    }
+
     /** Stratified hash sampling: keep each row with a per-stratum rate
       * — the mixture-rebalancing primitive of training-data pipelines
       * (downweight the over-represented language/source without
@@ -2046,6 +2080,46 @@ object ops {
       df.filter(
           GraftFunctions.bloom_might_contain(df(key), bos.toByteArray))
         .join(right, key)
+    }
+
+    /** Incremental cross-batch dedup: the rows of THIS frame whose
+      * fingerprint `key` does not appear in `base` (the already-
+      * ingested corpus) — the ingestion-time filter that keeps a
+      * continuously-fed training set duplicate-free without
+      * re-deduplicating history.
+      *
+      * Two-tier plan: a Bloom filter over the base fingerprints is
+      * probed AT THE INCOMING SCAN — a Bloom has NO false negatives,
+      * so rows the probe rejects are *definitely new* and bypass the
+      * join entirely; only the ~fpp false-positive sliver plus the
+      * true duplicates continue into the exact anti-join that settles
+      * them. On a mostly-novel 100 TB/day feed the anti-join shuffles
+      * ~1% of incoming instead of all of it; the base side ships as
+      * `-n·ln(fpp)/ln²2` filter bits (~1.2 MB/million keys), not as
+      * rows. The filter build is one deliberate action over the
+      * base's distinct fingerprints (same documented exception as
+      * [[bloomSemiJoin]]); the incoming scan runs twice (once per
+      * branch of the union) — scans are the cheap leg, shuffles the
+      * expensive one. Fingerprints dedupe EXACTLY on `key`: pick it
+      * per policy (full-text digest, prefix digest, normalized-text
+      * digest) — near-dup policies belong to the MinHash/SimHash ops.
+      */
+    def incrementalNew(base: DataFrame, key: Column, baseKey: Column,
+                       expectedItems: Long = 1L << 20,
+                       fpp: Double = 0.01): DataFrame = {
+      val baseKeys = base.select(baseKey.cast("string").as("_bkey"))
+        .distinct()
+      val sketch = baseKeys.select(xxhash64(col("_bkey")).as("_bh"))
+        .stat.bloomFilter("_bh", expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      val d = df.withColumn("_key", key.cast("string"))
+      val probe = GraftFunctions.bloom_might_contain(
+        xxhash64(col("_key")), bos.toByteArray)
+      val definitelyNew = d.filter(!probe)
+      val maybeDup = d.filter(probe)
+        .join(baseKeys, col("_key") === col("_bkey"), "left_anti")
+      definitelyNew.unionByName(maybeDup).drop("_key")
     }
 
     // ───────────────────────── crypto ─────────────────────────

@@ -193,7 +193,25 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Incremental cross-batch dedup: docs 250+ are "today's feed",
+    * docs 0–249 the ingested base; fingerprint = md5 of the first 8
+    * tokens (a prefix-digest policy, which DOES collide across the
+    * batches — 13 incoming docs drop at sf0.01). The Bloom-probe
+    * two-tier plan is the point at scale; see
+    * [[graft.api.ops.GraftDataFrameOps.incrementalNew]].
+    */
+  val dedupCrossBatch: Q = (spark, dir) => {
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val all = Tables(spark, dir, "documents")
+    all.filter(col("doc_id") >= 250)
+      .incrementalNew(all.filter(col("doc_id") < 250).select(fp.as("fp")),
+        fp, col("fp"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_cross_batch" -> dedupCrossBatch,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_containment" -> dedupContainment,
@@ -241,6 +259,17 @@ object Dedup extends QueryModule {
       ORDER BY doc.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_cross_batch" -> """
+      WITH p AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                 AS fp
+        FROM documents)
+      SELECT doc_id, lang, source FROM p i
+      WHERE i.doc_id >= 250
+        AND NOT EXISTS (SELECT 1 FROM p b
+                        WHERE b.doc_id < 250 AND b.fp = i.fp)
+      ORDER BY doc_id""",
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_dups
       FROM documents

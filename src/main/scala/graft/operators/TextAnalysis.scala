@@ -261,6 +261,25 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Temperature-smoothed mixture (XLM-R/mT5 α-sampling): per-lang
+    * rates ∝ (n_lang)^α derived in-plan against a 20k-token budget at
+    * α = 0.5 — flattens the language distribution, upweighting tail
+    * languages relative to [[sampleMixture]]'s explicit shares. Same
+    * audit-table output shape.
+    */
+  val sampleTemperature: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .temperatureMixture(col("doc_id"), col("lang"),
+        col("n_tokens"), alpha = 0.5, budget = 20000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("kept_tokens"),
+        Norm.r4tie(first(col("rate"))).as("rate"))
+      .orderBy("lang")
+  }
+
   /** Source-level quality gate: per-source mean of the unrounded
     * quality signal vs the doc-weighted corpus mean — drops whole
     * origins, the step per-doc filters can't express (see
@@ -641,6 +660,7 @@ object TextAnalysis extends QueryModule {
     }),
     "q_sample_stratified" -> sampleStratified,
     "q_sample_mixture" -> sampleMixture,
+    "q_sample_temperature" -> sampleTemperature,
     "q_sample_dsir" -> sampleDsir,
     "q_text_quality_classifier" -> textQualityClassifier,
     "q_chunk_documents" -> chunkDocuments,
@@ -1102,6 +1122,33 @@ object TextAnalysis extends QueryModule {
                                WHEN 'zh' THEN 0.20 ELSE 0.0 END
                      / tot) AS rate
             FROM tot),
+      s AS (SELECT d.lang, d.n_tokens, r.rate
+            FROM d JOIN r ON d.lang = r.lang
+            WHERE d.bucket < r.rate * 10000)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+             floor(rate * 10000 + 0.5) / 10000 AS rate
+      FROM s
+      GROUP BY lang, rate
+      ORDER BY lang""",
+    "q_sample_temperature" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 10000
+                 AS bucket
+        FROM (SELECT doc_id, lang, text,
+                     lower(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS hx
+              FROM documents)),
+      tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+              FROM d GROUP BY lang),
+      nrm AS (SELECT sum(pow(tot, 0.5)) AS nn FROM tot),
+      r AS (SELECT lang,
+                   least(1.0, 20000.0 * pow(tot, 0.5) / nn / tot) AS rate
+            FROM tot CROSS JOIN nrm),
       s AS (SELECT d.lang, d.n_tokens, r.rate
             FROM d JOIN r ON d.lang = r.lang
             WHERE d.bucket < r.rate * 10000)
