@@ -1346,6 +1346,33 @@ object ops {
             / 10000)
     }
 
+    /** Document-level duplicated-content drop rule (the MassiveText /
+      * Gopher filter, Rae et al. 2021 §A.1.2; Lee et al. 2022 use the
+      * same span machinery): compute each document's duplicated-token
+      * fraction via [[dupSpans]] and KEEP only documents at or below
+      * `maxDupFrac` — documents without any duplicated span carry
+      * dup_frac 0 and always survive. Returns the kept rows of this
+      * frame plus their audited `dup_frac`.
+      *
+      * Scale = [[dupSpans]] (digests-only shuffles) plus one join-back
+      * of the per-doc stats on the id — stats rows exist only for
+      * documents that HAVE duplicated spans, so the join's build side
+      * is the dirty subset, not the corpus.
+      */
+    def dupDocFilter(id: Column, tokens: Column, n: Int,
+                     maxDupFrac: Double,
+                     reliable: Boolean = false): DataFrame = {
+      require(maxDupFrac >= 0 && maxDupFrac <= 1,
+        s"maxDupFrac must be in [0, 1], got $maxDupFrac")
+      val stats = df.dupSpans(id, tokens, n, reliable)
+        .select(col("doc_id").as("_df_id"), col("dup_frac").as("_df_frac"))
+      df.withColumn("_df_key", id)
+        .join(stats, col("_df_key") === col("_df_id"), "left")
+        .withColumn("dup_frac", coalesce(col("_df_frac"), lit(0.0)))
+        .filter(col("dup_frac") <= maxDupFrac)
+        .drop("_df_key", "_df_id", "_df_frac")
+    }
+
     /** Benchmark decontamination (the GPT-3 appendix-C / PaLM recipe):
       * flag every TRAINING document sharing at least one token n-gram
       * with an EVAL-set document, so contaminated examples can be

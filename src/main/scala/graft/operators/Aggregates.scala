@@ -96,6 +96,28 @@ object Aggregates extends QueryModule {
   /** Statistical aggregates: stddev/variance/exact interpolated
     * percentile/min/max.
     */
+  /** Linear-regression aggregate family (regr_slope / regr_intercept /
+    * regr_r2 / regr_count + corr / covar_samp), SQL:2016 bivariate
+    * stats: fit price-vs-quantity per return flag. All two-phase
+    * moment aggregates — partial-agg before the shuffle like any sum;
+    * x and y are small-magnitude (quantity ≤ 50), so the moment sums
+    * stay well-conditioned and the 4dp rounding is engine-stable.
+    */
+  val aggLinreg: Q = (spark, dir) => {
+    val l = Tables(spark, dir, "lineitem")
+    val y = col("l_extendedprice")
+    val x = col("l_quantity")
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        regr_count(y, x).as("n"),
+        Norm.r4(regr_slope(y, x)).as("slope"),
+        Norm.r4(regr_intercept(y, x)).as("intercept"),
+        Norm.r4(regr_r2(y, x)).as("r2"),
+        Norm.r4(corr(x, y)).as("corr_qp"),
+        Norm.r4(covar_samp(x, y)).as("covar_qp"))
+      .orderBy("l_returnflag")
+  }
+
   val aggStats: Q = (spark, dir) => {
     val o = Tables(spark, dir, "orders")
     o.groupBy(col("o_orderstatus"))
@@ -488,6 +510,7 @@ object Aggregates extends QueryModule {
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_agg_stats" -> aggStats,
+    "q_agg_linreg" -> aggLinreg,
     "q_agg_conditional" -> aggConditional,
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_quantile" -> aggApproxQuantile,
@@ -720,6 +743,18 @@ object Aggregates extends QueryModule {
              CAST(coalesce(cents, 0) AS BIGINT) AS cents
       FROM months LEFT JOIN agg USING (m)
       ORDER BY month""",
+    "q_agg_linreg" -> """
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q_agg_stats" -> """
       SELECT o_orderstatus,
              round(stddev_samp(o_totalprice), 4) AS sd_price,

@@ -261,6 +261,21 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Gopher/MassiveText duplicated-content document filter: drop
+    * documents whose duplicated-6-gram-span token fraction exceeds
+    * 0.2 (at sf0.01 that removes the 47 planted near-dup docs, every
+    * one ≥ 0.8 duplicated). See
+    * [[graft.api.ops.GraftDataFrameOps.dupDocFilter]].
+    */
+  val textDupDocFilter: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .dupDocFilter(col("doc_id"), split(col("text"), " "), n = 6,
+        maxDupFrac = 0.2)
+      .select("doc_id", "lang", "dup_frac")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-smoothed mixture (XLM-R/mT5 α-sampling): per-lang
     * rates ∝ (n_lang)^α derived in-plan against a 20k-token budget at
     * α = 0.5 — flattens the language distribution, upweighting tail
@@ -648,6 +663,7 @@ object TextAnalysis extends QueryModule {
     "q_sample_weighted" -> sampleWeighted,
     "q_text_dup_ngrams" -> textDupNgrams,
     "q_text_dup_spans" -> textDupSpans,
+    "q_text_dup_doc_filter" -> textDupDocFilter,
     "q_text_normalize" -> textNormalize,
     "q_text_repetition" -> textRepetition,
     "q_text_pii_redact" -> textPiiRedact,
@@ -865,6 +881,47 @@ object TextAnalysis extends QueryModule {
                / 10000 AS dup_frac
       FROM sp GROUP BY doc_id, n_tokens
       ORDER BY doc_id""",
+    "q_text_dup_doc_filter" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 6),
+      gr AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               unnest(generate_series(0, len(toks) - 6)) AS start, toks
+        FROM d),
+      g AS (
+        SELECT doc_id, n_tokens, start,
+               array_to_string(list_slice(toks, start + 1, start + 6), ' ')
+                 AS gram
+        FROM gr),
+      cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+      hits AS (
+        SELECT doc_id, n_tokens, start
+        FROM g JOIN cnt USING (gram) WHERE c >= 2),
+      lagged AS (
+        SELECT doc_id, n_tokens, start,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+        FROM hits),
+      isl AS (
+        SELECT doc_id, n_tokens, start,
+               sum(CASE WHEN prev IS NULL OR start - prev > 6
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY start) AS island
+        FROM lagged),
+      sp AS (
+        SELECT doc_id, n_tokens, island,
+               min(start) AS s0, max(start) + 6 AS e0
+        FROM isl GROUP BY doc_id, n_tokens, island),
+      st AS (
+        SELECT doc_id,
+               floor(CAST(sum(e0 - s0) AS BIGINT) * 10000.0 / n_tokens
+                 + 0.5) / 10000 AS dup_frac
+        FROM sp GROUP BY doc_id, n_tokens)
+      SELECT doc.doc_id, doc.lang,
+             coalesce(st.dup_frac, 0.0) AS dup_frac
+      FROM documents doc LEFT JOIN st ON doc.doc_id = st.doc_id
+      WHERE coalesce(st.dup_frac, 0.0) <= 0.2
+      ORDER BY doc.doc_id""",
     "q_text_dup_ngrams" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
