@@ -254,6 +254,30 @@ object Joins extends QueryModule {
     * Results are exact — the join removes false positives — so the
     * oracle is the plain join.
     */
+  /** LATERAL correlated derived-table join (SQL:1999, the "top-N per
+    * outer row" SQL surface): each order pulls its 2 highest-priced
+    * lineitems. Catalyst DECORRELATES the lateral subquery — the
+    * ORDER BY/LIMIT inside becomes a per-l_orderkey ranked window and
+    * the correlation becomes one equi-join, so execution is
+    * window + join (WindowGroupLimit-eligible partial top-k), NOT a
+    * per-outer-row nested loop: the plan scales like
+    * `q_topk_per_group`, the DataFrame spelling of the same shape.
+    */
+  val joinLateral: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_lv")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_lv")
+    spark.sql("""
+      SELECT o.o_orderkey, t.l_linenumber,
+             round(t.l_extendedprice, 4) AS price
+      FROM orders_lv o,
+      LATERAL (SELECT l_linenumber, l_extendedprice
+               FROM lineitem_lv l
+               WHERE l.l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber
+               LIMIT 2) t
+      ORDER BY o.o_orderkey, price DESC, t.l_linenumber""")
+  }
+
   val joinBloom: Q = (spark, dir) => {
     import graft.api.ops._
     val li = Tables(spark, dir, "lineitem")
@@ -323,6 +347,7 @@ object Joins extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_join_bloom" -> joinBloom,
+    "q_join_lateral" -> joinLateral,
     "q_fuzzy_match" -> fuzzyMatch,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_salted" -> joinSalted,
@@ -338,6 +363,16 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_lateral" -> """
+      SELECT o.o_orderkey, t.l_linenumber,
+             round(t.l_extendedprice, 4) AS price
+      FROM orders o,
+      LATERAL (SELECT l_linenumber, l_extendedprice
+               FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber
+               LIMIT 2) t
+      ORDER BY o.o_orderkey, price DESC, t.l_linenumber""",
     "q_join_bloom" -> """
       SELECT o_orderstatus, count(*) AS n_items,
              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

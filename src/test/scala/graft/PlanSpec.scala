@@ -447,4 +447,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-k, not full sort
   }
+
+  test("q_join_lateral decorrelates: ranked window + equi-join, no nested loop") {
+    // The LATERAL ORDER BY/LIMIT subquery must become a per-key window
+    // (WindowGroupLimit partial top-k) joined back on the correlation
+    // key — a per-outer-row nested loop would be quadratic at scale.
+    val p = plan("q_join_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_dedup_cross_batch routes definitely-new rows around the anti-join") {
+    // Two branches of a union: a scan-side bloom probe filter (no
+    // join) and the maybe-dup sliver settled by one left-anti join.
+    val p = plan("q_dedup_cross_batch")
+    assert(p.contains("bloom_might_contain"), p)
+    assert(countOcc(p, "LeftAnti") == 1, p)
+  }
+
+  test("q_text_bpe_merges pair counts partial-agg below their shuffle") {
+    // Every per-round pair count must partial-aggregate (map-side
+    // combine) before its exchange — the dict is vocab-sized, the agg
+    // tiny; a missing partial agg would shuffle raw pair instances.
+    val p = plan("q_text_bpe_merges")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p) // winner joins broadcast
+  }
 }
