@@ -54,6 +54,25 @@ object ops {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
   }
 
+  /** Deterministic ±1/√k sign matrix for
+    * [[GraftDataFrameOps.randomProject]]: `k` rows of `dim` entries
+    * from a seeded PRNG. The same call generates the DuckDB oracle's
+    * literal (see [[rprojectSignsSql]]), so the two sides can't
+    * drift. With √k a power of two every entry is an exact binary
+    * fraction — ±0.25 at k = 16 — keeping the projection arithmetic
+    * bit-identical across engines.
+    */
+  def rprojectSigns(k: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    Seq.fill(k)(Seq.fill(dim)(if (rnd.nextBoolean()) scale else -scale))
+  }
+
+  /** The matrix of [[rprojectSigns]] as a DuckDB DOUBLE[][] literal. */
+  def rprojectSignsSql(k: Int, dim: Int, seed: Long = 7L): String =
+    rprojectSigns(k, dim, seed)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
+
   /** Sign-prefix block id for embedding near-dup blocking: the sign
     * pattern of the first `bits` coordinates (near-identical vectors
     * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`
@@ -1031,6 +1050,31 @@ object ops {
       * (broadcast): scan → project → TakeOrderedAndProject, no shuffle
       * of the vectors. `vec` must be a numeric array column.
       */
+    /** Johnson–Lindenstrauss random projection (Achlioptas 2003
+      * database-friendly form): map a `dim`-vector to `k` dims through
+      * a deterministic ±1/√k sign matrix — the standard footprint cut
+      * before an ANN index when even int8 quantization keeps too many
+      * coordinates. E[‖Pv‖²] = ‖v‖² and pairwise inner products are
+      * preserved to ±O(√(log n / k)) distortion (QualitySpec pins the
+      * measured bound). Output: (vec_id, proj array<double>).
+      *
+      * Pure per-row projection — the matrix is a PLAN LITERAL (k·dim
+      * doubles, ~8 KB at 16×64, inlined into codegen like a broadcast
+      * without the exchange), each output coordinate one native
+      * [[dotd]] fold inside whole-stage codegen; no shuffle, no UDF,
+      * scales embarrassingly. Pick √k a power of two (k = 4, 16, 64)
+      * and the scale factor is exact binary, so products are exact
+      * halved floats and both engines sum identical doubles.
+      */
+    def randomProject(id: Column, vec: Column, dim: Int, k: Int,
+                      seed: Long = 7L): DataFrame = {
+      require(k >= 1 && dim >= 1, s"k and dim must be >= 1, got $k, $dim")
+      val mat = rprojectSigns(k, dim, seed)
+      df.select(id.as("vec_id"),
+        transform(typedLit(mat),
+          row => dotd(transform(vec, _.cast("double")), row)).as("proj"))
+    }
+
     def cosineTopK(id: Column, vec: Column, query: Seq[Double],
                    k: Int): DataFrame = {
       val qv = typedLit(query)

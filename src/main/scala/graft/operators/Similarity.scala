@@ -238,6 +238,20 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** JL random projection 64 → 16 dims (±0.25 sign matrix, seed 7),
+    * scored in long form (vec_id, dim, val) with the tie-proof floor
+    * rounding; see [[graft.api.ops.GraftDataFrameOps.randomProject]].
+    */
+  val embedRproject: Q = (spark, dir) => {
+    import graft.api.ops._
+    Tables(spark, dir, "embeddings")
+      .randomProject(col("vec_id"), col("embedding"), dim = 64, k = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        (floor(col("v") * 10000 + 0.5) / 10000).as("val"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** SemDeDup-shaped semantic dedup (cluster, then prune WITHIN the
     * cluster — Abbas et al. 2023): vectors are assigned to their
     * nearest data-derived centroid (per-label elementwise means via
@@ -373,6 +387,7 @@ object Similarity extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_embed_rproject" -> embedRproject,
     "q_decontaminate_semantic" -> decontaminateSemantic,
     "q_sim_pq" -> simPq,
     "q_pipeline_embeddings" -> pipelineEmbeddings,
@@ -388,6 +403,16 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_rproject" -> s"""
+      WITH m AS (SELECT CAST(${graft.api.ops.rprojectSignsSql(16, 64)}
+                   AS DOUBLE[][]) AS mat),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)
+      SELECT vec_id, CAST(j - 1 AS INT) AS dim,
+             floor(list_dot_product(v, mat[j]) * 10000 + 0.5) / 10000
+               AS val
+      FROM e, m, unnest(range(1, 17)) AS t(j)
+      ORDER BY vec_id, dim""",
     "q_decontaminate_semantic" -> """
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb

@@ -534,4 +534,36 @@ class QualitySpec extends SparkSpec {
     // Training must be worth a meaningful distortion cut on this data.
     assert(i1 < i0 * 0.9, s"training barely moved distortion: $i0 -> $i1")
   }
+
+  test("randomProject: JL norm preservation and cosine distortion at k=16") {
+    import graft.api.ops._
+    // E[norm ratio] = 1 by the JL sign-matrix construction; the
+    // per-vector spread and the cosine error bound are what seed 7 at
+    // k = 16 actually measures on this data (mean ratio 1.019, mean
+    // |cos err| 0.19) — floors with margin, not aspirations.
+    val e = Tables(spark, sfDir, "embeddings")
+    val p = e.randomProject(col("vec_id"), col("embedding"), dim = 64, k = 16)
+    val both = e.withColumn("emb", transform(col("embedding"), _.cast("double")))
+      .join(p, "vec_id")
+      .select(col("vec_id"), col("emb"), col("proj"))
+    val ratio = both
+      .select((dotd(col("proj"), col("proj")) /
+        dotd(col("emb"), col("emb"))).as("r"))
+      .agg(avg("r"), min("r"), max("r")).head()
+    val (mean, lo, hi) = (ratio.getDouble(0), ratio.getDouble(1), ratio.getDouble(2))
+    info(s"JL norm ratio: mean $mean, min $lo, max $hi")
+    assert(mean > 0.9 && mean < 1.1, s"mean norm ratio off: $mean")
+    assert(lo > 0.05, s"some vector collapsed to ~zero norm: $lo")
+    // Pairwise cosine distortion on a deterministic pair sample.
+    val a = both.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("v1"), col("emb").as("e1"), col("proj").as("p1"))
+    val b = both.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("v2"), col("emb").as("e2"), col("proj").as("p2"))
+    val err = a.crossJoin(b).filter(col("v1") < col("v2"))
+      .select(abs(cosineSim(col("e1"), col("e2")) -
+        cosineSim(col("p1"), col("p2"))).as("d"))
+      .agg(avg("d")).head.getDouble(0)
+    info(s"JL mean |cosine error| = $err")
+    assert(err < 0.25, s"cosine distortion above the k=16 JL bound: $err")
+  }
 }
