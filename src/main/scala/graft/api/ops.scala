@@ -860,6 +860,50 @@ object ops {
       ranks
     }
 
+    /** Synchronous label-propagation communities (Raghavan et al.
+      * 2007, the Pregel/GraphX LPA shape) over the undirected graph
+      * whose edges are rows (`a`, `b`): every node starts labeled by
+      * its own id; each round RELABELS every node with the most
+      * frequent label among its neighbors, ties broken by the
+      * SMALLEST label — fully deterministic, unlike classic
+      * random-order LPA, so reruns and the oracle agree. `iters` is
+      * fixed (LPA has no monotone convergence guarantee — synchronous
+      * updates can 2-cycle on bipartite structure, which is why a
+      * fixpoint probe would be wrong here).
+      *
+      * Scale shape = [[pageRank]]: the (doubled, deduped) edge list
+      * is checkpointed and hash-partitioned ONCE on the join key;
+      * each round joins the O(nodes) label frame to it, partial-aggs
+      * the (node, label) counts, and takes the per-node argmax as a
+      * row_number window — WindowGroupLimit-eligible, shuffling only
+      * label rows. Output: (id, label) — nodes sharing a label after
+      * `iters` rounds form the community.
+      */
+    def labelPropagation(a: String, b: String, iters: Int = 2,
+                         reliable: Boolean = false): DataFrame = {
+      require(iters >= 1 && iters <= 20, s"iters must be in [1,20]: $iters")
+      val half = df.select(col(a).as("s"), col(b).as("t"))
+      val edges = pinLineage(half
+        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+        .distinct().repartition(col("s")), reliable)
+      val pin: DataFrame => DataFrame =
+        if (iters > 5) pinLineage(_, reliable) else identity
+      var labels = pin(edges.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id")))
+      val w = Window.partitionBy("id")
+        .orderBy(col("_c").desc, col("label"))
+      for (_ <- 1 to iters) {
+        labels = pin(edges
+          .join(labels.withColumnRenamed("id", "t"), "t")
+          .groupBy(col("s").as("id"), col("label"))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select("id", "label"))
+      }
+      labels
+    }
+
     /** Ordered funnel progression: for each `id`, the highest stage
       * index reached walking its events in `ts` order, where stage
       * k+1 counts only STRICTLY AFTER stage k completed (an earlier

@@ -117,13 +117,51 @@ object Graphs extends QueryModule {
       .orderBy("id")
   }
 
+  /** Deterministic synchronous LPA communities, 2 rounds, over the
+    * customer↔supplier graph (same edge build as PageRank/k-core);
+    * mode-of-neighbors with min-label tie-break replayed round-by-
+    * round in the oracle. See
+    * [[graft.api.ops.GraftDataFrameOps.labelPropagation]].
+    */
+  val graphLpa: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
+      .labelPropagation("cust", "supp", iters = 2)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_kcore" -> graphKcore,
+    "q_graph_lpa" -> graphLpa,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_lpa" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS s, -l_suppkey AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+      l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+      c1 AS (SELECT e.s AS id, l.label, count(*) AS c
+             FROM e JOIN l0 l ON e.t = l.id GROUP BY 1, 2),
+      l1 AS (SELECT id, label FROM (
+               SELECT id, label,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.s AS id, l.label, count(*) AS c
+             FROM e JOIN l1 l ON e.t = l.id GROUP BY 1, 2),
+      l2 AS (SELECT id, label FROM (
+               SELECT id, label,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1)
+      SELECT id, label FROM l2 ORDER BY id""",
     "q_graph_kcore" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

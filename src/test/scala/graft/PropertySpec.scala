@@ -228,6 +228,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation matches a synchronous in-memory LPA on seeded graphs") {
+    import spark.implicits._
+    import graft.api.ops._
+    // Independent reference: synchronous mode-of-neighbors relabeling
+    // over an in-memory adjacency map, min-label tie-break. Dirty
+    // input: duplicate edges, reversals, a self-loop — the distributed
+    // form's double+distinct canonicalization must match.
+    for (seed <- 1 to 5; iters <- Seq(1, 3)) {
+      val n = 20
+      val m = 30 + 3 * seed
+      val raw = (0 until m).map { i =>
+        val a = sample(Gen.choose(0, n - 1), seed * 3000 + i).toLong
+        val b = sample(Gen.choose(0, n - 1), seed * 3000 + i + 999).toLong
+        (a, b)
+      }
+      val dirty = raw ++ raw.take(4).map(_.swap) ++ Seq((5L, 5L))
+      val adj = dirty.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        labels = adj.map { case (v, ns) =>
+          val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size)
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val got = dirty.toDF("a", "b").labelPropagation("a", "b", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === labels, s"seed=$seed iters=$iters: LPA != reference")
+    }
+  }
+
   test("dupSpans covered tokens match a brute-force span scan") {
     import spark.implicits._
     import graft.api.ops._
