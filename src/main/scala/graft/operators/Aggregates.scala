@@ -489,7 +489,38 @@ object Aggregates extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Distribution-shape profile per corpus source: Shannon entropy
+    * (nats) and Gini impurity of each source's language mix, plus the
+    * distinct-language count — the diversity/imbalance diagnostics a
+    * training-mix dashboard reports per source (a source whose
+    * entropy collapses is suddenly monolingual; Gini → 0 likewise).
+    *
+    * Exactness: both reduce to INTEGER sufficient statistics. Gini is
+    * 1 − Σc²/N² — one division of exact int64s, bit-identical across
+    * engines. Entropy uses ln N − (Σ c·ln c)/N: `ln` of the same
+    * integers gives the same doubles everywhere; only the (≤ languages
+    * per source, ≈5) term summation is float, tie-guarded by r4tie.
+    * Two-level partial-agg'd hash-agg — shuffle O(sources × langs).
+    */
+  val aggEntropy: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum("c").as("n"),
+        sum(col("c") * col("c")).as("ss"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clc"))
+      .select(col("source"), col("n_langs"),
+        Norm.r4tie(lit(1.0) - col("ss").cast("double") /
+          (col("n") * col("n")).cast("double")).as("gini"),
+        Norm.r4tie(log(col("n").cast("double")) -
+          col("clc") / col("n").cast("double")).as("entropy"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_entropy" -> aggEntropy,
     "q_agg_bitwise" -> aggBitwise,
     "q_agg_expectations" -> aggExpectations,
     "q_agg_bool" -> aggBool,
@@ -517,6 +548,21 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_entropy" -> """
+      WITH lc AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      s AS (
+        SELECT source, count(*) AS n_langs, sum(c) AS n,
+               sum(c*c) AS ss,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+        FROM lc GROUP BY 1)
+      SELECT source, n_langs,
+             floor((1.0 - CAST(ss AS DOUBLE) / CAST(n*n AS DOUBLE))
+               * 10000 + 0.5) / 10000 AS gini,
+             floor((ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE))
+               * 10000 + 0.5) / 10000 AS entropy
+      FROM s ORDER BY source""",
     "q_agg_bitwise" -> """
       WITH o AS (
         SELECT o_orderkey, o_orderpriority,

@@ -386,7 +386,45 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** Item-item co-occurrence recommender (the "bought together"
+    * baseline): parts sharing an order co-occur; each part's top-3
+    * partners by co-order count (ties to the smaller partner id).
+    *
+    * Scale shape = the triangle-count lesson: NO lineitem⋈lineitem
+    * shuffle self-join. One partial-agg'd distinct down to (order,
+    * part), one collect to a per-order sorted basket (TPC-H baskets
+    * are ≤7 items — bounded), pair expansion as a codegen'd array
+    * lambda (O(k²) per order, k bounded), then a hash-agg over pair
+    * counts and a WindowGroupLimit top-3 per item — every shuffle
+    * carries id pairs, never baskets. At 100 TB the only knob that
+    * matters is the basket bound; a pathological mega-basket would
+    * get the same maxDf-style cut jaccardPairs uses.
+    */
+  val recCooccur: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val baskets = li.select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val both = pairs.select(col("a").as("part"), col("b").as("partner"),
+        col("n"))
+      .unionByName(pairs.select(col("b").as("part"),
+        col("a").as("partner"), col("n")))
+    val w = Window.partitionBy("part")
+      .orderBy(col("n").desc, col("partner"))
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("part", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rec_cooccur" -> recCooccur,
     "q_embed_rproject" -> embedRproject,
     "q_decontaminate_semantic" -> decontaminateSemantic,
     "q_sim_pq" -> simPq,
@@ -403,6 +441,24 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rec_cooccur" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (
+        SELECT x.p AS a, y.p AS b, count(*) AS n
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2),
+      bd AS (
+        SELECT a AS part, b AS partner, n FROM pairs
+        UNION ALL
+        SELECT b AS part, a AS partner, n FROM pairs),
+      r AS (
+        SELECT part, partner, n,
+               row_number() OVER (PARTITION BY part
+                 ORDER BY n DESC, partner) AS rank
+        FROM bd)
+      SELECT part, partner, n, rank FROM r
+      WHERE rank <= 3 ORDER BY part, rank""",
     "q_embed_rproject" -> s"""
       WITH m AS (SELECT CAST(${graft.api.ops.rprojectSignsSql(16, 64)}
                    AS DOUBLE[][]) AS mat),

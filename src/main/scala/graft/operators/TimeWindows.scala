@@ -90,6 +90,83 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** OHLC resampling (the market-data/metrics downsample): per
+    * (event_type, 15-min bar) the first value by time (open), max
+    * (high), min (low), last value by time (close) and the tick
+    * count — `min_by`/`max_by` selection aggregates, so open/close
+    * need NO window or self-join and partial-agg applies (each
+    * map-side partial keeps one (value, ts) champion per bar).
+    *
+    * Scale: one partial-agg'd hash-agg over the events, shuffle
+    * volume O(types × bars), never O(events). Determinism: the
+    * testdata's (event_type, ts) pairs are unique at every SF (the
+    * same precondition [[funnel]] documents), so the by-ts champions
+    * are unambiguous; high/low/open/close are SELECTIONS of existing
+    * doubles — both engines round the identical IEEE value.
+    */
+  val ohlc: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(col("event_type"), window(col("ts"), "15 minutes"))
+      .agg(Norm.r4(min_by(col("value"), col("ts"))).as("open"),
+        Norm.r4(max("value")).as("high"),
+        Norm.r4(min("value")).as("low"),
+        Norm.r4(max_by(col("value"), col("ts"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), Norm.tstr(col("window.start")).as("bar"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("event_type", "bar")
+  }
+
+  /** Linear interpolation across gaps — [[gapFill]]'s LOCF upgraded
+    * to the resample shape feature stores actually want: each empty
+    * hourly bucket gets the line between its previous and next known
+    * readings, edges fall back to nearest-known (backfill before the
+    * first reading, LOCF after the last).
+    *
+    * Exactness at scale: everything stays INTEGER. Known buckets are
+    * round-half-up averages in millicents; the interpolation is the
+    * exact rational `(pmc·(t₁−t) + nmc·(t−t₀)) / (t₁−t₀)` evaluated
+    * as `(num·2+den) div (2·den)` in int64 (hour indices keep the
+    * magnitudes ≤ 1e10) — zero float ops, so both engines agree
+    * bit-for-bit with no rounding tolerance at all. The four
+    * prev/next probes are two window frames over the calendar-sized
+    * spine, not the events.
+    */
+  val interpolate: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val obs = e.filter(col("value") > 95)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("(sum(cast(floor(value*100 + 0.5) as bigint))*2000" +
+        " + count(*)) div (2*count(*))").as("mc"))
+    val hours = e
+      .agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val spine = hours.crossJoin(broadcast(e.select("event_type").distinct()))
+    val wp = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val khi = when(col("mc").isNotNull, col("hi0"))
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .withColumn("hi0", expr("unix_seconds(h) div 3600"))
+      .select(col("event_type"), col("h"), col("mc"), col("hi0"),
+        last(col("mc"), ignoreNulls = true).over(wp).as("pmc"),
+        last(khi, ignoreNulls = true).over(wp).as("phi"),
+        first(col("mc"), ignoreNulls = true).over(wn).as("nmc"),
+        first(khi, ignoreNulls = true).over(wn).as("nhi"))
+      .select(col("event_type"), Norm.tstr(col("h")).as("hour"),
+        col("mc").isNull.as("is_gap"),
+        when(col("pmc").isNull && col("nmc").isNull, lit(0L))
+          .when(col("pmc").isNull, col("nmc"))
+          .when(col("nmc").isNull, col("pmc"))
+          .otherwise(expr("((pmc*(nhi-hi0) + nmc*(hi0-phi))*2" +
+            " + (nhi-phi)) div (2*(nhi-phi))"))
+          .as("interp_mc"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Per-user EWMA (α = 0.25) over each user's event series — the
     * smoothing feature every metrics/feature-store pipeline computes.
     * EWMA's recurrence (s ← αx + (1−α)s) is inherently ORDERED, which
@@ -240,6 +317,8 @@ object TimeWindows extends QueryModule {
     "q_ts_anomaly" -> tsAnomaly,
     "q_ts_ewma" -> ewma,
     "q_ts_gapfill" -> gapFill,
+    "q_ts_ohlc" -> ohlc,
+    "q_ts_interpolate" -> interpolate,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindows,
@@ -328,6 +407,62 @@ object TimeWindows extends QueryModule {
                    * 10000 + 0.5) / 10000 AS ewma_cents
       FROM idx
       ORDER BY user_id, ts, ewma_cents""",
+    "q_ts_ohlc" -> """
+      SELECT event_type,
+             strftime(make_timestamp((epoch_us(ts) // 900000000)
+               * 900000000), '%Y-%m-%d %H:%M:%S') AS bar,
+             round(arg_min(value, ts), 4) AS open,
+             round(max(value), 4) AS high,
+             round(min(value), 4) AS low,
+             round(arg_max(value, ts), 4) AS close,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bar""",
+    "q_ts_interpolate" -> """
+      WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM b),
+      types AS (SELECT DISTINCT event_type FROM events),
+      spine AS (SELECT event_type, h FROM types, hours),
+      obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               (sum(CAST(floor(value*100 + 0.5) AS BIGINT))*2000
+                 + count(*)) // (2*count(*)) AS mc
+        FROM events WHERE value > 95 GROUP BY 1, 2),
+      j AS (
+        SELECT s.event_type, s.h, o.mc,
+               CAST(epoch(s.h) AS BIGINT) // 3600 AS hi0
+        FROM spine s LEFT JOIN obs o USING (event_type, h)),
+      w AS (
+        SELECT event_type, h, mc, hi0,
+          last_value(mc IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmc,
+          last_value(CASE WHEN mc IS NOT NULL THEN hi0 END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phi,
+          first_value(mc IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nmc,
+          first_value(CASE WHEN mc IS NOT NULL THEN hi0 END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nhi
+        FROM j)
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+             mc IS NULL AS is_gap,
+             CAST(CASE
+               WHEN pmc IS NULL AND nmc IS NULL THEN 0
+               WHEN pmc IS NULL THEN nmc
+               WHEN nmc IS NULL THEN pmc
+               ELSE ((pmc*(nhi-hi0) + nmc*(hi0-phi))*2
+                     + (nhi-phi)) // (2*(nhi-phi))
+             END AS BIGINT) AS interp_mc
+      FROM w ORDER BY event_type, hour""",
     "q_ts_gapfill" -> """
       WITH b AS (
         SELECT date_trunc('hour', min(ts)) AS lo,
