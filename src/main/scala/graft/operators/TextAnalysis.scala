@@ -653,7 +653,41 @@ object TextAnalysis extends QueryModule {
     s"$head,$rounds\n$unions\nORDER BY merge_round"
   }
 
+  /** k-anonymity generalization (k=10) over the corpus release
+    * quasi-identifiers (lang, source, 100-char length bucket): cells
+    * with ≥ k documents publish as-is; smaller cells generalize the
+    * length bucket to '*' and re-test at (lang, source); what's STILL
+    * under k is suppressed entirely and reported only as one global
+    * suppressed-total row — the minimal-disclosure audit shape a
+    * dataset release pipeline runs before shipping metadata.
+    *
+    * Scale: one partial-agg'd hash-agg down to the cell histogram
+    * (data-volume-independent cardinality); the generalize/suppress
+    * cascade then operates on CELLS, not documents — two more aggs
+    * over an already-tiny frame. Document text never shuffles.
+    */
+  val kAnon: Q = (spark, dir) => {
+    val k = 10
+    val d = Tables(spark, dir, "documents")
+    val g0 = d.groupBy(col("lang"), col("source"),
+        concat(lit("b"), expr("n_chars div 100").cast("string"))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val small = g0.filter(col("n") < k)
+    val g1 = small.groupBy("lang", "source").agg(sum("n").as("n"))
+    val keep1 = g1.filter(col("n") >= k)
+      .select(col("lang"), col("source"), lit("*").as("bucket"), col("n"))
+    val supp = g1.filter(col("n") < k)
+      .agg(sum("n").as("n")).filter(col("n").isNotNull)
+      .select(lit("*").as("lang"), lit("*").as("source"),
+        lit("*").as("bucket"), col("n"))
+    g0.filter(col("n") >= k).select("lang", "source", "bucket", "n")
+      .unionByName(keep1).unionByName(supp)
+      .orderBy("lang", "source", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_kanon" -> kAnon,
     "q_text_bpe_merges" -> textBpeMerges,
     "q_text_quality_cut" -> textQualityCut,
     "q_text_bm25" -> textBm25,
@@ -696,6 +730,26 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_kanon" -> """
+      WITH g0 AS (
+        SELECT lang, source,
+               'b' || CAST(n_chars // 100 AS VARCHAR) AS bucket,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2, 3),
+      small AS (SELECT * FROM g0 WHERE n < 10),
+      g1 AS (
+        SELECT lang, source, CAST(sum(n) AS BIGINT) AS n
+        FROM small GROUP BY 1, 2),
+      keep1 AS (
+        SELECT lang, source, '*' AS bucket, n FROM g1 WHERE n >= 10),
+      supp AS (
+        SELECT '*' AS lang, '*' AS source, '*' AS bucket,
+               CAST(sum(n) AS BIGINT) AS n
+        FROM g1 WHERE n < 10 HAVING sum(n) IS NOT NULL)
+      SELECT lang, source, bucket, n FROM g0 WHERE n >= 10
+      UNION ALL SELECT lang, source, bucket, n FROM keep1
+      UNION ALL SELECT lang, source, bucket, n FROM supp
+      ORDER BY lang, source, bucket""",
     "q_text_bpe_merges" -> bpeOracle(4),
     "q_text_quality_cut" -> """
       WITH cuts AS (

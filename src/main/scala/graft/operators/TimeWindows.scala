@@ -90,6 +90,34 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent PRECEDING touch event (click/view/signup — errors and
+    * other purchases don't earn credit); purchases with no prior
+    * touch are 'direct'. Revenue carried in exact integer cents.
+    *
+    * Scale: one user-keyed shuffle + per-user sort; the credit lookup
+    * is `last(CASE…, ignoreNulls)` over rows unbounded..1-preceding —
+    * no per-purchase backward join, no event explosion. Shuffle is
+    * O(events) once, the classic sessionize shape. Determinism: the
+    * testdata's per-user (ts) collisions don't exist across types
+    * (unique (event_type, ts) pairs), and the frame excludes the
+    * current row, so credit is unambiguous.
+    */
+  val attribution: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val touch = when(col("event_type").isin("click", "view", "signup"),
+      col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("channel",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy("channel")
+  }
+
   /** OHLC resampling (the market-data/metrics downsample): per
     * (event_type, 15-min bar) the first value by time (open), max
     * (high), min (low), last value by time (close) and the tick
@@ -318,6 +346,7 @@ object TimeWindows extends QueryModule {
     "q_ts_ewma" -> ewma,
     "q_ts_gapfill" -> gapFill,
     "q_ts_ohlc" -> ohlc,
+    "q_attribution" -> attribution,
     "q_ts_interpolate" -> interpolate,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
@@ -407,6 +436,20 @@ object TimeWindows extends QueryModule {
                    * 10000 + 0.5) / 10000 AS ewma_cents
       FROM idx
       ORDER BY user_id, ts, ewma_cents""",
+    "q_attribution" -> """
+      WITH t AS (
+        SELECT event_type, value,
+               coalesce(last_value(CASE WHEN event_type IN
+                   ('click', 'view', 'signup') THEN event_type END
+                 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 'direct') AS channel
+        FROM events)
+      SELECT channel, count(*) AS n_purchases,
+             CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY channel ORDER BY channel""",
     "q_ts_ohlc" -> """
       SELECT event_type,
              strftime(make_timestamp((epoch_us(ts) // 900000000)

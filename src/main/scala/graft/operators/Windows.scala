@@ -119,7 +119,37 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** 2-D Pareto skyline (maximize p_size AND p_retailprice): parts no
+    * other part beats-or-ties on both dims with at least one strict
+    * win — multi-objective selection (the "best quality at every
+    * length" cut a training-mix curator runs).
+    *
+    * Scale: dominance never touches part×part. The skyline of the
+    * per-size maxima IS the skyline: one partial-agg'd groupBy down
+    * to the size domain (|sizes| ≈ 50, data-volume-independent), a
+    * running-max window over THAT tiny frame (global orderBy is fine
+    * at domain size — documented), then a broadcast semi-join back to
+    * tag the winning parts. Equal (size, price) co-winners all
+    * survive (neither dominates). 100 TB shape: agg shrinks by
+    * ~n/50, everything after is O(domain).
+    */
+  val skyline: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "part")
+    val bySize = p.groupBy("p_size").agg(max("p_retailprice").as("mp"))
+    val wcum = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = bySize.withColumn("cm", max("mp").over(wcum))
+      .filter(col("cm").isNull || col("mp") > col("cm"))
+      .select(col("p_size").as("s"), col("mp"))
+    p.join(broadcast(sky),
+        p("p_size") === sky("s") && p("p_retailprice") === sky("mp"))
+      .select(col("p_partkey"), col("p_size"),
+        Norm.r4(col("p_retailprice")).as("price"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> skyline,
     "q_window_frame_values" -> windowFrameValues,
     "q_window_rank" -> windowRank,
     "q_window_distribution" -> windowDistribution,
@@ -131,6 +161,20 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" -> """
+      WITH bysize AS (
+        SELECT p_size, max(p_retailprice) AS mp FROM part GROUP BY 1),
+      sky AS (
+        SELECT p_size, mp,
+               max(mp) OVER (ORDER BY p_size DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        FROM bysize)
+      SELECT p.p_partkey, p.p_size,
+             round(p.p_retailprice, 4) AS price
+      FROM part p JOIN sky s
+        ON p.p_size = s.p_size AND p.p_retailprice = s.mp
+      WHERE s.cm IS NULL OR s.mp > s.cm
+      ORDER BY p.p_partkey""",
     "q_window_frame_values" -> """
       SELECT o_custkey, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
