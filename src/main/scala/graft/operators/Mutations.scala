@@ -141,7 +141,36 @@ object Mutations extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** GDPR right-to-be-forgotten cascade: subjects are every user who
+    * ever raised an 'error' event; their ENTIRE event history is
+    * erased, and the audit reports per-type before/after/erased
+    * counts — the deletion-verification report a data-protection
+    * officer signs off on.
+    *
+    * Scale: the subject set is users-cardinality (ids only, built by
+    * a partial-agg'd distinct) and broadcast into a left_anti join —
+    * the event log streams through map-side, nothing re-shuffles it.
+    * At 100 TB the cascade extends table-by-table with the same
+    * broadcast anti join, touched-partition rewrite as documented
+    * above; counts here are exact int64.
+    */
+  val gdprErasure: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val subjects = e.filter(col("event_type") === "error")
+      .select("user_id").distinct()
+    val before = e.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+    val after = e.join(broadcast(subjects), Seq("user_id"), "left_anti")
+      .groupBy("event_type").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L)))
+          .as("n_erased"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gdpr_erasure" -> gdprErasure,
     "q_mv_refresh" -> mvRefresh,
     "q_merge_upsert" -> mergeUpsert,
     "q_mutation_update_delete" -> updateDelete,
@@ -149,6 +178,21 @@ object Mutations extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gdpr_erasure" -> """
+      WITH subjects AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+      b AS (SELECT event_type, count(*) AS n_before
+            FROM events GROUP BY 1),
+      a AS (SELECT event_type, count(*) AS n_after
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM subjects s
+                              WHERE s.user_id = e.user_id)
+            GROUP BY 1)
+      SELECT b.event_type, b.n_before,
+             coalesce(a.n_after, 0) AS n_after,
+             b.n_before - coalesce(a.n_after, 0) AS n_erased
+      FROM b LEFT JOIN a USING (event_type)
+      ORDER BY b.event_type""",
     "q_mv_refresh" -> """
       WITH base AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,

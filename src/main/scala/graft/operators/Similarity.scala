@@ -423,7 +423,31 @@ object Similarity extends QueryModule {
       .orderBy("part", "rank")
   }
 
+  /** Per-dimension standardization ("diagonal whitening") of the
+    * embedding table: z = (x − μ_d)/σ_d per dimension — the
+    * preprocessing step before cosine/IVF indexing when dimensions
+    * have wildly different scales. Emitted long-format for every 100th
+    * vector so the oracle compares scalars.
+    *
+    * Scale: the μ/σ model is ONE posexplode + partial-agg'd hash-agg
+    * down to `dim` rows (64), broadcast back — the normalize pass is a
+    * pure projection, no shuffle of vectors. Same shape as
+    * [[pipelineEmbeddings]]'s stats stage.
+    */
+  val embedWhiten: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val dims = e.select(posexplode(col("emb")).as(Seq("pos0", "x")))
+      .groupBy("pos0").agg(avg("x").as("mu"), stddev_samp("x").as("sd"))
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos0", "x")))
+      .join(broadcast(dims), "pos0")
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        Norm.r4((col("x") - col("mu")) / col("sd")).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_whiten" -> embedWhiten,
     "q_rec_cooccur" -> recCooccur,
     "q_embed_rproject" -> embedRproject,
     "q_decontaminate_semantic" -> decontaminateSemantic,
@@ -441,6 +465,18 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_whiten" -> """
+      WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+      d AS (
+        SELECT pos, avg(v) AS mu, stddev_samp(v) AS sd
+        FROM x GROUP BY pos)
+      SELECT x.vec_id, x.pos, round((x.v - d.mu) / d.sd, 4) AS z
+      FROM x JOIN d USING (pos)
+      WHERE x.vec_id % 100 = 0
+      ORDER BY x.vec_id, x.pos""",
     "q_rec_cooccur" -> """
       WITH op AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -142,6 +142,25 @@ object TextAnalysis extends QueryModule {
       .orderBy("split", "lang")
   }
 
+  /** Per-language uniform 5-doc sample via the mergeable bottom-k
+    * UDAF ([[graft.functions.BottomKAgg]]): rank = md5(doc_id), keep
+    * the 5 smallest per lang — the deterministic reservoir every
+    * eval-set / spot-check pipeline wants. Shuffle O(langs × k)
+    * buffers, never rows; the window-free shape matters at corpus
+    * scale (a row_number window would sort every partition's rows).
+    */
+  val sampleReservoir: Q = (spark, dir) => {
+    import graft.functions.BottomKAgg
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(BottomKAgg.bottomK(5)(
+        md5(col("doc_id").cast("string")), col("doc_id")).as("ids"))
+      .select(col("lang"), posexplode(col("ids")).as(Seq("pos0", "doc_id")))
+      .select(col("lang"), (col("pos0") + 1).cast("long").as("pos"),
+        col("doc_id"))
+      .orderBy("lang", "pos")
+  }
+
   /** Repetition-based quality signals (the Gopher-rules family):
     * duplicate-token fraction and most-frequent-bigram fraction, plus
     * the keep/drop verdict a pretraining filter would apply. Bigram
@@ -688,6 +707,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_privacy_kanon" -> kAnon,
+    "q_sample_reservoir" -> sampleReservoir,
     "q_text_bpe_merges" -> textBpeMerges,
     "q_text_quality_cut" -> textQualityCut,
     "q_text_bm25" -> textBm25,
@@ -730,6 +750,14 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_reservoir" -> """
+      WITH r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM documents)
+      SELECT lang, pos, doc_id FROM r
+      WHERE pos <= 5 ORDER BY lang, pos""",
     "q_privacy_kanon" -> """
       WITH g0 AS (
         SELECT lang, source,

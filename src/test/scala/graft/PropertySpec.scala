@@ -228,6 +228,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BottomKAgg equals the sort-take reference at every partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Reference: plain in-memory sort by (rank, id), take k. The UDAF
+    // must agree regardless of partition count (merge path) and k
+    // (including k > group size).
+    for (seed <- 1 to 3; k <- Seq(1, 3, 50); parts <- Seq(1, 7)) {
+      val rows = (0 until 40).map { i =>
+        val g = sample(Gen.choose(0, 2), seed * 100 + i)
+        (s"g$g", i.toLong)
+      }
+      val expect = rows.groupBy(_._1).view.mapValues { vs =>
+        vs.map { case (_, id) =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString, id)
+        }.sorted.take(k).map(_._2).toSeq
+      }.toMap
+      val got = rows.toDF("g", "id").repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.BottomKAgg.bottomK(k)(
+          md5(col("id").cast("string")), col("id")).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got === expect, s"seed=$seed k=$k parts=$parts")
+    }
+  }
+
   test("labelPropagation matches a synchronous in-memory LPA on seeded graphs") {
     import spark.implicits._
     import graft.api.ops._
