@@ -412,10 +412,16 @@ object Similarity extends QueryModule {
           struct(x.as("a"), y.as("b")))))).as("pr"))
       .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
       .agg(count(lit(1)).as("n"))
-    val both = pairs.select(col("a").as("part"), col("b").as("partner"),
-        col("n"))
-      .unionByName(pairs.select(col("b").as("part"),
-        col("a").as("partner"), col("n")))
+    // Mirror each (a,b) count into both directions with ONE Generate
+    // over the aggregated counts — a union of two selects would
+    // re-execute the whole scan→basket→pair subtree twice
+    // (PlanSpec pins the single lineitem scan).
+    val both = pairs.select(explode(array(
+        struct(col("a").as("part"), col("b").as("partner"), col("n")),
+        struct(col("b").as("part"), col("a").as("partner"), col("n"))))
+        .as("r"))
+      .select(col("r.part").as("part"), col("r.partner").as("partner"),
+        col("r.n").as("n"))
     val w = Window.partitionBy("part")
       .orderBy(col("n").desc, col("partner"))
     both.withColumn("rank", row_number().over(w))

@@ -90,6 +90,31 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    * engagement dashboard triple. Exact distincts, not sketches.
+    *
+    * Scale: the ONLY pass over raw events is the partial-agg'd
+    * distinct down to (day, user); the trailing-window fan-out joins
+    * that reduced frame against the broadcast day spine (≤7× row
+    * growth, bounded by the calendar), then count-distincts per day.
+    * Shuffle volume is O(active-pairs), never O(events); stickiness
+    * is one exact-int division, tie-proofed.
+    */
+  val activeUsers: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val du = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val days = dau.select(col("d").as("day"))
+    val wau = du.join(broadcast(days),
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.withColumnRenamed("d", "day").join(wau, "day")
+      .select(Norm.dstr(col("day")).as("day"), col("dau"), col("wau"),
+        Norm.r4tie(col("dau").cast("double") / col("wau"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Last-touch attribution: every purchase credits the user's most
     * recent PRECEDING touch event (click/view/signup — errors and
     * other purchases don't earn credit); purchases with no prior
@@ -347,6 +372,7 @@ object TimeWindows extends QueryModule {
     "q_ts_gapfill" -> gapFill,
     "q_ts_ohlc" -> ohlc,
     "q_attribution" -> attribution,
+    "q_active_users" -> activeUsers,
     "q_ts_interpolate" -> interpolate,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
@@ -436,6 +462,20 @@ object TimeWindows extends QueryModule {
                    * 10000 + 0.5) / 10000 AS ewma_cents
       FROM idx
       ORDER BY user_id, ts, ewma_cents""",
+    "q_active_users" -> """
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+      wau AS (
+        SELECT x.day, count(DISTINCT du.user_id) AS wau
+        FROM (SELECT d AS day FROM dau) x JOIN du
+          ON du.d BETWEEN x.day - INTERVAL 6 DAY AND x.day
+        GROUP BY 1)
+      SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+             floor((CAST(dau.dau AS DOUBLE) / wau.wau) * 10000 + 0.5)
+               / 10000 AS stickiness
+      FROM dau JOIN wau ON wau.day = dau.d
+      ORDER BY day""",
     "q_attribution" -> """
       WITH t AS (
         SELECT event_type, value,

@@ -474,4 +474,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p) // winner joins broadcast
   }
+
+  test("q_ts_ohlc is ONE two-phase hash-agg: no window, no join") {
+    // min_by/max_by open/close must partial-agg map-side; a window or
+    // self-join formulation would sort/join O(events).
+    val p = plan("q_ts_ohlc")
+    assert(p.contains("partial_min_by") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_skyline reduces to the size domain before any window") {
+    // The running-max window must run over the per-size agg (~50
+    // rows), and the winner tag-back must broadcast — no part×part
+    // dominance join, no window over the raw parts.
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, p)
+  }
+
+  test("q_rec_cooccur never self-joins the fact table") {
+    // Baskets expand via the array lambda; the only joins are the
+    // pair-count branches — lineitem must be scanned, aggregated, and
+    // never joined to itself.
+    val p = plan("q_rec_cooccur")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "lineitem") <= 1, p) // one scan (reused or not)
+    assert(p.contains("WindowGroupLimit"), p) // top-3 partial
+  }
+
+  test("q_gdpr_erasure anti-joins via broadcast; events never re-shuffle") {
+    val p = plan("q_gdpr_erasure")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_embed_whiten broadcasts the 64-row dim model") {
+    val p = plan("q_embed_whiten")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sample_reservoir partial-aggs the bottom-k buffer, no window") {
+    // The UDAF must two-phase (ObjectHashAggregate partial → final);
+    // a row_number window would sort every partition's rows.
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_active_users reduces to (day,user) before the spine fan-out") {
+    // The raw-event pass is one partial-agg'd distinct; the ≤7× range
+    // join runs against the broadcast day spine on the REDUCED frame.
+    val p = plan("q_active_users")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
