@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -363,7 +364,133 @@ object TimeWindows extends QueryModule {
       .orderBy("prev", "event_type")
   }
 
+  /** RFM segmentation over purchases: per-user Recency (days since
+    * last purchase, vs the latest purchase in the data), Frequency
+    * (purchase count) and Monetary (exact integer cents), each scored
+    * 1–4 against the population's exact quartiles, concatenated into
+    * the classic 'r-f-m' segment label.
+    *
+    * Scale: raw events reduce to one row per buyer in a single
+    * partial-agg'd pass; the quartile thresholds are ONE 1-row
+    * percentile agg over that reduced frame, broadcast back via
+    * crossJoin — scoring is then a pure projection. No global sort,
+    * no ntile window: an exact ntile(4) would force every user row
+    * through one partition, which is precisely what dies at 1000
+    * executors; threshold scoring is the scale-safe equivalent
+    * (boundary ties share a score instead of splitting arbitrarily,
+    * which is also the deterministic choice).
+    */
+  val rfm: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    // localCheckpoint: the per-buyer frame feeds three consumers
+    // (quartile cuts, recency cuts, the scoring projection) — without
+    // the pin each branch would re-run the full event scan + agg.
+    val perUser = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .as("monetary_cents"))
+      .localCheckpoint()
+    val cuts = perUser.agg(
+      max(col("last_d")).as("anchor"),
+      percentile(col("frequency"), array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("fq"),
+      percentile(col("monetary_cents"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("mq"))
+    val scored = perUser.crossJoin(broadcast(cuts))
+      .withColumn("recency_d",
+        datediff(col("anchor"), col("last_d")).cast("long"))
+      .localCheckpoint()
+    // Recency quartiles come from the recency values themselves, so
+    // compute them on the same broadcast pass: rq = quantiles of
+    // (anchor - last_d). Both engines derive them from the identical
+    // reduced frame.
+    val rq = scored.agg(percentile(col("recency_d"),
+      array(lit(0.25), lit(0.5), lit(0.75))).as("rq"))
+    def ge(c: Column, q: Column): Column = (c >= q).cast("long")
+    def le(c: Column, q: Column): Column = (c <= q).cast("long")
+    scored.crossJoin(broadcast(rq))
+      .withColumn("r_score", lit(1) + le(col("recency_d"), col("rq")(0))
+        + le(col("recency_d"), col("rq")(1))
+        + le(col("recency_d"), col("rq")(2)))
+      .withColumn("f_score", lit(1) + ge(col("frequency"), col("fq")(0))
+        + ge(col("frequency"), col("fq")(1))
+        + ge(col("frequency"), col("fq")(2)))
+      .withColumn("m_score",
+        lit(1) + ge(col("monetary_cents"), col("mq")(0))
+        + ge(col("monetary_cents"), col("mq")(1))
+        + ge(col("monetary_cents"), col("mq")(2)))
+      .select(col("user_id"), col("recency_d"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"),
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** Churn snapshot by market segment: a user is churned when their
+    * last event of ANY type is more than 7 days older than the
+    * dataset's latest activity day. Joined to the customer dim for
+    * the segment rollup.
+    *
+    * Scale: events reduce to one (user, last_seen) row in a single
+    * partial-agg'd pass before ANY join; the anchor is a 1-row
+    * broadcast; the dim join then moves only O(users) rows. Rate is
+    * long/long division, tie-proofed.
+    */
+  val churn: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val cust = Tables(spark, dir, "customer")
+    // localCheckpoint: (user, last_seen) feeds both the anchor agg
+    // and the dim join — one event scan, not two.
+    val lastSeen = e.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_seen"))
+      .localCheckpoint()
+    val anchor = lastSeen.agg(max(col("last_seen")).as("anchor"))
+    lastSeen.crossJoin(broadcast(anchor))
+      .withColumn("churned",
+        (col("last_seen") < date_sub(col("anchor"), 7)).cast("long"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"))
+      .select(col("c_mktsegment"), col("n_users"), col("n_churned"),
+        Norm.r4tie(col("n_churned").cast("double") / col("n_users"))
+          .as("churn_rate"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Top-10 opening paths: each user's first three events (by ts,
+    * event_id — a total order) joined into a 'a>b>c' path, counted
+    * across users. Users with fewer than three events are excluded.
+    *
+    * Scale: ONE user-keyed shuffle for the ranking window, then the
+    * frame is already reduced to ≤3 rows/user before the path agg;
+    * the final count groups |types|³ ≤ 125 distinct paths and the
+    * top-10 executes as TakeOrderedAndProject (no global sort
+    * materialization). Determinism: event_id breaks ts ties.
+    */
+  val userPath: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nev"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .filter(col("nev") === 3)
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rfm" -> rfm,
+    "q_churn" -> churn,
+    "q_user_path" -> userPath,
     "q_event_transitions" -> eventTransitions,
     "q_funnel" -> funnel,
     "q_cohort_retention" -> cohortRetention,
@@ -380,6 +507,74 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" -> """
+      WITH pu AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+               count(*) AS frequency,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      cuts AS (
+        SELECT max(last_d) AS anchor,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+        FROM pu),
+      sc AS (
+        SELECT pu.*, date_diff('day', last_d, anchor) AS recency_d,
+               fq, mq
+        FROM pu CROSS JOIN cuts),
+      rq AS (
+        SELECT quantile_cont(recency_d, [0.25, 0.5, 0.75]) AS rq
+        FROM sc),
+      s2 AS (
+        SELECT user_id, CAST(recency_d AS BIGINT) AS recency_d,
+               frequency, monetary_cents,
+               CAST(1 + (recency_d <= rq[1])::INT
+                      + (recency_d <= rq[2])::INT
+                      + (recency_d <= rq[3])::INT AS BIGINT) AS r_score,
+               CAST(1 + (frequency >= fq[1])::INT
+                      + (frequency >= fq[2])::INT
+                      + (frequency >= fq[3])::INT AS BIGINT) AS f_score,
+               CAST(1 + (monetary_cents >= mq[1])::INT
+                      + (monetary_cents >= mq[2])::INT
+                      + (monetary_cents >= mq[3])::INT AS BIGINT)
+                 AS m_score
+        FROM sc CROSS JOIN rq)
+      SELECT user_id, recency_d, frequency, monetary_cents,
+             r_score, f_score, m_score,
+             concat_ws('-', r_score, f_score, m_score) AS segment
+      FROM s2 ORDER BY user_id""",
+    "q_churn" -> """
+      WITH ls AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS last_seen
+        FROM events GROUP BY user_id),
+      a AS (SELECT max(last_seen) AS anchor FROM ls),
+      f AS (
+        SELECT user_id,
+               (last_seen < anchor - INTERVAL 7 DAY)::INT AS churned
+        FROM ls CROSS JOIN a)
+      SELECT c_mktsegment, count(*) AS n_users,
+             CAST(sum(churned) AS BIGINT) AS n_churned,
+             floor(CAST(sum(churned) AS DOUBLE) / count(*) * 10000
+                   + 0.5) / 10000 AS churn_rate
+      FROM f JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q_user_path" -> """
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3
+        GROUP BY user_id HAVING count(*) = 3)
+      SELECT path, count(*) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n_users DESC, path
+      LIMIT 10""",
     "q_event_transitions" -> """
       WITH t AS (
         SELECT event_type,

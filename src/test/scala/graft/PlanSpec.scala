@@ -526,6 +526,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_rfm scores by broadcast thresholds — no ntile window, one scan") {
+    // Exact quartile scoring must come from 1-row broadcast cuts, not
+    // a global ntile window (single-partition sort of every user);
+    // the checkpointed per-buyer frame keeps the event scan at one.
+    val p = plan("q_rfm")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOcc(p, "events") <= 1, p)
+  }
+
+  test("q_churn reduces events per-user before the dim join") {
+    // The join input must be the checkpointed (user, last_seen) agg —
+    // raw events never meet the customer dim.
+    val p = plan("q_churn")
+    assert(p.contains("HashAggregate"), p)
+    assert(countOcc(p, "events") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_user_path top-3 group-limits map-side; top-10 never global-sorts") {
+    // The rn<=3 filter must compile to a PARTIAL WindowGroupLimit
+    // below the user shuffle (each map task forwards ≤3 rows/user,
+    // not the user's whole history), and the final top-10 must be
+    // TakeOrderedAndProject, not a materialized global sort.
+    val p = plan("q_user_path")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("WindowGroupLimit") &&
+      p.contains("row_number(), 3, Partial"), p)
+    assert(countOcc(p, "Window [") === 1, p) // the per-user ranking only
+  }
+
   test("q_active_users reduces to (day,user) before the spine fan-out") {
     // The raw-event pass is one partial-agg'd distinct; the ≤7× range
     // join runs against the broadcast day spine on the REDUCED frame.
