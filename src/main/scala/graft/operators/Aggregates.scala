@@ -519,7 +519,46 @@ object Aggregates extends QueryModule {
       .orderBy("source")
   }
 
+  /** Robust outlier census per event type: exact median, exact MAD
+    * (median absolute deviation), and the count of points beyond the
+    * classic 3σ-equivalent cut 4.4478·MAD (= 3 × 1.4826, the normal-
+    * consistency constant).
+    *
+    * Scale: the textbook THREE-pass exact MAD — each pass is a
+    * projection-pruned 2-column scan feeding a partial-agg'd
+    * per-type aggregate, with the ≤|types|-row median/MAD models
+    * broadcast back; events are never shuffled (the exact percentile
+    * buffers per GROUP, and groups here are |types|). At 100 TB swap
+    * the two exact medians for `approx_percentile` and the plan
+    * collapses to the same shape with bounded sketch buffers — the
+    * same documented swap as q_text_quality_cut.
+    */
+  val statsMad: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum((col("adev") > lit(4.4478) * col("mad_cents")).cast("long"))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"),
+        Norm.r4tie(col("n_outliers").cast("double") / col("n"))
+          .as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_mad" -> statsMad,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_bitwise" -> aggBitwise,
     "q_agg_expectations" -> aggExpectations,
@@ -548,6 +587,32 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_mad" -> """
+      WITH e AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        FROM e GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, cents, med_cents,
+               abs(cents - med_cents) AS adev
+        FROM e JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, count(*) AS n,
+             any_value(d.med_cents) AS med_cents,
+             any_value(m.mad_cents) AS mad_cents,
+             CAST(sum((d.adev > 4.4478 * m.mad_cents)::INT) AS BIGINT)
+               AS n_outliers,
+             floor(CAST(sum((d.adev > 4.4478 * m.mad_cents)::INT)
+                   AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+               AS outlier_frac
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type
+      ORDER BY d.event_type""",
     "q_agg_entropy" -> """
       WITH lc AS (
         SELECT source, lang, count(*) AS c

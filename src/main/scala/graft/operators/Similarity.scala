@@ -429,6 +429,64 @@ object Similarity extends QueryModule {
       .orderBy("part", "rank")
   }
 
+  /** Association rules over order baskets (the Apriori-at-depth-2
+    * surface): directional rules a⇒b with exact support, confidence
+    * and lift, minimum pair-support 2, top-20 by lift (ties broken by
+    * the rule ids).
+    *
+    * Scale shape = [[recCooccur]] plus the rule algebra: NO fact
+    * self-join — one checkpointed distinct (order, item) frame feeds
+    * the basket collect (bounded baskets, codegen'd pair lambda), the
+    * per-item basket counts, and the 1-row basket total; the
+    * pair-count shuffle carries id pairs only. The |items|-row count
+    * table broadcasts onto the rules twice (antecedent, consequent) —
+    * items are a dimension, orders of magnitude below the fact table;
+    * past broadcast scale both joins shuffle by item id (drop the
+    * hint). Support/confidence/lift are single-divide doubles,
+    * tie-proof-rounded, and the top-20 executes as
+    * TakeOrderedAndProject.
+    */
+  val marketBasket: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val nB = op.select(countDistinct(col("o")).as("n_baskets"))
+    val itemN = op.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val baskets = op.groupBy("o")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val rules = pairs.select(explode(array(
+        struct(col("a").as("antecedent"), col("b").as("consequent"),
+          col("n_ab")),
+        struct(col("b").as("antecedent"), col("a").as("consequent"),
+          col("n_ab")))).as("r"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("r.n_ab").as("n_ab"))
+    rules
+      .join(broadcast(itemN.select(col("p").as("antecedent"),
+        col("n_item").as("n_a"))), "antecedent")
+      .join(broadcast(itemN.select(col("p").as("consequent"),
+        col("n_item").as("n_b"))), "consequent")
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        Norm.r4tie(col("n_ab").cast("double") / col("n_baskets"))
+          .as("support"),
+        Norm.r4tie(col("n_ab").cast("double") / col("n_a"))
+          .as("confidence"),
+        Norm.r4tie(col("n_ab").cast("double") * col("n_baskets")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
   /** Per-dimension standardization ("diagonal whitening") of the
     * embedding table: z = (x − μ_d)/σ_d per dimension — the
     * preprocessing step before cosine/IVF indexing when dimensions
@@ -455,6 +513,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_embed_whiten" -> embedWhiten,
     "q_rec_cooccur" -> recCooccur,
+    "q_market_basket" -> marketBasket,
     "q_embed_rproject" -> embedRproject,
     "q_decontaminate_semantic" -> decontaminateSemantic,
     "q_sim_pq" -> simPq,
@@ -483,6 +542,34 @@ object Similarity extends QueryModule {
       FROM x JOIN d USING (pos)
       WHERE x.vec_id % 100 = 0
       ORDER BY x.vec_id, x.pos""",
+    "q_market_basket" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      nb AS (SELECT count(DISTINCT o) AS n_baskets FROM op),
+      item AS (SELECT p, count(*) AS n_item FROM op GROUP BY p),
+      pr AS (
+        SELECT a.p AS a, b.p AS b, count(*) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2),
+      rules AS (
+        SELECT a AS antecedent, b AS consequent, n_ab FROM pr
+        UNION ALL
+        SELECT b AS antecedent, a AS consequent, n_ab FROM pr)
+      SELECT antecedent, consequent, n_ab,
+             ia.n_item AS n_a, ib.n_item AS n_b,
+             floor(CAST(n_ab AS DOUBLE) / nb.n_baskets * 10000 + 0.5)
+               / 10000 AS support,
+             floor(CAST(n_ab AS DOUBLE) / ia.n_item * 10000 + 0.5)
+               / 10000 AS confidence,
+             floor(CAST(n_ab AS DOUBLE) * nb.n_baskets
+                   / (ia.n_item * ib.n_item) * 10000 + 0.5) / 10000
+               AS lift
+      FROM rules
+      JOIN item ia ON antecedent = ia.p
+      JOIN item ib ON consequent = ib.p
+      CROSS JOIN nb
+      ORDER BY lift DESC, antecedent, consequent
+      LIMIT 20""",
     "q_rec_cooccur" -> """
       WITH op AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -487,7 +487,38 @@ object TimeWindows extends QueryModule {
       .limit(10)
   }
 
+  /** Per-user maximum drawdown over a signed cash-flow series
+    * (purchases credit, errors debit — exact integer cents): running
+    * balance, running peak, and the deepest peak-to-balance drop.
+    *
+    * Scale: ONE user-keyed shuffle — the running sum and the running
+    * max stack on the SAME (partition, order), so Spark plans one
+    * Exchange + one Sort for both Window nodes, and the final
+    * per-user agg reuses the same hash partitioning (zero additional
+    * exchanges; PlanSpec pins exactly one). All integer math; (ts,
+    * event_id) totally orders each series.
+    */
+  val drawdown: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(-floor(col("value") * 100 + 0.5).cast("long"))
+          .as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_flows"),
+        sum(col("cents")).as("final_cents"),
+        max(col("peak") - col("cum")).as("max_drawdown_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_drawdown" -> drawdown,
     "q_rfm" -> rfm,
     "q_churn" -> churn,
     "q_user_path" -> userPath,
@@ -507,6 +538,33 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_drawdown" -> """
+      WITH p AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT)
+               END AS cents
+        FROM events WHERE event_type IN ('purchase', 'error')),
+      c AS (
+        SELECT user_id, ts, event_id, cents,
+               sum(cents) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM p),
+      d AS (
+        SELECT user_id, cents, cum,
+               max(cum) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+        FROM c)
+      SELECT user_id, count(*) AS n_flows,
+             CAST(sum(cents) AS BIGINT) AS final_cents,
+             CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents
+      FROM d GROUP BY user_id
+      ORDER BY user_id""",
     "q_rfm" -> """
       WITH pu AS (
         SELECT user_id, max(CAST(ts AS DATE)) AS last_d,

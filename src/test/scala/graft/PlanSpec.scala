@@ -526,6 +526,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_ts_drawdown stacks both windows on one exchange + one sort") {
+    // sum-over-w and max-over-w share (partition, order); the final
+    // per-user agg reuses the window's hash partitioning — the whole
+    // query is ONE shuffle.
+    val p = plan("q_ts_drawdown")
+    // one data shuffle (the user hash); the only other exchange is
+    // the presentation orderBy's rangepartitioning
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOcc(p, "Exchange") === 2, p)
+    assert(countOcc(p, "Window [") === 2, p)
+  }
+
+  test("q_stats_mad broadcasts both tiny models; never shuffles events") {
+    val p = plan("q_stats_mad")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("q_market_basket: no fact self-join, broadcast rule joins, top-20") {
+    val p = plan("q_market_basket")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "lineitem") === 0, p) // checkpointed (o,p) frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_rfm scores by broadcast thresholds — no ntile window, one scan") {
     // Exact quartile scoring must come from 1-row broadcast cuts, not
     // a global ntile window (single-partition sort of every user);
