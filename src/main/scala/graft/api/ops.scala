@@ -824,6 +824,45 @@ object ops {
         .select(col("s").as("id"), col("deg"))
     }
 
+    /** Breadth-first hop distances from `seed` over the undirected
+      * graph whose edges are rows (`a`, `b`): the Pregel BFS loop as
+      * plain DataFrame algebra. Returns (id, dist) for every node
+      * within `maxHops` of the seed (the seed itself at dist 0);
+      * unreached nodes are absent.
+      *
+      * Scale: the canonical symmetric edge list is checkpointed and
+      * hash-partitioned on the join key ONCE — each round's
+      * frontier-expansion join re-exchanges only the frontier
+      * (O(frontier) ids), and the visited filter is an anti-join
+      * against the node-sized distance table. Rounds are pinned like
+      * connectedComponents' loop so the plan prefix never regrows;
+      * `reliable = true` routes the pins to fault-tolerant
+      * `checkpoint()` for real-cluster runs.
+      */
+    def bfsHops(a: String, b: String, seed: Long, maxHops: Int,
+                reliable: Boolean = false): DataFrame = {
+      require(maxHops >= 1 && maxHops <= 50,
+        s"maxHops must be in [1,50]: $maxHops")
+      val half = df.select(col(a).as("s"), col(b).as("t"))
+      val edges = pinLineage(half
+        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+        .distinct().repartition(col("s")), reliable)
+      val spark = df.sparkSession
+      var dist = spark.range(1)
+        .select(lit(seed).as("id"), lit(0L).as("dist"))
+      var frontier = dist.select("id")
+      for (k <- 1 to maxHops) {
+        val next = pinLineage(edges
+          .join(frontier.withColumnRenamed("id", "s"), "s")
+          .select(col("t").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(k.toLong).as("dist")), reliable)
+        dist = pinLineage(dist.unionByName(next), reliable)
+        frontier = next.select("id")
+      }
+      dist
+    }
+
     def pageRank(a: String, b: String, iters: Int = 3,
                  damping: Double = 0.85,
                  reliable: Boolean = false): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.B "Aggregations").
@@ -557,7 +558,57 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** A/B experiment read-out: users split by id parity, purchase
+    * values compared with a Welch t-statistic. Means and variances
+    * derive from EXACT integer sums (n, Σx, Σx²) so the statistic is
+    * the same IEEE double in any engine and under any partitioning —
+    * `var_samp`/`stddev` stream central moments in a partition-
+    * dependent order and are NOT reproducible cross-engine; the
+    * integer-moment route is (sums stay well under 2^53 here; at a
+    * scale where Σx² threatens 2^63, widen to DECIMAL before this
+    * pattern breaks, don't fall back to streaming moments).
+    *
+    * Scale: one partial-agg'd pass to TWO rows, then pure arithmetic
+    * — the significance call is a broadcast-trivial 1-row frame.
+    */
+  val abTest: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    // localCheckpoint: the 2-row moment frame feeds both variant
+    // branches — without the pin each branch re-runs the event scan.
+    val s = p.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sx2"))
+      .localCheckpoint()
+    val a = s.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("sx").as("sx_a"),
+        col("sx2").as("sx2_a"))
+    val b = s.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("sx").as("sx_b"),
+        col("sx2").as("sx2_b"))
+    def mean(sx: Column, n: Column): Column = sx.cast("double") / n
+    def vr(sx2: Column, sx: Column, n: Column): Column =
+      (sx2.cast("double") - sx.cast("double") * sx / n) / (n - 1)
+    val ma = mean(col("sx_a"), col("n_a"))
+    val mb = mean(col("sx_b"), col("n_b"))
+    val va = vr(col("sx2_a"), col("sx_a"), col("n_a"))
+    val vb = vr(col("sx2_b"), col("sx_b"), col("n_b"))
+    val absT = Norm.r4tie(abs((mb - ma)
+      / sqrt(va / col("n_a") + vb / col("n_b"))))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        Norm.r4tie(ma).as("mean_a_cents"),
+        Norm.r4tie(mb).as("mean_b_cents"),
+        absT.as("abs_t"),
+        (mb > ma).as("b_gt_a"),
+        (absT > 1.96).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_abtest" -> abTest,
     "q_stats_mad" -> statsMad,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_bitwise" -> aggBitwise,
@@ -587,6 +638,33 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_abtest" -> """
+      WITH p AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      s AS (
+        SELECT v, count(*) AS n, sum(c) AS sx, sum(c * c) AS sx2
+        FROM p GROUP BY v),
+      w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               CAST(a.sx AS DOUBLE) / a.n AS ma,
+               CAST(b.sx AS DOUBLE) / b.n AS mb,
+               (CAST(a.sx2 AS DOUBLE)
+                 - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) AS va,
+               (CAST(b.sx2 AS DOUBLE)
+                 - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) AS vb
+        FROM (SELECT * FROM s WHERE v = 'A') a
+        CROSS JOIN (SELECT * FROM s WHERE v = 'B') b)
+      SELECT n_a, n_b,
+             floor(ma * 10000 + 0.5) / 10000 AS mean_a_cents,
+             floor(mb * 10000 + 0.5) / 10000 AS mean_b_cents,
+             floor(abs((mb - ma) / sqrt(va / n_a + vb / n_b))
+                   * 10000 + 0.5) / 10000 AS abs_t,
+             mb > ma AS b_gt_a,
+             floor(abs((mb - ma) / sqrt(va / n_a + vb / n_b))
+                   * 10000 + 0.5) / 10000 > 1.96 AS significant
+      FROM w""",
     "q_stats_mad" -> """
       WITH e AS (
         SELECT event_type,

@@ -133,7 +133,27 @@ object Graphs extends QueryModule {
       .orderBy("id")
   }
 
+  /** BFS hop distances from customer 1 over the same customer↔supplier
+    * transaction graph as [[graphPagerank]], 3 hops. The fourth
+    * iterative-graph shape (after rank, label and core propagation):
+    * frontier expansion with an anti-join visited filter. See
+    * [[graft.api.ops.GraftDataFrameOps.bfsHops]] for the scale notes
+    * (edges checkpointed + partitioned once; only frontiers shuffle).
+    */
+  val graphBfs: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (-col("l_suppkey")).as("supp"))
+    edges.bfsHops("cust", "supp", seed = 1L, maxHops = 3)
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_bfs" -> graphBfs,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
     "q_graph_kcore" -> graphKcore,
@@ -141,6 +161,27 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_bfs" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS s, -l_suppkey AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+      d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+      n1 AS (SELECT DISTINCT t AS id FROM e WHERE s = 1),
+      d1 AS (SELECT * FROM d0 UNION ALL
+             SELECT id, CAST(1 AS BIGINT) FROM n1
+             WHERE id NOT IN (SELECT id FROM d0)),
+      n2 AS (SELECT DISTINCT e.t AS id
+             FROM e JOIN d1 ON e.s = d1.id AND d1.dist = 1),
+      d2 AS (SELECT * FROM d1 UNION ALL
+             SELECT id, CAST(2 AS BIGINT) FROM n2
+             WHERE id NOT IN (SELECT id FROM d1)),
+      n3 AS (SELECT DISTINCT e.t AS id
+             FROM e JOIN d2 ON e.s = d2.id AND d2.dist = 2),
+      d3 AS (SELECT * FROM d2 UNION ALL
+             SELECT id, CAST(3 AS BIGINT) FROM n3
+             WHERE id NOT IN (SELECT id FROM d2))
+      SELECT id, dist FROM d3 ORDER BY id""",
     "q_graph_lpa" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

@@ -557,6 +557,22 @@ class ApiSpec extends SparkSpec {
       s"hub $hub not above leaf ${rows(l)}"))
   }
 
+  test("bfsHops: path graph distances, hop cap, unreached absent") {
+    import spark.implicits._
+    // Path 1-2-3-4-5 plus isolated edge 8-9. From seed 1 with
+    // maxHops=3: dists 0..3 for 1..4; 5 is beyond the cap and the
+    // 8-9 component is unreachable — both absent.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val out = edges.bfsHops("a", "b", seed = 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // Edges are undirected: from the middle both arms are reached.
+    val mid = edges.bfsHops("a", "b", seed = 3L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid === Map(3L -> 0L, 2L -> 1L, 4L -> 1L, 1L -> 2L, 5L -> 2L))
+  }
+
   test("ngramDecontaminate: planted overlap flags exactly the overlapping doc") {
     import spark.implicits._
     val df = Seq(

@@ -526,6 +526,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_abtest reduces to a checkpointed 2-row moment frame") {
+    // The t-stat arithmetic runs on the pinned 2-row (n, Σx, Σx²)
+    // frame: no second event scan, no shuffle join anywhere.
+    val p = plan("q_abtest")
+    assert(countOcc(p, "events") === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_ts_drawdown stacks both windows on one exchange + one sort") {
     // sum-over-w and max-over-w share (partition, order); the final
     // per-user agg reuses the window's hash partitioning — the whole
