@@ -18,19 +18,38 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a
-    * microsecond TimestampType with exact integer arithmetic (`div`, not
-    * `/` — the ns values exceed 2^53 so double division would corrupt).
-    * The DuckDB oracle keeps full ns precision; every query therefore
-    * only outputs second-precision strings / hour-level buckets, where
-    * the truncation is invisible.
+  /** events.ts has shipped as parquet timestamp[ns] in some testdata
+    * generations and timestamp[us] in others, so dispatch on the type
+    * Spark actually reads rather than assuming either:
+    *  - timestamp[ns]: Spark's vectorized reader rejects it
+    *    (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as
+    *    LongType nanos, which we convert to microsecond TimestampType
+    *    with exact integer arithmetic (`div`, not `/` — ns values
+    *    exceed 2^53 so double division would corrupt). The DuckDB
+    *    oracle keeps full ns precision; every query only outputs
+    *    second-precision strings / hour-level buckets, where the
+    *    truncation is invisible.
+    *  - timestamp[us] (isAdjustedToUTC=false): surfaces as
+    *    TimestampNTZType; cast to TimestampType — value-identical
+    *    because every session runs with spark.sql.session.timeZone=UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(raw)
   }
+
+  /** Normalize an events frame's `ts` column to TimestampType (µs),
+    * whatever physical type the parquet footer declared. Shared by the
+    * batch loader and the streaming file source. */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
 }
 
 /** Normalization helpers that keep oracle hash-compares stable

@@ -135,30 +135,26 @@ object Streams {
     }
   }
 
-  /** events.parquet raw schema — ts read as raw int64 nanos
-    * (timestamp[ns] parquet, same workaround as Tables.events) and
-    * converted after load; file-source streams need an explicit schema.
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** A1: unbounded source — file-based `readStream` over the events
     * table (the batch stand-in for a Pub/Sub/Kafka subscription).
+    *
+    * File-source streams need an explicit schema, and the physical type
+    * of `ts` has varied across testdata generations (timestamp[ns] →
+    * LongType nanos under `nanosAsLong`; timestamp[us] → TimestampNTZ).
+    * Peek at the footer with a batch read and reuse exactly the schema
+    * Spark infers, then normalize `ts` the same way as the batch path
+    * ([[graft.Tables.normalizeTs]]).
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file source wants a directory; the sf dir holds one parquet
     // file per table, so glob-filter to just the events file.
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** s_watermark_late: tumbling-window counts per event type; events
