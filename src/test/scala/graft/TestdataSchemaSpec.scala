@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canary for driver-side testdata regenerations.
+  *
+  * The events.ts physical type has silently changed between rounds
+  * (timestamp[ns] → timestamp[us]), once killing 40 queries at plan
+  * time. These tests pin the contract: whatever footer type the
+  * current fixtures carry, the loader must produce a µs TimestampType
+  * with sane values — so the next regeneration fails ONE named test
+  * here instead of half the query surface.
+  */
+class TestdataSchemaSpec extends SparkSpec {
+
+  test("every table loads and has rows at sf0.001") {
+    Tables.names.foreach { t =>
+      val df = Tables(spark, sfDir, t)
+      assert(df.limit(1).count() == 1, s"table $t is empty")
+    }
+  }
+
+  test("events loader yields TimestampType ts regardless of footer type") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts loaded as ${ev.schema("ts").dataType}")
+    // Values must span days, not minutes: a unit mix-up (ns read as µs,
+    // µs divided as ns) compresses or stretches the range 1000×.
+    val row = ev.agg(
+      min("ts").cast("long").as("lo"), max("ts").cast("long").as("hi"))
+      .head()
+    val spanDays = (row.getLong(1) - row.getLong(0)).toDouble / 86400
+    assert(spanDays > 1 && spanDays < 10000,
+      f"events ts span $spanDays%.1f days — timestamp unit mishandled")
+    // And land in a plausible calendar window (not 1970, not year 4000).
+    val yr = ev.select(year(col("ts"))).head().getInt(0)
+    assert(yr > 2000 && yr < 2100, s"events ts year $yr")
+  }
+
+  test("normalizeTs dispatches on LongType nanos and TimestampNTZ alike") {
+    import spark.implicits._
+    val usWanted = 1700000000000000L // 2023-11-14 22:13:20 UTC in µs
+
+    val fromNanos = Tables.normalizeTs(
+      Seq(usWanted * 1000L).toDF("ts"))
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.select(unix_micros(col("ts"))).head().getLong(0)
+      == usWanted)
+
+    val fromNtz = Tables.normalizeTs(
+      Seq(usWanted).toDF("raw")
+        .select(to_timestamp_ntz(timestamp_micros(col("raw")).cast("string"))
+          .as("ts")))
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).head().getLong(0)
+      == usWanted)
+
+    val alreadyTs = Tables.normalizeTs(
+      Seq(usWanted).toDF("raw")
+        .select(timestamp_micros(col("raw")).as("ts")))
+    assert(alreadyTs.schema("ts").dataType == TimestampType)
+    assert(alreadyTs.select(unix_micros(col("ts"))).head().getLong(0)
+      == usWanted)
+  }
+
+  test("streaming source schema agrees with the batch loader") {
+    // eventsFileStream peeks the batch-inferred footer schema; its
+    // normalized output columns must match Tables.events exactly, or
+    // stream/batch joins on the same table drift.
+    val batch = Tables.events(spark, sfDir)
+    val stream = graft.streaming.Streams.eventsFileStream(spark, sfDir)
+    assert(stream.schema == batch.schema,
+      s"stream ${stream.schema.simpleString} != batch ${batch.schema.simpleString}")
+  }
+}
