@@ -142,6 +142,37 @@ object TextAnalysis extends QueryModule {
       .orderBy("split", "lang")
   }
 
+  /** Deterministic global shuffle + shard assignment — how a training
+    * epoch order is produced over a 100 TB corpus with zero RNG state:
+    * rank every doc by md5(doc_id:seed) (a fixed pseudorandom
+    * permutation of the corpus), route it to a shard by the last md5
+    * nibble, and number rows within each shard in rank order. Rerunning
+    * with the same seed reproduces the epoch byte-for-byte; a new seed
+    * is a fresh epoch — no sampled range boundaries, no driver state.
+    *
+    * Scale: the rank/shard columns are pure projections; the only
+    * shuffle is the shard-partitioned row_number window, and shard
+    * count is chosen ∝ corpus size (one nibble = 16 shards here; four
+    * nibbles = 65 536 shards at petabyte scale) so a shard always fits
+    * an executor sort. This is the map-side of a terasort with FIXED,
+    * data-independent "ranges" — which is what makes it reproducible
+    * where repartitionByRange (sampled boundaries) is not.
+    */
+  val shuffleShards: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+      .withColumn("rkey",
+        md5(concat(col("doc_id").cast("string"), lit(":graft42"))))
+      .withColumn("shard",
+        (expr("locate(substring(rkey, 32, 1), '0123456789abcdef')") - 1)
+          .cast("long"))
+    d.withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("rkey"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("rkey"))
+      .orderBy("shard", "pos")
+  }
+
   /** Per-language uniform 5-doc sample via the mergeable bottom-k
     * UDAF ([[graft.functions.BottomKAgg]]): rank = md5(doc_id), keep
     * the 5 smallest per lang — the deterministic reservoir every
@@ -739,6 +770,7 @@ object TextAnalysis extends QueryModule {
     "q_text_vocab_sketch" -> textVocabSketch,
     "q_pack_sequences" -> packSequences,
     "q_sample_hash_split" -> sampleHashSplit,
+    "q_shuffle_shards" -> shuffleShards,
     "q_text_tokenize" -> textTokenize,
     "q_text_tokenize_pos" -> textTokenizePos,
     "q_text_tfidf" -> textTfidf,
@@ -1321,6 +1353,21 @@ object TextAnalysis extends QueryModule {
                AS DOUBLE) / total * 10000 + 0.5) / 10000 AS cum_share
       FROM top CROSS JOIN t
       ORDER BY rank""",
+    "q_shuffle_shards" -> """
+      WITH r AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':graft42') AS rkey
+        FROM documents),
+      s AS (
+        SELECT doc_id, rkey,
+               CAST(strpos('0123456789abcdef', substring(rkey, 32, 1)) - 1
+                 AS BIGINT) AS shard
+        FROM r)
+      SELECT shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY rkey, doc_id) AS BIGINT) AS pos,
+             doc_id, rkey
+      FROM s ORDER BY shard, pos""",
     "q_sample_hash_split" -> """
       WITH h AS (
         SELECT lang, n_chars,
