@@ -598,4 +598,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_shuffle_shards: one shard shuffle, no join, doc_id-only scan") {
+    // The epoch shuffle must stay a projection + ONE hash exchange
+    // (the shard-partitioned row_number window); the trailing range
+    // exchange is the oracle's deterministic ORDER BY only. Rank and
+    // shard derive from doc_id alone, so the scan must prune text.
+    val p = plan("q_shuffle_shards")
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("doc_id") && !rs.contains("text"), rs)
+  }
 }
