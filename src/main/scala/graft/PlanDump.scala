@@ -52,7 +52,8 @@ object PlanDump {
       "q_text_bigram_surprisal" -> "bigram LM: instances as projection, vocab^2 model broadcast",
       "q_sample_mixture" -> "token-budget mixture: rates derived in-plan (strata agg) and BROADCAST back onto the scan, no driver collect",
       "q_text_vocab_sketch" -> "string Misra-Gries vocab: one bounded-memory scan, <=k-entry buffer per partition through the shuffle",
-      "q_dedup_keep_best" -> "keep-best dedup: components labeling + quality join + one component-keyed argmax window")
+      "q_dedup_keep_best" -> "keep-best dedup: components labeling + quality join + one component-keyed argmax window",
+      "q_shuffle_shards" -> "deterministic epoch shuffle: doc_id-only scan, ONE shard hash exchange for the per-shard row_number, trailing range sort is the oracle ORDER BY only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, AQE initial plans)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")
