@@ -84,6 +84,28 @@ class PropertySpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() === out.count())
   }
 
+  test("q_shuffle_shards is a reproducible permutation into dense shards") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val out = SparkEntry.queries("q_shuffle_shards")(spark, sfDir)
+    // A permutation: every doc exactly once, nothing invented.
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // Shards are valid nibble ids and positions are dense 1..n per
+    // shard (so shard files can be written and replayed by offset).
+    val bad = out.filter(col("shard") < 0 || col("shard") > 15).count()
+    assert(bad === 0)
+    val holes = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(holes === 0, "per-shard positions must be contiguous from 1")
+    // Same seed, same epoch: a rerun is byte-identical.
+    val again = SparkEntry.queries("q_shuffle_shards")(spark, sfDir)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+  }
+
   test("native dot_arrays/cosine_sim are bit-identical to the fold form") {
     import spark.implicits._
     import graft.functions.GraftFunctions.{cosine_sim, dot_arrays}
