@@ -69,6 +69,39 @@ object Similarity extends QueryModule {
       .orderBy("label")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (deterministic 1-in-10 subsample — "the current training batch"),
+    * the most cosine-similar embedding with a DIFFERENT label. The
+    * exact form here is the oracle-checkable baseline; its plan is the
+    * scale-correct one for a real pipeline: the anchor batch (bounded,
+    * O(batch × dim)) broadcasts onto a single streamed pass over the
+    * corpus — a BroadcastNestedLoopJoin where the corpus never
+    * shuffles — and the per-anchor argmax is a WindowGroupLimit-
+    * eligible row_number. Past corpus sizes where a full pass per
+    * batch is too slow, swap the candidate stream for the LSH/IVF
+    * bucketed candidates (q_sim_ann_*) — same downstream argmax.
+    * Ranking compares the ROUNDED similarity (ties then break on
+    * vec_id) so both engines rank identical doubles.
+    */
+  val simHardNegatives: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val anchors = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("aid"), col("label").as("label"),
+        col("emb").as("ae"))
+    val cands = e.select(col("vec_id").as("hard_neg"),
+      col("label").as("neg_label"), col("emb").as("be"))
+    val w = Window.partitionBy("aid")
+      .orderBy(col("cos_sim").desc, col("hard_neg"))
+    cands.join(broadcast(anchors), col("label") =!= col("neg_label"))
+      .select(col("aid"), col("label"), col("hard_neg"), col("neg_label"),
+        Norm.r4(cosine(col("ae"), col("be"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("aid"), col("label"), col("hard_neg"), col("neg_label"),
+        col("cos_sim"))
+      .orderBy("aid")
+  }
+
   /** Elementwise mean embedding per label via the typed Aggregator,
     * posexploded to (label, pos, mean_val) long format so the oracle
     * compares scalars, not list encodings.
@@ -522,6 +555,7 @@ object Similarity extends QueryModule {
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_blocked_join" -> simBlockedJoin,
+    "q_sim_hard_negatives" -> simHardNegatives,
     "q_centroid_per_label" -> centroidPerLabel,
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
@@ -766,6 +800,31 @@ object Similarity extends QueryModule {
       FROM s
       ORDER BY cos_sim DESC, vec_id
       LIMIT 10""",
+    "q_sim_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS aid, a.label AS label,
+               b.vec_id AS hard_neg, b.label AS neg_label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])),
+                 (s, v) -> s + v) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])),
+                 (s, v) -> s + v)) AS na,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
+                 (s, v) -> s + v)) AS nb
+        FROM e a JOIN e b ON a.label <> b.label
+        WHERE a.vec_id % 10 = 0),
+      scored AS (
+        SELECT aid, label, hard_neg, neg_label,
+               round(dot / (na * nb), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY aid
+                 ORDER BY round(dot / (na * nb), 4) DESC, hard_neg) AS rn
+        FROM pairs)
+      SELECT aid, label, hard_neg, neg_label, cos_sim
+      FROM scored WHERE rn = 1 ORDER BY aid""",
     "q_sim_blocked_join" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings WHERE vec_id % 5 = 0),

@@ -599,6 +599,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sim_hard_negatives broadcasts the anchor batch; corpus never shuffles") {
+    // The theta join (label <> label) must be a BroadcastNestedLoopJoin
+    // with the bounded anchor batch broadcast — a shuffled or cartesian
+    // corpus pairing would not survive a real corpus. The only hash
+    // exchange is the per-anchor argmax window.
+    val p = plan("q_sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
   test("q_shuffle_shards: one shard shuffle, no join, doc_id-only scan") {
     // The epoch shuffle must stay a projection + ONE hash exchange
     // (the shard-partitioned row_number window); the trailing range
