@@ -57,6 +57,47 @@ object Mutations extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot diff — DERIVE the change feed between two table
+    * versions (the inverse of mergeUpsert/CDC-apply, which consume
+    * one): full-outer join old and new on the key, classify each key
+    * as insert (old side null), delete (new side null), update (both
+    * present, content hash differs), or unchanged. This is how a
+    * system without a table format's change log backfills incremental
+    * consumers — and how one WITH a change log audits it. Scale: one
+    * key-partitioned join of the two snapshots; the content compare
+    * is a per-row md5 of the value columns computed BEFORE the join,
+    * so wide rows never cross the shuffle twice and the join carries
+    * (key, digest, summable cents) only. Row-level output would be the
+    * feed itself; the scored result aggregates per change_type (count
+    * + summed new-side cents) so the oracle pins every class exactly.
+    */
+  val snapshotDiff: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "orders")
+    val mutated = base
+      .filter(col("o_orderkey") % 97 =!= 0) // deletes
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice"))) // updates
+      .unionByName(base.filter(col("o_orderkey") % 53 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)) // inserts
+    def keyed(t: DataFrame, side: String): DataFrame =
+      t.select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as(s"${side}_cents"),
+        md5(concat_ws("|", col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")))
+          .as(s"${side}_digest"))
+    keyed(base, "old").join(keyed(mutated, "new"), Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_digest").isNull, lit("insert"))
+          .when(col("new_digest").isNull, lit("delete"))
+          .when(col("old_digest") =!= col("new_digest"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("new_cents")), lit(0L)).as("new_cents"))
+      .orderBy("change_type")
+  }
+
   /** UPDATE then DELETE on the same snapshot: halve the price of every
     * 'P'-status order, then delete every 7th customer's orders — the
     * two single-table mutations, composed the way a maintenance job
@@ -175,9 +216,35 @@ object Mutations extends QueryModule {
     "q_merge_upsert" -> mergeUpsert,
     "q_mutation_update_delete" -> updateDelete,
     "q_scd2_merge" -> scd2,
+    "q_snapshot_diff" -> snapshotDiff,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      mutated AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(CASE WHEN o_orderkey % 31 = 0
+                      THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                      ELSE o_totalprice END * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 53 = 7),
+      d AS (
+        SELECT CASE WHEN b.k IS NULL THEN 'insert'
+                    WHEN m.k IS NULL THEN 'delete'
+                    WHEN b.cents <> m.cents THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               m.cents AS new_cents
+        FROM base b FULL OUTER JOIN mutated m ON b.k = m.k)
+      SELECT change_type, count(*) AS n,
+             CAST(coalesce(sum(new_cents), 0) AS BIGINT) AS new_cents
+      FROM d GROUP BY change_type ORDER BY change_type""",
     "q_gdpr_erasure" -> """
       WITH subjects AS (
         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
