@@ -184,6 +184,62 @@ object Aggregates extends QueryModule {
           .as("direct_distinct_users")))
   }
 
+  /** KMV (bottom-k / theta-style) sketch SET OPERATIONS — what HLL
+    * cannot do: estimate the OVERLAP between segments from mergeable
+    * O(k) summaries. Per event type, the sketch is the k=256 smallest
+    * md5(user_id) values ([[graft.functions.BottomKAgg]] — partial-
+    * aggregable, so the shuffle moves ≤ k hashes per group, never
+    * users); for a pair of types, J ≈ |bottom-k(A∪B) ∩ A ∩ B| / k.
+    * Because the "randomness" is md5, the whole estimator is
+    * DETERMINISTIC and the DuckDB twin reproduces it hash-for-hash —
+    * an exactly-checked approximate operator. The exact Jaccard
+    * (distinct-pair self-join) rides along to exhibit the estimate
+    * error; at 100 TB you keep the sketch path (one pass + kilobyte
+    * re-aggregations) and drop the exact one — that is the point.
+    */
+  val aggKmvIntersect: Q = (spark, dir) => {
+    import graft.functions.BottomKAgg
+    val K = 256
+    // Segments = daily active-user cohorts (first 5 days): sparse
+    // enough that overlaps genuinely vary (event types see every user
+    // and would all read J = 1.0).
+    val e = Tables(spark, dir, "events")
+      .filter(dayofmonth(col("ts")) <= 5)
+      .select(concat(lit("d"), dayofmonth(col("ts"))).as("seg"),
+        col("user_id")).distinct()
+    val sk = e.groupBy("seg")
+      .agg(BottomKAgg.bottomK(K)(
+        md5(col("user_id").cast("string")), col("user_id")).as("ids"))
+      .select(col("seg"),
+        transform(col("ids"), i => md5(i.cast("string"))).as("hs"))
+    val est = sk.as("a").join(sk.as("b"), col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        col("a.hs").as("ha"), col("b.hs").as("hb"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, K))
+      .withColumn("shared", size(filter(col("u"),
+        x => array_contains(col("ha"), x) && array_contains(col("hb"), x))))
+      .select(col("seg_a"), col("seg_b"),
+        Norm.r4(col("shared").cast("double") / size(col("u"))).as("j_est"))
+    val sizes = e.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val common = e.as("x").join(e.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.seg") < col("y.seg"))
+      .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+      .agg(count(lit(1)).as("n_common"))
+    est.join(common, Seq("seg_a", "seg_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(broadcast(sizes.select(col("seg").as("seg_a"),
+        col("n").as("na"))), Seq("seg_a"))
+      .join(broadcast(sizes.select(col("seg").as("seg_b"),
+        col("n").as("nb"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("j_est"),
+        Norm.r4(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("j_exact"),
+        col("n_common"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** Approximate quantile sketch (Greenwald-Khanna style
     * `approx_percentile`) — the mergeable alternative to exact
     * `percentile`, which must buffer every value per group: the sketch
@@ -622,6 +678,7 @@ object Aggregates extends QueryModule {
     "q_agg_string_agg" -> aggStringAgg,
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
+    "q_agg_kmv_intersect" -> aggKmvIntersect,
     "q_subquery_correlated" -> subqueryCorrelated,
     "q_recursive_spine" -> recursiveSpine,
     "q_agg_pivot" -> aggPivot,
@@ -859,6 +916,44 @@ object Aggregates extends QueryModule {
                                   FROM orders o2
                                   WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""",
+    "q_agg_kmv_intersect" -> """
+      WITH du AS (
+        SELECT DISTINCT 'd' || CAST(day(ts) AS VARCHAR) AS seg, user_id
+        FROM events WHERE day(ts) <= 5),
+      ranked AS (
+        SELECT seg, md5(CAST(user_id AS VARCHAR)) AS h,
+               row_number() OVER (PARTITION BY seg
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+        FROM du),
+      sk AS (SELECT seg, list(h ORDER BY h) AS hs
+             FROM ranked WHERE rn <= 256 GROUP BY seg),
+      sizes AS (SELECT seg, count(*) AS n FROM du GROUP BY 1),
+      prs AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b, a.hs AS ha, b.hs AS hb
+        FROM sk a JOIN sk b ON a.seg < b.seg),
+      est AS (
+        SELECT seg_a, seg_b,
+               len(list_filter(
+                 list_sort(list_distinct(list_concat(ha, hb)))[1:256],
+                 x -> list_contains(ha, x) AND list_contains(hb, x)))
+                 AS shared,
+               len(list_sort(list_distinct(list_concat(ha, hb)))[1:256])
+                 AS usz
+        FROM prs),
+      com AS (
+        SELECT x.seg AS seg_a, y.seg AS seg_b, count(*) AS n_common
+        FROM du x JOIN du y ON x.user_id = y.user_id AND x.seg < y.seg
+        GROUP BY 1, 2)
+      SELECT e.seg_a, e.seg_b,
+             round(CAST(e.shared AS DOUBLE) / e.usz, 4) AS j_est,
+             round(CAST(coalesce(c.n_common, 0) AS DOUBLE) /
+                   (sa.n + sb.n - coalesce(c.n_common, 0)), 4) AS j_exact,
+             CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+      FROM est e
+      LEFT JOIN com c ON c.seg_a = e.seg_a AND c.seg_b = e.seg_b
+      JOIN sizes sa ON sa.seg = e.seg_a
+      JOIN sizes sb ON sb.seg = e.seg_b
+      ORDER BY e.seg_a, e.seg_b""",
     "q_agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 4) AS sum_qty,
