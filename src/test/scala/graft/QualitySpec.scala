@@ -566,4 +566,34 @@ class QualitySpec extends SparkSpec {
     info(s"JL mean |cosine error| = $err")
     assert(err < 0.25, s"cosine distortion above the k=16 JL bound: $err")
   }
+
+  test("KMV Jaccard estimator within sketch error past k (synthetic n >> k)") {
+    // The scored q_agg_kmv_intersect runs at SFs where daily cohorts fit
+    // inside k=256, so the sketch is lossless there; this pins the
+    // ESTIMATOR regime: two 10k-element sets with true J = 1/3, k = 256,
+    // expected |error| ~ O(1/sqrt(k)) ≈ 0.06.
+    import spark.implicits._
+    import graft.functions.BottomKAgg
+    val k = 256
+    val a = (0L until 10000L).toDF("id").withColumn("seg", lit("a"))
+    val b = (5000L until 15000L).toDF("id").withColumn("seg", lit("b"))
+    val sk = a.unionByName(b).groupBy("seg")
+      .agg(BottomKAgg.bottomK(k)(
+        md5(col("id").cast("string")), col("id")).as("ids"))
+      .select(col("seg"),
+        transform(col("ids"), i => md5(i.cast("string"))).as("hs"))
+    val row = sk.as("x").join(sk.as("y"),
+        col("x.seg") < col("y.seg"))
+      .select(col("x.hs").as("ha"), col("y.hs").as("hb"))
+      .withColumn("u", slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+      .select((size(filter(col("u"), h =>
+        array_contains(col("ha"), h) && array_contains(col("hb"), h)))
+        .cast("double") / size(col("u"))).as("j_est"))
+      .head()
+    val jEst = row.getDouble(0)
+    val jTrue = 5000.0 / 15000.0
+    info(f"KMV j_est = $jEst%.4f vs true $jTrue%.4f (k=$k)")
+    assert(math.abs(jEst - jTrue) < 3.0 / math.sqrt(k.toDouble),
+      f"KMV estimate $jEst%.4f off true $jTrue%.4f beyond 3/sqrt(k)")
+  }
 }
