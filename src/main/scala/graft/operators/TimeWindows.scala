@@ -116,6 +116,34 @@ object TimeWindows extends QueryModule {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands: per-user consecutive-day activity STREAKS via
+    * the classic island key `day − row_number()` (constant within a
+    * run of consecutive days, distinct across runs — no self-join, no
+    * recursive walk). Output per user: longest streak, number of
+    * streaks, active days — the retention/engagement triple.
+    *
+    * Scale: one partial-agg'd distinct down to (user, day) bounds the
+    * window input at O(users × days); the row_number window and the
+    * streak roll-up share ONE user-keyed exchange (the island groupBy
+    * is a prefix of (user, island) partitioning), and the final
+    * per-user agg is user-keyed too. Raw events are touched once.
+    */
+  val windowStreaks: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val du = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val islands = du
+      .withColumn("island", datediff(col("d"), lit("2024-01-01"))
+        - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
   /** Last-touch attribution: every purchase credits the user's most
     * recent PRECEDING touch event (click/view/signup — errors and
     * other purchases don't earn credit); purchases with no prior
@@ -531,6 +559,7 @@ object TimeWindows extends QueryModule {
     "q_ts_ohlc" -> ohlc,
     "q_attribution" -> attribution,
     "q_active_users" -> activeUsers,
+    "q_window_streaks" -> windowStreaks,
     "q_ts_interpolate" -> interpolate,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
@@ -715,6 +744,22 @@ object TimeWindows extends QueryModule {
                    * 10000 + 0.5) / 10000 AS ewma_cents
       FROM idx
       ORDER BY user_id, ts, ewma_cents""",
+    "q_window_streaks" -> """
+      WITH du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      isl AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', d)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                 AS island
+        FROM du),
+      runs AS (
+        SELECT user_id, island, count(*) AS len
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id, max(len) AS longest_streak,
+             count(*) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM runs GROUP BY user_id ORDER BY user_id""",
     "q_active_users" -> """
       WITH du AS (
         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

@@ -599,6 +599,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_window_streaks: ranking window and both roll-ups share one user shuffle") {
+    // hashpartitioning(user_id) satisfies the (user_id, island) groupBy
+    // and the final per-user agg — so besides the distinct's own
+    // exchange there must be exactly ONE user-keyed hash exchange, and
+    // no join anywhere.
+    val p = plan("q_window_streaks")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p) // distinct + user key
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
   test("q_sim_hard_negatives broadcasts the anchor batch; corpus never shuffles") {
     // The theta join (label <> label) must be a BroadcastNestedLoopJoin
     // with the bounded anchor batch broadcast — a shuffled or cartesian
