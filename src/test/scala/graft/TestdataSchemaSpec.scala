@@ -21,6 +21,35 @@ class TestdataSchemaSpec extends SparkSpec {
     }
   }
 
+  test("every table carries the column set the queries were built against") {
+    // A driver-side regeneration that renames or drops a column should
+    // fail HERE, by table name, not as dozens of analysis errors
+    // scattered across the query surface. Extra new columns are fine.
+    val expected = Map(
+      "region" -> Set("r_regionkey", "r_name"),
+      "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label"))
+    expected.foreach { case (t, cols) =>
+      val have = Tables(spark, sfDir, t).columns.toSet
+      val missing = cols -- have
+      assert(missing.isEmpty,
+        s"table $t lost columns $missing (has: ${have.toSeq.sorted})")
+    }
+  }
+
   test("events loader yields TimestampType ts regardless of footer type") {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType == TimestampType,
