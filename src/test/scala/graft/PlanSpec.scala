@@ -599,6 +599,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_snapshot_diff prunes both scans to the diffed columns; no cartesian") {
+    // The digest is projected before the full-outer join, so each scan
+    // must read only (key, status, price) — never the full row width —
+    // and the key join must be an equi-join, not a cartesian.
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("o_orderdate") && !p.contains("o_orderpriority"), p)
+  }
+
+  test("q_agg_kmv_intersect: sketches partial-agg; pair join broadcasts") {
+    // The KMV buffers must combine map-side (partial ObjectHashAggregate
+    // below the segment exchange), and the pairwise estimator runs on
+    // broadcast-sized sketch rows — never a shuffled or cartesian pairing
+    // of user-level data.
+    val p = plan("q_agg_kmv_intersect")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_bottomkagg") || p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_window_streaks: ranking window and both roll-ups share one user shuffle") {
     // hashpartitioning(user_id) satisfies the (user_id, island) groupBy
     // and the final per-user agg — so besides the distinct's own
