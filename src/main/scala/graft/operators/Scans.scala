@@ -213,6 +213,31 @@ object Scans extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Corrupt-record quarantine — the PERMISSIVE-ingest routing every
+    * lake pipeline needs: malformed payloads must land in a quarantine
+    * with full counts, not kill the job or silently vanish. A
+    * deterministic 1-in-16 subset of the JSON payloads is mangled
+    * (unparseable brace prefix) to stand in for upstream corruption;
+    * the parse (`get_json_object`, codegen'd, returns NULL on invalid
+    * JSON rather than throwing) routes every row to clean/quarantined,
+    * and the output reconciles totals — clean rows keep their parsed
+    * value, quarantined rows are counted with distinct affected users
+    * (the triage an on-call actually runs). Pure projection + one
+    * partial-agg'd rollup; no shuffle carries payloads.
+    */
+  val sourceQuarantine: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .withColumn("raw",
+        when(substring(md5(col("props")), 1, 1) === "0",
+          concat(lit("{"), col("props"))).otherwise(col("props")))
+    e.withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+      .groupBy(col("k").isNull.as("quarantined"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        coalesce(sum("k"), lit(0L)).as("sum_k"))
+      .orderBy("quarantined")
+  }
+
   /** Incremental consumption without a table format: snapshot the
     * directory's file listing as a manifest after batch 1 lands, and
     * a later reader picks up ONLY files not in the manifest — batch 2
@@ -371,6 +396,7 @@ object Scans extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_lake_compact" -> lakeCompact,
     "q_lake_incremental" -> lakeIncremental,
+    "q_source_quarantine" -> sourceQuarantine,
     "q_lake_dyn_overwrite" -> lakeDynOverwrite,
     "q_lake_schema_evolve" -> lakeSchemaEvolve,
     "q_lake_zorder" -> lakeZorder,
@@ -391,6 +417,22 @@ object Scans extends QueryModule {
       SELECT doc_id, lang, source, n_chars
       FROM documents
       ORDER BY doc_id""",
+    "q_source_quarantine" -> """
+      WITH r AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(props), 1, 1) = '0'
+                    THEN '{' || props ELSE props END AS raw
+        FROM events),
+      p AS (
+        SELECT user_id,
+               CASE WHEN json_valid(raw)
+                    THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+               END AS k
+        FROM r)
+      SELECT k IS NULL AS quarantined, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+      FROM p GROUP BY 1 ORDER BY 1""",
     "q_lake_incremental" -> """
       SELECT o_orderpriority, count(*) AS n,
              round(sum(o_totalprice), 4) AS sum_price
