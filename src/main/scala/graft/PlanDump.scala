@@ -56,7 +56,9 @@ object PlanDump {
       "q_shuffle_shards" -> "deterministic epoch shuffle: doc_id-only scan, ONE shard hash exchange for the per-shard row_number, trailing range sort is the oracle ORDER BY only",
       "q_sim_hard_negatives" -> "hard-negative mining: bounded anchor batch BROADCAST onto one streamed corpus pass (BNLJ), per-anchor argmax window is the only hash exchange",
       "q_snapshot_diff" -> "snapshot diff: digests projected BEFORE the full-outer key join, so wide rows cross the shuffle once; per-class agg on top",
-      "q_agg_kmv_intersect" -> "KMV set-intersection: bottom-k sketches partial-agg'd (<=k hashes/group cross the shuffle), pairwise estimator over broadcast-sized sketch rows")
+      "q_agg_kmv_intersect" -> "KMV set-intersection: bottom-k sketches partial-agg'd (<=k hashes/group cross the shuffle), pairwise estimator over broadcast-sized sketch rows",
+      "q_window_streaks" -> "gaps-and-islands streaks: distinct to (user, day); ranking window and both roll-ups share ONE user-keyed exchange",
+      "q_source_quarantine" -> "corrupt-record quarantine: codegen'd JSON parse routes rows in a pure projection; one partial-agg'd rollup, payloads never shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, AQE initial plans)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")
