@@ -102,6 +102,36 @@ object Similarity extends QueryModule {
       .orderBy("aid")
   }
 
+  /** Exact k-NN graph over an anchor batch: for each anchor
+    * (deterministic 1-in-10 subsample), its 3 nearest neighbors by
+    * cosine, any label, self excluded — the graph-construction step
+    * under SemDeDup-style clustering, kNN-LM retrieval, and UMAP-ish
+    * corpus maps. Same scale shape as [[simHardNegatives]]: the
+    * bounded anchor batch (O(batch × dim)) broadcasts onto ONE
+    * streamed pass over the corpus — BroadcastNestedLoopJoin, corpus
+    * never shuffles — and per-anchor top-k is a WindowGroupLimit-
+    * eligible row_number over rounded similarity (ties break on
+    * neighbor id, so both engines rank identical doubles). Past
+    * corpus sizes where a full pass per batch is too slow, the
+    * LSH/IVF bucketed candidates (q_sim_ann_*) slot in as the
+    * candidate stream with the same downstream argmax.
+    */
+  val simKnnGraph: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val anchors = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src"), col("emb").as("ae"))
+    val cands = e.select(col("vec_id").as("dst"), col("emb").as("be"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_sim").desc, col("dst"))
+    cands.join(broadcast(anchors), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Norm.r4(cosine(col("ae"), col("be"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
+      .orderBy("src", "rank")
+  }
+
   /** Elementwise mean embedding per label via the typed Aggregator,
     * posexploded to (label, pos, mean_val) long format so the oracle
     * compares scalars, not list encodings.
@@ -556,6 +586,7 @@ object Similarity extends QueryModule {
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_blocked_join" -> simBlockedJoin,
     "q_sim_hard_negatives" -> simHardNegatives,
+    "q_sim_knn_graph" -> simKnnGraph,
     "q_centroid_per_label" -> centroidPerLabel,
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
@@ -825,6 +856,29 @@ object Similarity extends QueryModule {
         FROM pairs)
       SELECT aid, label, hard_neg, neg_label, cos_sim
       FROM scored WHERE rn = 1 ORDER BY aid""",
+    "q_sim_knn_graph" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])),
+                 (s, v) -> s + v) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])),
+                 (s, v) -> s + v)) AS na,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
+                 (s, v) -> s + v)) AS nb
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 10 = 0),
+      scored AS (
+        SELECT src, dst, round(dot / (na * nb), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY round(dot / (na * nb), 4) DESC, dst) AS rank
+        FROM pairs)
+      SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos_sim
+      FROM scored WHERE rank <= 3 ORDER BY src, rank""",
     "q_sim_blocked_join" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings WHERE vec_id % 5 = 0),

@@ -736,7 +736,81 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "source", "bucket")
   }
 
+  /** Feature-hashing ("hashing trick") bag-of-words vectorizer: each
+    * token hashes to one of 64 buckets via the engine-portable
+    * md5Bucket, per-doc bucket counts are the sparse vector, and the
+    * emitted weight is the L2-normalized tf — the fixed-width
+    * featurizer (Vowpal-Wabbit / sklearn HashingVectorizer shape) that
+    * needs NO vocabulary pass, so it runs in one explode + hash-agg
+    * over any corpus size. Output is long-format (doc_id, bucket, tf,
+    * weight) so the oracle compares scalars, not array encodings.
+    *
+    * Determinism: tf and the squared-norm are exact integers; the only
+    * float ops are one sqrt and one division on identical doubles.
+    *
+    * Scale: tokens never shuffle — the explode feeds a partial-agg'd
+    * hash-agg keyed (doc_id, bucket) (≤64 rows/doc out of the map
+    * side); the per-doc norm is a second bounded agg plus a co-
+    * partitioned self-join on doc_id.
+    */
+  val textHashingTrick: Q = (spark, dir) => {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"),
+        graft.api.ops.md5Bucket(col("tok"), 64).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("sq"))
+    tf.join(norms, "doc_id")
+      .select(col("doc_id"), col("bucket"), col("tf"),
+        Norm.r4tie(col("tf").cast("double") / sqrt(col("sq").cast("double")))
+          .as("weight"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** Local-DP frequency estimation via randomized response over
+    * events.event_type (k = 5 categories): each row reports its true
+    * type with probability 3/4, else a uniformly drawn type — both
+    * coins are the engine-portable md5Bucket of the event id, so the
+    * "randomness" is deterministic and replayable in any engine. The
+    * unbiased estimator inverts the channel,
+    * n̂_j = (c_j − N/20) / (3/4) = (20·c_j − N) / 15, computed with an
+    * INTEGER numerator so both engines divide identical exact values
+    * (then clamp at 0, the standard RR post-process). n_true sits
+    * beside the estimate to show the estimator error the analyst
+    * would pay for the privacy.
+    *
+    * Scale: two partial-agg'd passes over events (true counts,
+    * reported counts) joined on the 5-row type dimension; N is a
+    * window sum over those 5 rows. Nothing driver-side.
+    */
+  val privacyRr: Q = (spark, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = Tables(spark, dir, "events")
+    val keep = graft.api.ops.md5Bucket(col("event_id"), 4) < 3
+    val fake = element_at(array(types.map(lit): _*),
+      (graft.api.ops.md5Bucket(
+        concat(col("event_id").cast("string"), lit("f")), 5) + 1).cast("int"))
+    val reported = e
+      .select(when(keep, col("event_type")).otherwise(fake).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_reported"))
+    val truth = e.groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val wAll = Window.partitionBy()
+    truth.join(reported, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"))
+      .withColumn("n_total", sum(col("n_reported")).over(wAll))
+      .select(col("event_type"), col("n_true"), col("n_reported"),
+        Norm.r4tie(greatest(
+          (lit(20L) * col("n_reported") - col("n_total")).cast("double") / 15d,
+          lit(0d))).as("n_est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_hashing_trick" -> textHashingTrick,
+    "q_privacy_rr" -> privacyRr,
     "q_privacy_kanon" -> kAnon,
     "q_sample_reservoir" -> sampleReservoir,
     "q_text_bpe_merges" -> textBpeMerges,
@@ -782,6 +856,59 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_hashing_trick" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      h AS (
+        SELECT doc_id, lower(substring(md5(tok), 1, 4)) AS hx
+        FROM t WHERE tok <> ''),
+      b AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substring(hx,1,1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(hx,2,1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(hx,3,1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(hx,4,1)) - 1)) % 64
+                 AS bucket
+        FROM h),
+      tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b
+             GROUP BY doc_id, bucket),
+      n AS (SELECT doc_id, sum(tf * tf) AS sq FROM tf GROUP BY doc_id)
+      SELECT tf.doc_id, CAST(tf.bucket AS BIGINT) AS bucket, tf.tf,
+             floor(CAST(tf.tf AS DOUBLE) / sqrt(CAST(n.sq AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS weight
+      FROM tf JOIN n ON tf.doc_id = n.doc_id
+      ORDER BY tf.doc_id, bucket""",
+    "q_privacy_rr" -> """
+      WITH c AS (
+        SELECT event_type,
+               ((strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR)), 1, 4)),1,1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR)), 1, 4)),2,1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR)), 1, 4)),3,1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR)), 1, 4)),4,1)) - 1)) % 4 AS coin,
+               ((strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR) || 'f'), 1, 4)),1,1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR) || 'f'), 1, 4)),2,1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR) || 'f'), 1, 4)),3,1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(lower(substring(md5(CAST(event_id AS VARCHAR) || 'f'), 1, 4)),4,1)) - 1)) % 5 AS fi
+        FROM events),
+      rep AS (
+        SELECT CASE WHEN coin < 3 THEN event_type
+                    ELSE (['click','error','purchase','signup','view'])[fi + 1]
+               END AS event_type
+        FROM c),
+      r AS (SELECT event_type, count(*) AS n_reported FROM rep
+            GROUP BY event_type),
+      t AS (SELECT event_type, count(*) AS n_true FROM events
+            GROUP BY event_type)
+      SELECT COALESCE(t.event_type, r.event_type) AS event_type,
+             COALESCE(t.n_true, 0) AS n_true,
+             COALESCE(r.n_reported, 0) AS n_reported,
+             floor(greatest(
+               CAST(20 * COALESCE(r.n_reported, 0)
+                    - sum(COALESCE(r.n_reported, 0)) OVER () AS DOUBLE) / 15,
+               0) * 10000 + 0.5) / 10000 AS n_est
+      FROM t FULL OUTER JOIN r ON t.event_type = r.event_type
+      ORDER BY event_type""",
     "q_sample_reservoir" -> """
       WITH r AS (
         SELECT lang, doc_id,

@@ -545,7 +545,79 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** MATCH_RECOGNIZE-lite: per-user row-pattern matching. Each user's
+    * history is encoded as a one-char-per-event string in (ts,
+    * event_id) order, and patterns run as regexes over that string:
+    * `s[cv]*p` counts non-overlapping `signup (click|view)* purchase`
+    * conversions, `e+` counts maximal error bursts. This is the
+    * SQL:2016 MATCH_RECOGNIZE / CEP operator class Spark has no native
+    * operator for, composed from collect_list + codegen'd regexp_count
+    * instead of a per-user UDF.
+    *
+    * Determinism: `[cv]` excludes both `s` and `p`, so every engine's
+    * leftmost-first matcher (Java regex, RE2) finds the identical
+    * match set; (ts, event_id) totally orders each user's events on
+    * both sides.
+    *
+    * Scale: ONE user-keyed shuffle; per-user state is the encoded
+    * string (1 byte/event — the same per-user envelope every
+    * sessionization op carries), and each regex runs once per user,
+    * not per event.
+    */
+  val seqPattern: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val code = when(col("event_type") === "signup", "s")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("e")
+    e.select(col("user_id"),
+        struct(col("ts"), col("event_id"), code.as("c")).as("ev"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(array_sort(collect_list(col("ev"))),
+        x => x.getField("c"))).as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit("s[cv]*p")).cast("long")
+          .as("n_conversions"),
+        regexp_count(col("seq"), lit("e+")).cast("long")
+          .as("n_error_bursts"))
+      .orderBy("user_id")
+  }
+
+  /** Recency-weighted engagement per user (the feature-store decay
+    * shape): each event contributes value · 2^(-age_days) with a 1-day
+    * half-life, aged against the corpus max ts. Every step is chosen
+    * to be bit-identical across engines: ages are integer days from
+    * exact µs integer arithmetic (`div`, never float division), values
+    * become integer cents, ages clamp at 20, and each contribution is
+    * scaled to the integer cents·2^(20-age) — so the ENTIRE sum stays
+    * in exact BIGINT arithmetic and only one final division pair
+    * (by 2^20, then 100) produces the double. No float-sum ordering
+    * leniency needed, by construction.
+    *
+    * Scale: one partial-agg'd hash aggregation over events; the corpus
+    * max ts is a 1-row broadcast.
+    */
+  val tsDecay: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val mx = e.agg(max(unix_micros(col("ts"))).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("age_d",
+        least(expr("(mx - unix_micros(ts)) div 86400000000"), lit(20L)))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("scaled",
+        col("cents") * expr("shiftleft(cast(1 as bigint), cast(20 - age_d as int))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Norm.r4tie(sum(col("scaled")).cast("double") / 1048576d / 100d)
+          .as("decayed_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seq_pattern" -> seqPattern,
+    "q_ts_decay" -> tsDecay,
     "q_ts_drawdown" -> drawdown,
     "q_rfm" -> rfm,
     "q_churn" -> churn,
@@ -567,6 +639,35 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_pattern" -> """
+      WITH c AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                    WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                    ELSE 'e' END AS code
+        FROM events),
+      s AS (
+        SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+        FROM c GROUP BY user_id)
+      SELECT user_id,
+             CAST(length(seq) AS BIGINT) AS n_events,
+             CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT)
+               AS n_conversions,
+             CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+               AS n_error_bursts
+      FROM s ORDER BY user_id""",
+    "q_ts_decay" -> """
+      WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      a AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               least((mx - epoch_us(ts)) // 86400000000, 20) AS age_d
+        FROM events, m)
+      SELECT user_id, count(*) AS n_events,
+             floor(CAST(sum(cents * (CAST(1 AS BIGINT) <<
+                     CAST(20 - age_d AS INTEGER))) AS DOUBLE)
+                   / 1048576 / 100 * 10000 + 0.5) / 10000 AS decayed_value
+      FROM a GROUP BY user_id ORDER BY user_id""",
     "q_ts_drawdown" -> """
       WITH p AS (
         SELECT user_id, ts, event_id,
