@@ -58,7 +58,11 @@ object PlanDump {
       "q_snapshot_diff" -> "snapshot diff: digests projected BEFORE the full-outer key join, so wide rows cross the shuffle once; per-class agg on top",
       "q_agg_kmv_intersect" -> "KMV set-intersection: bottom-k sketches partial-agg'd (<=k hashes/group cross the shuffle), pairwise estimator over broadcast-sized sketch rows",
       "q_window_streaks" -> "gaps-and-islands streaks: distinct to (user, day); ranking window and both roll-ups share ONE user-keyed exchange",
-      "q_source_quarantine" -> "corrupt-record quarantine: codegen'd JSON parse routes rows in a pure projection; one partial-agg'd rollup, payloads never shuffle")
+      "q_source_quarantine" -> "corrupt-record quarantine: codegen'd JSON parse routes rows in a pure projection; one partial-agg'd rollup, payloads never shuffle",
+      "q_seq_pattern" -> "row-pattern matching: ONE user shuffle to the encoded sequence, regexes run once per user post-agg, zero joins",
+      "q_ts_decay" -> "recency decay: 1-row max broadcast (BNLJ), exact-integer partial-agg'd user hash-agg — the only exchange",
+      "q_sim_knn_graph" -> "exact kNN graph: anchor batch BROADCAST onto one corpus pass (BNLJ), per-anchor top-k window is the only hash exchange",
+      "q_text_hashing_trick" -> "feature hashing: explode reduced map-side into (doc, bucket) partials; norm agg + join reuse doc_id partitioning")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, AQE initial plans)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

@@ -656,4 +656,49 @@ class PlanSpec extends SparkSpec {
     val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(rs.contains("doc_id") && !rs.contains("text"), rs)
   }
+
+  test("q_sim_knn_graph broadcasts the anchor batch; corpus never shuffles") {
+    // Same scale contract as q_sim_hard_negatives: the bounded anchor
+    // batch broadcasts onto one streamed corpus pass (BNLJ, no
+    // cartesian); the only hash exchange is the per-anchor top-k
+    // window.
+    val p = plan("q_sim_knn_graph")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("q_seq_pattern: one user shuffle; regexes run post-agg, not per event") {
+    // The encoded-sequence agg is the ONLY data shuffle (plus the
+    // presentation ORDER BY's range exchange); no join; the scan needs
+    // only (user_id, ts, event_id, event_type).
+    val p = plan("q_seq_pattern")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
+  test("q_ts_decay: corpus max broadcasts; events partial-agg before the user shuffle") {
+    // The 1-row max(ts) side must broadcast (BNLJ cross join), the
+    // decayed sum must partial-agg map-side, and the user agg is the
+    // only hash exchange.
+    val p = plan("q_ts_decay")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      countOcc(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q_text_hashing_trick: tf and norm aggs co-partition; no token shuffle") {
+    // Tokens reduce map-side into (doc_id, bucket) partials before the
+    // one grouping shuffle; the norm agg and the tf-norm join both
+    // reuse doc_id hash partitioning, so no exchange shuffles exploded
+    // token volume.
+    val p = plan("q_text_hashing_trick")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    // hashpartitioning exchanges: (doc_id, bucket) for tf and doc_id
+    // for the norm/join side — never more.
+    assert(countOcc(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }

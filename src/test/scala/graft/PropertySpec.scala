@@ -409,4 +409,59 @@ class PropertySpec extends SparkSpec {
         s"words=${words.mkString(" ")}")
     }
   }
+
+  test("q_seq_pattern conversions are bounded by signups and purchases per user") {
+    // Each `s[cv]*p` match consumes one signup and one purchase, so the
+    // count can never exceed either; error bursts can't exceed errors.
+    val byUser = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("ns"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"),
+        count(lit(1)).as("n"))
+    val pat = operators.TimeWindows.seqPattern(spark, sfDir)
+    val bad = pat.join(byUser, "user_id")
+      .filter(col("n_conversions") > least(col("ns"), col("np")) ||
+        col("n_error_bursts") > col("ne") ||
+        col("n_events") =!= col("n"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("q_ts_decay is positive and bounded by the undecayed per-user sum") {
+    val raw = Tables(spark, sfDir, "events")
+      .groupBy("user_id").agg(sum("value").as("raw_sum"))
+    val bad = operators.TimeWindows.tsDecay(spark, sfDir)
+      .join(raw, "user_id")
+      .filter(col("decayed_value") < 0 ||
+        col("decayed_value") > col("raw_sum") + 0.01)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("q_text_hashing_trick weights are unit-L2 per doc") {
+    val bad = operators.TextAnalysis.textHashingTrick(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(sum(col("weight") * col("weight")).as("sq"))
+      .filter(abs(col("sq") - 1.0) > 0.01)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("q_privacy_rr reported counts rebalance but total is conserved") {
+    val r = operators.TextAnalysis.privacyRr(spark, sfDir)
+      .agg(sum("n_true").as("t"), sum("n_reported").as("r")).head
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
+  test("q_sim_knn_graph: every anchor has exactly 3 ranked neighbors, none itself") {
+    val g = operators.Similarity.simKnnGraph(spark, sfDir)
+    assert(g.filter(col("src") === col("dst")).count() === 0)
+    val bad = g.groupBy("src")
+      .agg(count(lit(1)).as("k"), max("rank").as("mr"), min("rank").as("lo"))
+      .filter(col("k") =!= 3 || col("mr") =!= 3 || col("lo") =!= 1)
+      .count()
+    assert(bad === 0)
+  }
 }
