@@ -240,6 +240,22 @@ object StreamScored extends QueryModule {
         "graft_stream_stateful_tws")
     }
 
+  /** Streaming CEP scored: the per-user conversion/error-burst counts
+    * from [[Streams.patternAutomaton]]'s incremental DFA, drained and
+    * checked against the SAME DuckDB regex oracle as the batch
+    * q_seq_pattern — a cross-formulation proof (stateful automaton ==
+    * backtracking regex) through the real streaming engine.
+    */
+  val streamPattern: Q = (spark, dir) => {
+    val out = Streams.patternAutomaton(Streams.eventsFileStream(spark, dir))
+    runToTable(out, OutputMode.Update(), "graft_stream_pattern")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("n_conversions"), col("n_events")).as("n_conversions"),
+        max_by(col("n_error_bursts"), col("n_events")).as("n_error_bursts"))
+      .orderBy("user_id")
+  }
+
   /** FULL OUTER stream-stream join scored (see
     * [[Streams.clickPurchaseFullJoin]] for the watermark-before-filter
     * structure): the drained result must equal the batch FULL JOIN
@@ -388,9 +404,27 @@ object StreamScored extends QueryModule {
     "q_stream_join_full" -> streamJoinFull,
     "q_stream_stateful" -> streamStateful,
     "q_stream_stateful_tws" -> streamStatefulTws,
+    "q_stream_pattern" -> streamPattern,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_pattern" -> """
+      WITH c AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                    WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+                    ELSE 'e' END AS code
+        FROM events),
+      s AS (
+        SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+        FROM c GROUP BY user_id)
+      SELECT user_id,
+             CAST(length(seq) AS BIGINT) AS n_events,
+             CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT)
+               AS n_conversions,
+             CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+               AS n_error_bursts
+      FROM s ORDER BY user_id""",
     "q_stream_cdc" -> """
       WITH base AS (
         SELECT user_id, count(*) * 10 AS cents

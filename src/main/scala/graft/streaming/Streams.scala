@@ -38,6 +38,12 @@ class UserCountsProcessor
   }
 }
 
+/** CEP automaton state carried across micro-batches: live
+  * signup-attempt flag, in-error-run flag, and the three counters.
+  */
+case class PatternState(inSignup: Boolean, lastWasError: Boolean,
+                        nEvents: Long, nConv: Long, nBursts: Long)
+
 /** Open-session tracker: event count + last-activity millis. */
 case class SessionTrack(nEvents: Long, lastTs: Long)
 
@@ -201,6 +207,63 @@ object Streams {
           Iterator((userId, n, s))
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** s_pattern: streaming CEP (complex event processing) — the
+    * incremental-automaton form of the batch regex q_seq_pattern.
+    * Per-user DFA over the event-type alphabet: `signup` opens a live
+    * attempt, `click`/`view` keep it open, `purchase` closes it as one
+    * conversion, anything else kills it; error-burst counting tracks
+    * runs of consecutive errors. Equivalent to counting leftmost
+    * non-overlapping `s[cv]*p` / `e+` regex matches — the DuckDB
+    * oracle IS that regex, so two unrelated formulations (incremental
+    * DFA vs backtracking regex) must agree through the gate.
+    *
+    * Ordering: events inside a micro-batch are sorted by (ts,
+    * event_id) before feeding the DFA (per-user volume per batch is
+    * bounded — the same envelope sessionization carries); across
+    * micro-batches the file source's single AvailableNow drain (and,
+    * in production, watermark-ordered replay) preserves order. State
+    * is O(1) per user: two booleans + three counters.
+    */
+  def patternAutomaton(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[PatternState]) =>
+          val prev = state.getOption
+            .getOrElse(PatternState(false, false, 0L, 0L, 0L))
+          var inS = prev.inSignup
+          var lastErr = prev.lastWasError
+          var n = prev.nEvents
+          var conv = prev.nConv
+          var burst = prev.nBursts
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            n += 1
+            r._4 match {
+              case "signup" =>
+                inS = true; lastErr = false
+              case "click" | "view" =>
+                lastErr = false
+              case "purchase" =>
+                if (inS) { conv += 1; inS = false }
+                lastErr = false
+              case _ =>
+                if (!lastErr) burst += 1
+                lastErr = true; inS = false
+            }
+          }
+          state.update(PatternState(inS, lastErr, n, conv, burst))
+          Iterator((uid, n, conv, burst))
+      }
+      .toDF("user_id", "n_events", "n_conversions", "n_error_bursts")
   }
 
   /** s_stateful_tws: [[statefulUserCounts]] re-expressed on
