@@ -402,4 +402,41 @@ class StreamingSpec extends SparkSpec {
     assert(dropped >= 1L,
       s"late row was not dropped by the watermark (dropped=$dropped)")
   }
+
+  test("s_pattern DFA carries automaton state across micro-batches") {
+    // A signup in batch 1 must still convert on a purchase arriving in
+    // batch 3 (with only click/view between) — the live-attempt flag
+    // survives the micro-batch boundary in the state store. An error in
+    // a later batch kills a pending attempt; split error runs across
+    // batches must still count as ONE burst.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.patternAutomaton(in.toDF), "pat", "update") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 7, "signup", 1.0),
+        Ev(2, t("2024-01-01 10:01:00"), 8, "error", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(3, t("2024-01-01 10:02:00"), 7, "click", 1.0),
+        Ev(4, t("2024-01-01 10:03:00"), 8, "error", 1.0)) // same burst
+      q.processAllAvailable()
+      in.addData(
+        Ev(5, t("2024-01-01 10:04:00"), 7, "purchase", 1.0), // converts
+        Ev(6, t("2024-01-01 10:05:00"), 8, "signup", 1.0),
+        Ev(7, t("2024-01-01 10:06:00"), 8, "error", 1.0),    // kills it
+        Ev(8, t("2024-01-01 10:07:00"), 8, "purchase", 1.0)) // no conv
+      q.processAllAvailable()
+    }
+    // Update mode: take each user's last emitted row (max n_events).
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    val last = out.groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max_by(col("n_conversions"), col("n_events")).as("conv"),
+        max_by(col("n_error_bursts"), col("n_events")).as("bursts"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(last(7L) === ((3L, 1L, 0L)), s"user 7: ${last(7L)}")
+    assert(last(8L) === ((5L, 0L, 2L)), s"user 8: ${last(8L)}")
+  }
 }
