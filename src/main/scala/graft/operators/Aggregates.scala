@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.B "Aggregations").
@@ -663,9 +664,96 @@ object Aggregates extends QueryModule {
         (absT > 1.96).as("significant"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test: is the purchase value
+    * distribution the same as the click value distribution? The exact
+    * KS statistic D = max |ECDF_a − ECDF_b| over the cents-binned
+    * domain, with the classic α=0.05 rejection cut
+    * 1.358·√((n_a+n_b)/(n_a·n_b)) — the distribution-drift monitor a
+    * training pipeline runs between data snapshots / sources.
+    *
+    * Determinism: the sweep runs in EXACT integer arithmetic —
+    * D's numerator |cum_a·n_b − cum_b·n_a| is BIGINT, the argmax
+    * tie-breaks on cents, and only the final division (identical
+    * exact ints) and the critical-value sqrt (correctly-rounded IEEE
+    * on identical inputs) touch floats, so the drift verdict can't
+    * flip between engines.
+    *
+    * Scale: the only event-volume pass is a partial-agg'd histogram to
+    * the cents domain (≤20 001 bins for 2-decimal values — a
+    * calendar-like bound independent of row count, same argument as
+    * the gapfill spine); the cumulative sweep and argmax run on that
+    * bounded bin table.
+    */
+  val statsKs: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val hist = e.groupBy("cents").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val d = hist
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .withColumn("dnum",
+        abs(sum(col("ca")).over(w) * col("nb") -
+          sum(col("cb")).over(w) * col("na")))
+      .orderBy(col("dnum").desc, col("cents"))
+      .limit(1)
+    val ks = col("dnum").cast("double") /
+      (col("na") * col("nb")).cast("double")
+    val cut = lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+      (col("na") * col("nb")).cast("double"))
+    d.select(col("na").as("n_a"), col("nb").as("n_b"),
+      col("cents").as("ks_at_cents"),
+      Norm.r4tie(ks).as("ks_stat"),
+      (ks > cut).as("drift_flag"))
+  }
+
+  /** Chi-square independence test of event_type × hour-of-day — the
+    * categorical drift twin of [[statsKs]] (is traffic mix stable
+    * across the day?). χ² = Σ (obs−exp)²/exp with exp = rowTot·colTot/N.
+    *
+    * Determinism: every (obs·N − rT·cT) delta is exact BIGINT before
+    * its single cast; the non-associative float SUM runs as a LEFT
+    * FOLD over the (t, h)-sorted cell array — the same fixed-order
+    * idiom as q_embed_quantize — so both engines add identical doubles
+    * in the identical order (a plain `sum()` would be partial-agg
+    * order-dependent).
+    *
+    * Scale: one partial-agg'd pass to |types|×24 cells; margins are
+    * window sums over that bounded table; the fold happens on ≤120
+    * elements in one row.
+    */
+  val statsChi2: Q = (spark, dir) => {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type").as("t"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("obs"))
+    val wAll = Window.partitionBy()
+    val enr = cells
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .withColumn("rt", sum(col("obs")).over(Window.partitionBy("t")))
+      .withColumn("ct", sum(col("obs")).over(Window.partitionBy("h")))
+    val dlt = (col("obs") * col("n") - col("rt") * col("ct")).cast("double")
+    val term = dlt * dlt / (col("rt") * col("ct")).cast("double") /
+      col("n").cast("double")
+    enr.select(col("t"), col("h"), term.as("term"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        ((countDistinct(col("t")) - 1) * (countDistinct(col("h")) - 1))
+          .cast("long").as("dof"),
+        Norm.r4tie(aggregate(
+          array_sort(collect_list(struct(col("t"), col("h"), col("term")))),
+          lit(0d), (acc, x) => acc + x.getField("term"))).as("chi2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_abtest" -> abTest,
     "q_stats_mad" -> statsMad,
+    "q_stats_ks" -> statsKs,
+    "q_stats_chi2" -> statsChi2,
     "q_agg_entropy" -> aggEntropy,
     "q_agg_bitwise" -> aggBitwise,
     "q_agg_expectations" -> aggExpectations,
@@ -695,6 +783,60 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_ks" -> """
+      WITH e AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')),
+      hist AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM e GROUP BY cents),
+      sw AS (
+        SELECT cents,
+               CAST(sum(ca) OVER () AS BIGINT) AS na,
+               CAST(sum(cb) OVER () AS BIGINT) AS nb,
+               CAST(sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        FROM hist),
+      d AS (SELECT cents, na, nb,
+                   abs(cuma * nb - cumb * na) AS dnum FROM sw),
+      top AS (SELECT * FROM d ORDER BY dnum DESC, cents LIMIT 1)
+      SELECT na AS n_a, nb AS n_b, cents AS ks_at_cents,
+             floor(CAST(dnum AS DOUBLE) / (na * nb) * 10000 + 0.5) / 10000
+               AS ks_stat,
+             CAST(dnum AS DOUBLE) / (na * nb) >
+               1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+               AS drift_flag
+      FROM top""",
+    "q_stats_chi2" -> """
+      WITH cells AS (
+        SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY 1, 2),
+      enr AS (
+        SELECT t, h, obs,
+               CAST(sum(obs) OVER () AS BIGINT) AS n,
+               CAST(sum(obs) OVER (PARTITION BY t) AS BIGINT) AS rt,
+               CAST(sum(obs) OVER (PARTITION BY h) AS BIGINT) AS ct
+        FROM cells),
+      terms AS (
+        SELECT t, h,
+               CAST(obs * n - rt * ct AS DOUBLE)
+                 * CAST(obs * n - rt * ct AS DOUBLE)
+                 / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS term
+        FROM enr)
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST((count(DISTINCT t) - 1) * (count(DISTINCT h) - 1)
+               AS BIGINT) AS dof,
+             floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(term ORDER BY t, h)), (a, x) -> a + x)
+               * 10000 + 0.5) / 10000 AS chi2
+      FROM terms""",
     "q_abtest" -> """
       WITH p AS (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,

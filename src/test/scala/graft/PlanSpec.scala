@@ -657,6 +657,27 @@ class PlanSpec extends SparkSpec {
     assert(rs.contains("doc_id") && !rs.contains("text"), rs)
   }
 
+  test("q_stats_ks: events reduce to the bounded cents histogram before any window") {
+    // The only event-volume exchange is the histogram groupBy(cents);
+    // the cumulative sweep and argmax run single-partition over the
+    // bounded bin table (≤20 001 bins — the gapfill-spine argument).
+    // The scan must prune to (event_type, value).
+    val p = plan("q_stats_ks")
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("user_id"), rs)
+  }
+
+  test("q_stats_chi2: one event pass to cells; fold happens on the cell table") {
+    val p = plan("q_stats_chi2")
+    // groupBy(t, h) is the only event-volume exchange; the margin
+    // windows and fold re-shuffle only the ≤120-cell table.
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
   test("q_sim_knn_graph broadcasts the anchor batch; corpus never shuffles") {
     // Same scale contract as q_sim_hard_negatives: the bounded anchor
     // batch broadcasts onto one streamed corpus pass (BNLJ, no
