@@ -749,7 +749,36 @@ object Aggregates extends QueryModule {
           lit(0d), (acc, x) => acc + x.getField("term"))).as("chi2"))
   }
 
+  /** Exact per-group mode (argmax-by-count): each user's most frequent
+    * event_type, with a deterministic tie-break (higher count first,
+    * then lexicographically smallest type). The classic "label a user
+    * by dominant behavior" op.
+    *
+    * Scale: NO collect_list of raw values — the first groupBy shrinks
+    * events to (user × |event_type|) cells with map-side partial
+    * counts, and the argmax window runs over that tiny frame (≤6 rows
+    * per user). The mode share divides two exact BIGINTs → identical
+    * doubles in both engines.
+    */
+  val aggMode: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val cells = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    cells
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("cnt").as("mode_cnt"),
+        Norm.r4tie(col("cnt").cast("double") / col("total").cast("double"))
+          .as("mode_share"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_mode" -> aggMode,
     "q_abtest" -> abTest,
     "q_stats_mad" -> statsMad,
     "q_stats_ks" -> statsKs,
@@ -783,6 +812,20 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" -> """
+      WITH cells AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type) AS rn,
+               sum(cnt) OVER (PARTITION BY user_id) AS total
+        FROM cells)
+      SELECT user_id, event_type AS mode_type, cnt AS mode_cnt,
+             floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS mode_share
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "q_stats_ks" -> """
       WITH e AS (
         SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -615,7 +615,113 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** CUSUM change-point scores over each event type's hourly count
+    * series (the classic drift/level-shift monitor). The textbook
+    * recurrence C_i = max(0, C_{i-1} + (x_i - μ)) is sequential, but it
+    * has an exact closed form over prefix sums: with d_i = n·x_i - S
+    * (the deviation scaled by n so μ = S/n stays integral),
+    * P_i = Σ_{j≤i} d_j and C_i = P_i - min(0, min_{j≤i} P_j) — a plain
+    * running-sum + running-min window pair. PropertySpec proves the
+    * identity against a direct fold.
+    *
+    * Every quantity is exact BIGINT; the reported score C_i/n is one
+    * final division of exact integers → identical doubles both engines.
+    *
+    * Scale: the groupBy shrinks events to O(types × hours) before any
+    * window runs; the windows then sort thousands of rows, not events.
+    */
+  val tsCusum: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("d", col("n") * col("x") - col("s"))
+      .withColumn("p", sum(col("d")).over(wOrd))
+      .withColumn("c", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(col("c").desc, col("hr"))
+    scored.select(col("event_type"), Norm.tstr(col("hr")).as("hour"),
+        col("x"),
+        Norm.r4tie(col("c").cast("double") / col("n").cast("double"))
+          .as("cusum"),
+        (row_number().over(wPeak) === 1).as("is_cp"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Lag-1 and lag-24 autocorrelation of each event type's hourly count
+    * series — the "is there day-over-day seasonality / short-term
+    * momentum" diagnostic. Pearson r over (x_i, x_{i+k}) pairs with all
+    * five sufficient statistics (Σx, Σy, Σx², Σy², Σxy) kept in exact
+    * BIGINT; only the final normalized quotient touches doubles, with
+    * the two variance factors cast to double BEFORE multiplying (their
+    * BIGINT product could overflow at scale; the double product is the
+    * same IEEE value in both engines).
+    *
+    * Scale: two window leads over the tiny (types × hours) frame, then
+    * a 12-row aggregate. Events are reduced by the first groupBy.
+    */
+  val tsAutocorr: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    def rAtLag(lag: Int) = {
+      val paired = hourly
+        .withColumn("y", lead(col("x"), lag).over(w))
+        .filter(col("y").isNotNull)
+      paired.groupBy("event_type")
+        .agg(count(lit(1)).as("np"), sum("x").as("a1"), sum("y").as("a2"),
+          sum(col("x") * col("x")).as("s11"),
+          sum(col("y") * col("y")).as("s22"),
+          sum(col("x") * col("y")).as("s12"))
+        .select(col("event_type"), lit(lag.toLong).as("lag"),
+          col("np").as("n_pairs"),
+          Norm.r4((col("np") * col("s12") - col("a1") * col("a2"))
+            .cast("double") /
+            sqrt((col("np") * col("s11") - col("a1") * col("a1"))
+              .cast("double") *
+              (col("np") * col("s22") - col("a2") * col("a2"))
+                .cast("double"))).as("r"))
+    }
+    rAtLag(1).unionAll(rAtLag(24)).orderBy("event_type", "lag")
+  }
+
+  /** Hour-of-day seasonal profile per event type: each hour's share of
+    * the type's traffic as a seasonal index (24 = all traffic in one
+    * hour, 1 = flat), plus the peak-hour flag. The seasonal baseline a
+    * forecaster subtracts before looking for anomalies.
+    *
+    * Index = 24·cnt/total — one division of exact BIGINTs.
+    * Scale: partial-agg'd groupBy down to types × 24 cells.
+    */
+  val tsSeasonal: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val cells = e.groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val wT = Window.partitionBy("event_type")
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("hod"))
+    cells
+      .withColumn("total", sum(col("cnt")).over(wT))
+      .select(col("event_type"), col("hod").cast("long").as("hod"),
+        col("cnt"),
+        Norm.r4tie(lit(24d) * col("cnt").cast("double") /
+          col("total").cast("double")).as("seasonal_index"),
+        (row_number().over(wPeak) === 1).as("is_peak"))
+      .orderBy("event_type", "hod")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_cusum" -> tsCusum,
+    "q_ts_autocorr" -> tsAutocorr,
+    "q_ts_seasonal" -> tsSeasonal,
     "q_seq_pattern" -> seqPattern,
     "q_ts_decay" -> tsDecay,
     "q_ts_drawdown" -> drawdown,
@@ -639,6 +745,78 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_cusum" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hr, x,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(x) OVER (PARTITION BY event_type) AS s
+        FROM hourly),
+      pfx AS (
+        SELECT event_type, hr, x, n,
+               sum(n * x - s) OVER w AS p
+        FROM scored
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cus AS (
+        SELECT event_type, hr, x, n,
+               p - least(CAST(0 AS HUGEINT), min(p) OVER w) AS c
+        FROM pfx
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+             x,
+             floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5)
+               / 10000 AS cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY c DESC, hr) = 1 AS is_cp
+      FROM cus ORDER BY event_type, hour""",
+    "q_ts_autocorr" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT event_type, x,
+               lead(x, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y1,
+               lead(x, 24) OVER (PARTITION BY event_type ORDER BY hr) AS y24
+        FROM hourly),
+      r1 AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS lag,
+               count(*) AS n_pairs,
+               sum(x) AS a1, sum(y1) AS a2,
+               sum(x * x) AS s11, sum(y1 * y1) AS s22,
+               sum(x * y1) AS s12
+        FROM l WHERE y1 IS NOT NULL GROUP BY 1),
+      r24 AS (
+        SELECT event_type, CAST(24 AS BIGINT) AS lag,
+               count(*) AS n_pairs,
+               sum(x) AS a1, sum(y24) AS a2,
+               sum(x * x) AS s11, sum(y24 * y24) AS s22,
+               sum(x * y24) AS s12
+        FROM l WHERE y24 IS NOT NULL GROUP BY 1),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r24)
+      SELECT event_type, lag, n_pairs,
+             round(CAST(n_pairs * s12 - a1 * a2 AS DOUBLE) /
+                   sqrt(CAST(n_pairs * s11 - a1 * a1 AS DOUBLE) *
+                        CAST(n_pairs * s22 - a2 * a2 AS DOUBLE)), 4) AS r
+      FROM u ORDER BY event_type, lag""",
+    "q_ts_seasonal" -> """
+      WITH cells AS (
+        SELECT event_type, date_part('hour', ts) AS hod, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, CAST(hod AS BIGINT) AS hod, cnt,
+               sum(cnt) OVER (PARTITION BY event_type) AS total,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cnt DESC, hod) AS rn
+        FROM cells)
+      SELECT event_type, hod, cnt,
+             floor(24 * CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS seasonal_index,
+             rn = 1 AS is_peak
+      FROM t ORDER BY event_type, hod""",
     "q_seq_pattern" -> """
       WITH c AS (
         SELECT user_id, ts, event_id,

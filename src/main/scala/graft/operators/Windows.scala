@@ -148,7 +148,33 @@ object Windows extends QueryModule {
       .orderBy("p_partkey")
   }
 
+  /** Rolling EXACT median of each user's last 7 event values (robust
+    * smoother — the median filter a metrics pipeline runs where a
+    * trailing mean would chase outliers).
+    *
+    * Determinism: values go through integer cents first, then cast to
+    * double, so the only interpolation (even-sized frames at partition
+    * starts: lo + (hi-lo)·0.5) runs on integer-valued doubles where
+    * both engines' formulas are exact. Spark's `percentile(_, 0.5)`
+    * and DuckDB's `median` share percentile_cont semantics.
+    *
+    * Scale: one user-keyed shuffle + per-partition sort; the exact
+    * percentile buffers only the 7-row frame, never the partition.
+    */
+  val windowMedian: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .withColumn("cents",
+        floor(col("value") * 100 + 0.5).cast("long").cast("double"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    e.select(col("user_id"), col("event_id"),
+        Norm.r4tie(expr("percentile(cents, 0.5d)").over(w) / 100d)
+          .as("median7"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_median" -> windowMedian,
     "q_skyline" -> skyline,
     "q_window_frame_values" -> windowFrameValues,
     "q_window_rank" -> windowRank,
@@ -161,6 +187,18 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_median" -> """
+      WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                 AS cents
+        FROM events)
+      SELECT user_id, event_id,
+             floor(median(cents) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   / 100 * 10000 + 0.5) / 10000 AS median7
+      FROM c ORDER BY event_id""",
     "q_skyline" -> """
       WITH bysize AS (
         SELECT p_size, max(p_retailprice) AS mp FROM part GROUP BY 1),
