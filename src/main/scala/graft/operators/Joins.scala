@@ -345,7 +345,54 @@ object Joins extends QueryModule {
       .orderBy("s_suppkey", "n_name")
   }
 
+  /** Grid-bucketed spatial distance join: every (customer, supplier)
+    * pair within euclidean radius r of each other, on deterministic
+    * synthetic coordinates derived from the keys (multiplicative-hash
+    * into [0,1)² — exact integer mod, then one double division, so
+    * both engines see bit-identical points).
+    *
+    * Scale: the classic O(n·m) distance join becomes an equi-join on
+    * grid cells of side r — one side keeps its own cell, the other
+    * explodes to the 3×3 neighborhood, so every qualifying pair meets
+    * in exactly one cell and each candidate is distance-tested once.
+    * Cost is O(n·9·density), shuffle is hash-by-cell (both sides can
+    * be 100 TB — no broadcast needed; AQE will still broadcast a small
+    * side). The oracle brute-forces the same predicate over the cross
+    * product, proving the grid pruning loses no pair.
+    */
+  val geoGridJoin: Q = (spark, dir) => {
+    val r = 0.05
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") * 2654435761L) % 1000003L).cast("double")
+          ./(1000003d).as("x"),
+        ((col("c_custkey") * 40503L + 12345L) % 999983L).cast("double")
+          ./(999983d).as("y"))
+      .withColumn("cx", floor(col("x") / r).cast("long"))
+      .withColumn("cy", floor(col("y") / r).cast("long"))
+    val s = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 1500450271L + 7919L) % 1000003L).cast("double")
+          ./(1000003d).as("sx"),
+        ((col("s_suppkey") * 96002369L + 271L) % 999983L).cast("double")
+          ./(999983d).as("sy"))
+      .withColumn("scx", floor(col("sx") / r).cast("long"))
+      .withColumn("scy", floor(col("sy") / r).cast("long"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (col("scx") + col("dx")).as("jcx"), (col("scy") + col("dy")).as("jcy"))
+    c.join(s, col("cx") === col("jcx") && col("cy") === col("jcy"))
+      .filter((col("x") - col("sx")) * (col("x") - col("sx")) +
+        (col("y") - col("sy")) * (col("y") - col("sy")) <= lit(r * r))
+      .select(col("c_custkey"), col("s_suppkey"),
+        Norm.r4tie(sqrt((col("x") - col("sx")) * (col("x") - col("sx")) +
+          (col("y") - col("sy")) * (col("y") - col("sy")))).as("dist"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_geo_grid_join" -> geoGridJoin,
     "q_join_bloom" -> joinBloom,
     "q_join_lateral" -> joinLateral,
     "q_fuzzy_match" -> fuzzyMatch,
@@ -363,6 +410,23 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_geo_grid_join" -> """
+      WITH c AS (
+        SELECT c_custkey,
+               ((c_custkey * 2654435761) % 1000003) / 1000003.0 AS x,
+               ((c_custkey * 40503 + 12345) % 999983) / 999983.0 AS y
+        FROM customer),
+      s AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 1500450271 + 7919) % 1000003) / 1000003.0 AS sx,
+               ((s_suppkey * 96002369 + 271) % 999983) / 999983.0 AS sy
+        FROM supplier)
+      SELECT c_custkey, s_suppkey,
+             floor(sqrt((x - sx) * (x - sx) + (y - sy) * (y - sy))
+                   * 10000 + 0.5) / 10000 AS dist
+      FROM c, s
+      WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 0.05 * 0.05
+      ORDER BY c_custkey, s_suppkey""",
     "q_join_lateral" -> """
       SELECT o.o_orderkey, t.l_linenumber,
              round(t.l_extendedprice, 4) AS price

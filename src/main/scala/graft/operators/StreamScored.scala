@@ -391,7 +391,22 @@ object StreamScored extends QueryModule {
     snapshot.orderBy("user_id")
   }
 
+  /** Streaming z-score anomaly detection scored (see
+    * [[Streams.anomalyZScores]]): each flagged event is final when
+    * emitted (its score depends only on its predecessors), so the
+    * query drains in Append mode and the result must hash-match the
+    * batch prior-window oracle exactly.
+    */
+  val streamAnomaly: Q = (spark, dir) => {
+    val out = Streams.anomalyZScores(Streams.eventsFileStream(spark, dir))
+    runToTable(out, OutputMode.Append(), "graft_stream_anomaly")
+      .select(col("event_id"), col("user_id"), col("cents"),
+        Norm.r4(col("z")).as("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_anomaly" -> streamAnomaly,
     "q_stream_cdc" -> streamCdcApply,
     "q_stream_topk" -> streamTopk,
     "q_stream_enrich" -> streamEnrich,
@@ -408,6 +423,27 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_anomaly" -> """
+      WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+      w AS (
+        SELECT event_id, user_id, x,
+               count(*) OVER win AS n,
+               sum(x) OVER win AS s1,
+               sum(x * x) OVER win AS s2
+        FROM c
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, x AS cents,
+             round(CAST(n * x - s1 AS DOUBLE) /
+                   sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 4) AS z
+      FROM w
+      WHERE n >= 10 AND n * s2 - s1 * s1 > 0
+        AND abs(CAST(n * x - s1 AS DOUBLE) /
+                sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) > 3
+      ORDER BY event_id""",
     "q_stream_pattern" -> """
       WITH c AS (
         SELECT user_id, ts, event_id,

@@ -808,7 +808,53 @@ object TextAnalysis extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Corpus-wide collocation mining: the top-100 bigrams by pointwise
+    * mutual information among bigrams seen ≥ 5 times — the "New York"
+    * / "machine learning" detector a tokenizer-training pipeline runs
+    * before merging multiword units. PMI = ln(p(xy) / (p(x)·p(y)))
+    * with p(xy) = c_xy/B over bigram positions and p(x) = c_x/T over
+    * token positions; all counts are exact BIGINTs and the quotient is
+    * assembled in one fixed double-expression shape (casts BEFORE
+    * multiplies — the BIGINT product c_xy·T² would overflow at corpus
+    * scale) so both engines produce the identical double.
+    *
+    * Scale: bigrams come from a shuffle-free per-doc zip (slice+zip,
+    * no self-join); both count tables are partial-agg'd by key; the
+    * two unigram lookups are plain hash joins on the bounded vocab;
+    * top-100 is TakeOrderedAndProject. The corpus totals T and B are
+    * 1-row broadcasts.
+    */
+  val textCollocations: Q = (spark, dir) => {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    val tokens = d.select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+    val uni = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = tokens.agg(count(lit(1)).as("t"))
+    val bigrams = d.select(explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> named_struct('w1', a, 'w2', b))"""))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val btot = bigrams.agg(count(lit(1)).as("b"))
+    val cxy = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val u1 = uni.select(col("tok").as("w1"), col("c").as("cx"))
+    val u2 = uni.select(col("tok").as("w2"), col("c").as("cy"))
+    cxy.join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("cxy"),
+        Norm.r4(log(col("cxy").cast("double") * col("t").cast("double") *
+          col("t").cast("double") /
+          (col("b").cast("double") * col("cx").cast("double") *
+            col("cy").cast("double")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_collocations" -> textCollocations,
     "q_text_hashing_trick" -> textHashingTrick,
     "q_privacy_rr" -> privacyRr,
     "q_privacy_kanon" -> kAnon,
@@ -856,6 +902,29 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_collocations" -> """
+      WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      tk AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM d)
+             WHERE tok <> ''),
+      uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+      tt AS (SELECT count(*) AS t FROM tk),
+      bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                    unnest(toks[2:len(toks)]) AS w2
+             FROM d),
+      bgf AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''),
+      bt AS (SELECT count(*) AS b FROM bgf),
+      cxy AS (SELECT w1, w2, count(*) AS cxy FROM bgf
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT cxy.w1, cxy.w2, cxy.cxy,
+             round(ln(CAST(cxy.cxy AS DOUBLE) * CAST(tt.t AS DOUBLE)
+                      * CAST(tt.t AS DOUBLE)
+                      / (CAST(bt.b AS DOUBLE) * CAST(ux.c AS DOUBLE)
+                         * CAST(uy.c AS DOUBLE))), 4) AS pmi
+      FROM cxy
+      JOIN uni ux ON cxy.w1 = ux.tok
+      JOIN uni uy ON cxy.w2 = uy.tok, tt, bt
+      ORDER BY pmi DESC, cxy.w1, cxy.w2
+      LIMIT 100""",
     "q_text_hashing_trick" -> """
       WITH t AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok

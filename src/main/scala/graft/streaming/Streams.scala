@@ -44,6 +44,13 @@ class UserCountsProcessor
 case class PatternState(inSignup: Boolean, lastWasError: Boolean,
                         nEvents: Long, nConv: Long, nBursts: Long)
 
+/** Per-user prior-window sufficient statistics for streaming z-score
+  * anomaly detection: count, Σcents, Σcents² — all exact integers so
+  * the fold is order-invariant within a timestamp tie and the score is
+  * reproducible against the batch window oracle.
+  */
+case class ZState(n: Long, s1: Long, s2: Long)
+
 /** Open-session tracker: event count + last-activity millis. */
 case class SessionTrack(nEvents: Long, lastTs: Long)
 
@@ -264,6 +271,55 @@ object Streams {
           Iterator((uid, n, conv, burst))
       }
       .toDF("user_id", "n_events", "n_conversions", "n_error_bursts")
+  }
+
+  /** s_anomaly: streaming per-user z-score anomaly detection — each
+    * event is scored against the user's PRIOR history (population σ of
+    * everything seen before it), the monitoring shape a fraud/metrics
+    * pipeline runs online. State is three integers (n, Σx, Σx² in
+    * cents), folded in (ts, event_id) order within each micro-batch;
+    * the algebra keeps everything in exact BIGINT up to one final
+    * divide: z = (n·x − Σx) / √(n·Σx² − (Σx)²), which equals the
+    * classical (x − μ)/σ. An event is emitted iff it has ≥ 10
+    * predecessors, the prior window has nonzero variance, and |z| > 3.
+    * The DuckDB oracle is the batch twin: the same statistics from a
+    * `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` window.
+    *
+    * Scale: O(1) state per user, no retained events; the only shuffle
+    * is the groupByKey hash by user — identical to every stateful op
+    * here.
+    */
+  def anomalyZScores(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[ZState]) =>
+          val prev = state.getOption.getOrElse(ZState(0L, 0L, 0L))
+          var n = prev.n; var s1 = prev.s1; var s2 = prev.s2
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            val x = r._4
+            val num = n * x - s1
+            val den2 = n * s2 - s1 * s1
+            if (n >= 10 && den2 > 0) {
+              val z = num.toDouble / math.sqrt(den2.toDouble)
+              if (math.abs(z) > 3.0) out += ((r._3, uid, x, z))
+            }
+            n += 1; s1 += x; s2 += x * x
+          }
+          state.update(ZState(n, s1, s2))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "cents", "z")
   }
 
   /** s_stateful_tws: [[statefulUserCounts]] re-expressed on
