@@ -672,25 +672,36 @@ object TimeWindows extends QueryModule {
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy("event_type").orderBy("hr")
-    def rAtLag(lag: Int) = {
-      val paired = hourly
-        .withColumn("y", lead(col("x"), lag).over(w))
-        .filter(col("y").isNotNull)
-      paired.groupBy("event_type")
-        .agg(count(lit(1)).as("np"), sum("x").as("a1"), sum("y").as("a2"),
-          sum(col("x") * col("x")).as("s11"),
-          sum(col("y") * col("y")).as("s22"),
-          sum(col("x") * col("y")).as("s12"))
-        .select(col("event_type"), lit(lag.toLong).as("lag"),
-          col("np").as("n_pairs"),
-          Norm.r4((col("np") * col("s12") - col("a1") * col("a2"))
-            .cast("double") /
-            sqrt((col("np") * col("s11") - col("a1") * col("a1"))
-              .cast("double") *
-              (col("np") * col("s22") - col("a2") * col("a2"))
-                .cast("double"))).as("r"))
-    }
-    rAtLag(1).unionAll(rAtLag(24)).orderBy("event_type", "lag")
+    // Both lags ride ONE pass: two lead columns, one aggregation
+    // producing both stat sets (sum/count skip the null tail rows), an
+    // explode to long form — the events scan and the hourly agg are
+    // never duplicated the way a per-lag union would duplicate them.
+    val paired = hourly
+      .withColumn("y1", lead(col("x"), 1).over(w))
+      .withColumn("y24", lead(col("x"), 24).over(w))
+    def stats(y: String) = struct(
+      count(col(y)).as("np"),
+      sum(when(col(y).isNotNull, col("x"))).as("a1"),
+      sum(col(y)).as("a2"),
+      sum(when(col(y).isNotNull, col("x") * col("x"))).as("s11"),
+      sum(col(y) * col(y)).as("s22"),
+      sum(col("x") * col(y)).as("s12"))
+    val st = col("e.st")
+    paired.groupBy("event_type")
+      .agg(stats("y1").as("l1"), stats("y24").as("l24"))
+      .select(col("event_type"), explode(array(
+        struct(lit(1L).as("lag"), col("l1").as("st")),
+        struct(lit(24L).as("lag"), col("l24").as("st")))).as("e"))
+      .select(col("event_type"), col("e.lag").as("lag"),
+        st.getField("np").as("n_pairs"),
+        Norm.r4((st.getField("np") * st.getField("s12") -
+          st.getField("a1") * st.getField("a2")).cast("double") /
+          sqrt((st.getField("np") * st.getField("s11") -
+            st.getField("a1") * st.getField("a1")).cast("double") *
+            (st.getField("np") * st.getField("s22") -
+              st.getField("a2") * st.getField("a2")).cast("double")))
+          .as("r"))
+      .orderBy("event_type", "lag")
   }
 
   /** Hour-of-day seasonal profile per event type: each hour's share of

@@ -711,6 +711,76 @@ class PlanSpec extends SparkSpec {
       countOcc(p, "HashAggregate") >= 2, p)
   }
 
+  test("q_agg_mode: argmax runs on the cells table, never raw events") {
+    // groupBy(user, type) is the only event-volume exchange; the rank
+    // window re-shuffles the ≤6-rows-per-user cell table by user.
+    val p = plan("q_agg_mode")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("struct<user_id:bigint,event_type:string>"), rs)
+  }
+
+  test("q_window_median: one user shuffle, no join, frame-bounded percentile") {
+    val p = plan("q_window_median")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("event_type"), rs)
+  }
+
+  test("q_ts_cusum: windows run over the hourly table, not events") {
+    // The (type, hour) agg reduces events before ANY window; the
+    // running-sum/min/peak windows re-shuffle only types × hours rows.
+    val p = plan("q_ts_cusum")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_ts_autocorr: both lags ride one events scan and one hourly agg") {
+    // The two-lead + explode shape must not duplicate the scan the way
+    // a per-lag union would.
+    val p = plan("q_ts_autocorr")
+    assert(countOcc(p, "FileScan parquet") === 1, p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
+  test("q_ts_seasonal: partial-agg'd to types x 24 cells before windows") {
+    val p = plan("q_ts_seasonal")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_geo_grid_join: cell equi-join, never a cartesian distance test") {
+    // The radius join must reach the executor as an equi-join on grid
+    // cells (hash or sort-merge at scale; broadcast here) with the
+    // exact distance as a post-join filter — no nested-loop over n·m.
+    val p = plan("q_geo_grid_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("c_name") && !rs.contains("s_name"), rs)
+  }
+
+  test("q_text_collocations: top-100 is a heap top-k; totals broadcast") {
+    // TakeOrderedAndProject (per-partition heaps, 100 rows to the
+    // driver) — never a global sort of the bigram table; the 1-row
+    // T and B totals ride broadcast nested loops, not shuffles.
+    val p = plan("q_text_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+  }
+
   test("q_text_hashing_trick: tf and norm aggs co-partition; no token shuffle") {
     // Tokens reduce map-side into (doc_id, bucket) partials before the
     // one grouping shuffle; the norm agg and the tf-norm join both

@@ -455,6 +455,79 @@ class PropertySpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1))
   }
 
+  test("CUSUM prefix-sum/running-min closed form equals the direct fold") {
+    // q_ts_cusum relies on C_i = P_i - min(0, min_{j<=i} P_j) being
+    // exactly the recurrence C_i = max(0, C_{i-1} + d_i). Prove it on
+    // random integer series THROUGH the Spark windows the query uses.
+    import spark.implicits._
+    val series = (1 to 20).map { s =>
+      s.toLong -> sample(Gen.listOfN(50, Gen.choose(-100L, 100L)), s)
+    }
+    val rows = series.flatMap { case (sid, ds) =>
+      ds.zipWithIndex.map { case (d, i) => (sid, i.toLong, d) }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viaWindows = rows.toDF("sid", "i", "d")
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("c", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select("sid", "i", "c").as[(Long, Long, Long)]
+      .collect().map { case (s, i, c) => (s, i) -> c }.toMap
+    series.foreach { case (sid, ds) =>
+      var c = 0L
+      ds.zipWithIndex.foreach { case (d, i) =>
+        c = math.max(0L, c + d)
+        assert(viaWindows((sid, i.toLong)) === c,
+          s"series $sid diverges at $i")
+      }
+    }
+  }
+
+  test("streaming z-score algebra equals the classical (x-mean)/sigma") {
+    // q_stream_anomaly scores with (n·x − Σx)/√(n·Σx² − (Σx)²); check
+    // against the naive prior-window mean/population-σ on random data.
+    val xs = sample(Gen.listOfN(200, Gen.choose(0L, 10000L)), 42)
+    var n = 0L; var s1 = 0L; var s2 = 0L
+    xs.foreach { x =>
+      if (n >= 2) {
+        val den2 = n * s2 - s1 * s1
+        if (den2 > 0) {
+          val fast = (n * x - s1).toDouble / math.sqrt(den2.toDouble)
+          val mean = s1.toDouble / n
+          val sd = math.sqrt(s2.toDouble / n - mean * mean)
+          val naive = (x - mean) / sd
+          assert(math.abs(fast - naive) < 1e-6, s"at n=$n x=$x")
+        }
+      }
+      n += 1; s1 += x; s2 += x * x
+    }
+  }
+
+  test("q_geo_grid_join grid pruning loses no pair vs brute force") {
+    // The 3x3 neighbor explode must reproduce the exact brute-force
+    // radius join — a pair straddling a cell border is the regression
+    // this guards against.
+    val grid = operators.Joins.geoGridJoin(spark, sfDir)
+      .select("c_custkey", "s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Tables(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val s = Tables(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    def cxy(k: Long) = ((k * 2654435761L % 1000003L).toDouble / 1000003d,
+      ((k * 40503L + 12345L) % 999983L).toDouble / 999983d)
+    def sxy(k: Long) = (((k * 1500450271L + 7919L) % 1000003L).toDouble
+      / 1000003d, ((k * 96002369L + 271L) % 999983L).toDouble / 999983d)
+    val brute = (for {
+      ck <- c; sk <- s
+      (x, y) = cxy(ck); (sx, sy) = sxy(sk)
+      if (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 0.05 * 0.05
+    } yield (ck, sk)).toSet
+    assert(grid === brute)
+  }
+
   test("q_sim_knn_graph: every anchor has exactly 3 ranked neighbors, none itself") {
     val g = operators.Similarity.simKnnGraph(spark, sfDir)
     assert(g.filter(col("src") === col("dst")).count() === 0)

@@ -403,6 +403,33 @@ class StreamingSpec extends SparkSpec {
       s"late row was not dropped by the watermark (dropped=$dropped)")
   }
 
+  test("s_anomaly scores against prior-batch state; exact z on a planted outlier") {
+    // 12 alternating baseline values arrive in batch 1 (mean 11.00,
+    // population σ exactly 1.00 in cents); batch 2 brings one outlier
+    // and one in-band value. Only the outlier may be emitted, with the
+    // hand-computed z — proving the sufficient statistics survived the
+    // micro-batch boundary and the integer algebra is exact.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val base = (1 to 12).map { i =>
+      val v = if (i % 2 == 0) 12.00 else 10.00
+      Ev(i.toLong, t(f"2024-01-01 10:${i}%02d:00"), 5, "click", v)
+    }
+    val out = run(Streams.anomalyZScores(in.toDF), "anom", "append") { q =>
+      in.addData(base: _*)
+      q.processAllAvailable()
+      in.addData(
+        Ev(13, t("2024-01-01 10:13:00"), 5, "click", 50.00), // z = 39
+        Ev(14, t("2024-01-01 10:14:00"), 5, "click", 11.00)) // z = 0
+      q.processAllAvailable()
+    }
+    import org.apache.spark.sql.functions.col
+    val rows = out.select("event_id", "cents", "z")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((13L, 5000L, 39.0)), rows.mkString(","))
+  }
+
   test("s_pattern DFA carries automaton state across micro-batches") {
     // A signup in batch 1 must still convert on a purchase arriving in
     // batch 3 (with only click/view between) — the live-attempt flag
