@@ -777,7 +777,33 @@ object Aggregates extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Exact grouped percentiles: the p50/p90/p99 latency-style table per
+    * event type (the SRE/SLA reporting shape), over integer cents cast
+    * to double so interpolation runs on exactly representable values.
+    * DuckDB's quantile_cont and Spark's exact `percentile` share
+    * percentile_cont semantics; their interpolation formulas differ
+    * only in sub-4dp ulps on this domain.
+    *
+    * Scale: exact percentiles buffer each group — right at |types|
+    * groups; the documented 100 TB swap is approx_percentile (already
+    * exhibited by q_agg_approx_quantile) when groups stop fitting.
+    */
+  val aggPercentiles: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .withColumn("cents",
+        floor(col("value") * 100 + 0.5).cast("long").cast("double"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(cents, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(col("event_type"), col("n"),
+        Norm.r4tie(col("p").getItem(0) / 100d).as("p50"),
+        Norm.r4tie(col("p").getItem(1) / 100d).as("p90"),
+        Norm.r4tie(col("p").getItem(2) / 100d).as("p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_percentiles" -> aggPercentiles,
     "q_agg_mode" -> aggMode,
     "q_abtest" -> abTest,
     "q_stats_mad" -> statsMad,
@@ -812,6 +838,20 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_percentiles" -> """
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                 AS cents
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             floor(quantile_cont(cents, 0.5) / 100 * 10000 + 0.5) / 10000
+               AS p50,
+             floor(quantile_cont(cents, 0.9) / 100 * 10000 + 0.5) / 10000
+               AS p90,
+             floor(quantile_cont(cents, 0.99) / 100 * 10000 + 0.5) / 10000
+               AS p99
+      FROM c GROUP BY event_type ORDER BY event_type""",
     "q_agg_mode" -> """
       WITH cells AS (
         SELECT user_id, event_type, count(*) AS cnt

@@ -853,7 +853,51 @@ object TextAnalysis extends QueryModule {
       .limit(100)
   }
 
+  /** Zipf-law fit of the corpus frequency spectrum: OLS slope/intercept
+    * of ln(freq) on ln(rank) over the top-1000 terms — the
+    * "is this corpus natural language or boilerplate" health check (a
+    * natural corpus slopes ≈ −1; templated spam flattens or cliffs).
+    * The four OLS sums are LEFT FOLDS over the rank-sorted 1000-element
+    * array (the q_stats_chi2 discipline), so both engines add the same
+    * doubles in the same order — no float-sum-order leniency.
+    *
+    * Scale: term counts partial-agg; top-1000 is a heap top-k
+    * (TakeOrderedAndProject), and the window/fold run on 1000 rows —
+    * everything after the vocab agg is O(1000) whatever the corpus.
+    */
+  val textZipf: Q = (spark, dir) => {
+    val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
+    val tc = d.select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(1000)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val ranked = tc.withColumn("rn", row_number().over(w))
+      .select(struct(col("rn"),
+        log(col("rn").cast("double")).as("lx"),
+        log(col("c").cast("double")).as("ly")).as("e"))
+    def fold(field: String, arr: Column): Column =
+      aggregate(arr, lit(0.0d), (acc, e) => acc + e.getField(field))
+    val agg = ranked.agg(count(lit(1)).as("n_terms"),
+      array_sort(collect_list(col("e"))).as("es"))
+    val arr = col("es")
+    val nD = col("n_terms").cast("double")
+    val sx = fold("lx", arr)
+    val sy = fold("ly", arr)
+    val sxy = aggregate(arr, lit(0.0d),
+      (acc, e) => acc + e.getField("lx") * e.getField("ly"))
+    val sxx = aggregate(arr, lit(0.0d),
+      (acc, e) => acc + e.getField("lx") * e.getField("lx"))
+    agg.select(col("n_terms"),
+        ((nD * sxy - sx * sy) / (nD * sxx - sx * sx)).as("slope_raw"),
+        sx.as("sx"), sy.as("sy"))
+      .select(col("n_terms"), Norm.r4(col("slope_raw")).as("slope"),
+        Norm.r4((col("sy") - col("slope_raw") * col("sx")) / nD)
+          .as("intercept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_zipf" -> textZipf,
     "q_text_collocations" -> textCollocations,
     "q_text_hashing_trick" -> textHashingTrick,
     "q_privacy_rr" -> privacyRr,
@@ -902,6 +946,38 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_zipf" -> """
+      WITH tk AS (SELECT tok FROM
+             (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             WHERE tok <> ''),
+      tc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok
+             ORDER BY c DESC, tok LIMIT 1000),
+      ranked AS (SELECT c,
+                   row_number() OVER (ORDER BY c DESC, tok) AS rn
+                 FROM tc),
+      es AS (SELECT count(*) AS n,
+               list(struct_pack(rn := rn,
+                                lx := ln(CAST(rn AS DOUBLE)),
+                                ly := ln(CAST(c AS DOUBLE)))
+                    ORDER BY rn) AS l
+             FROM ranked),
+      sums AS (SELECT n,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(l, e -> e.lx)), (a, x) -> a + x) AS sx,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(l, e -> e.ly)), (a, x) -> a + x) AS sy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(l, e -> e.lx * e.ly)), (a, x) -> a + x) AS sxy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(l, e -> e.lx * e.lx)), (a, x) -> a + x) AS sxx
+        FROM es)
+      SELECT n AS n_terms,
+             round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope,
+             round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / CAST(n AS DOUBLE), 4) AS intercept
+      FROM sums""",
     "q_text_collocations" -> """
       WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
       tk AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM d)

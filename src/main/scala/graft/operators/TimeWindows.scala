@@ -729,7 +729,54 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hod")
   }
 
+  /** Mann-Kendall trend test over each type's hourly count series —
+    * the nonparametric "is this metric monotonically drifting" monitor
+    * (no normality assumption, robust to outliers). S = Σ_{i<j}
+    * sgn(x_j − x_i) with the tie-corrected variance
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18; z applies the standard
+    * ±1 continuity correction; |z| > 1.96 labels the trend at α=0.05.
+    * S, n and the 18·var numerator are exact BIGINTs — doubles appear
+    * only in the final quotient.
+    *
+    * Scale: the pairwise comparison is a self-join of the HOURLY table
+    * — O(hours²) per type is CALENDAR-bounded (30 days → 258k pairs),
+    * independent of event volume; events reduce in the first groupBy.
+    */
+  val tsTrend: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val a = hourly.select(col("event_type").as("t"), col("hr").as("hi"),
+      col("x").as("xi"))
+    val b = hourly.select(col("event_type").as("t2"), col("hr").as("hj"),
+      col("x").as("xj"))
+    val s = a.join(b, col("t") === col("t2") && col("hi") < col("hj"))
+      .groupBy(col("t").as("event_type"))
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val nrows = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ties = hourly.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy("event_type")
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2L) * col("tc") + 5))
+        .as("tieadj"))
+    val z = (col("s").cast("double") - signum(col("s").cast("double"))) /
+      sqrt(col("v18").cast("double") / 18.0d)
+    s.join(nrows, "event_type").join(ties, "event_type")
+      .withColumn("v18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tieadj"))
+      .withColumn("z", when(col("s") === 0, lit(0.0d)).otherwise(z))
+      .select(col("event_type"), col("n"), col("s"), Norm.r4(col("z")).as("z"),
+        when(col("z") > 1.96d, "increasing")
+          .when(col("z") < -1.96d, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_trend" -> tsTrend,
     "q_ts_cusum" -> tsCusum,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_seasonal" -> tsSeasonal,
@@ -756,6 +803,41 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_trend" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      sr AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.hr < b.hr
+        GROUP BY 1),
+      nr AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+      tr AS (
+        SELECT event_type,
+               sum(tc * (tc - 1) * (2 * tc + 5)) AS tieadj
+        FROM (SELECT event_type, x, count(*) AS tc
+              FROM hourly GROUP BY 1, 2)
+        GROUP BY 1),
+      j AS (
+        SELECT sr.event_type, nr.n, sr.s,
+               nr.n * (nr.n - 1) * (2 * nr.n + 5) - tr.tieadj AS v18
+        FROM sr JOIN nr ON sr.event_type = nr.event_type
+                JOIN tr ON sr.event_type = tr.event_type),
+      zs AS (
+        SELECT event_type, n, s,
+               CASE WHEN s = 0 THEN 0.0
+                    ELSE (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                         / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+               END AS z
+        FROM j)
+      SELECT event_type, n, CAST(s AS BIGINT) AS s, round(z, 4) AS z,
+             CASE WHEN z > 1.96 THEN 'increasing'
+                  WHEN z < -1.96 THEN 'decreasing'
+                  ELSE 'none' END AS trend
+      FROM zs ORDER BY event_type""",
     "q_ts_cusum" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x

@@ -781,6 +781,33 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "HashAggregate") >= 2, p)
   }
 
+  test("q_agg_percentiles: one partial-agg'd pass to |types| groups") {
+    val p = plan("q_agg_percentiles")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("struct<event_type:string,value:double>"), rs)
+  }
+
+  test("q_ts_trend: pairwise S joins the hourly table, never events") {
+    // The self-join must sit ABOVE the (type, hour) aggregation — its
+    // inputs are calendar-bounded, so O(hours²) is volume-independent.
+    val p = plan("q_ts_trend")
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregation below the join: $p")
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
+  test("q_text_zipf: vocab top-1000 is a heap top-k; fold runs on 1000 rows") {
+    val p = plan("q_text_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+  }
+
   test("q_text_hashing_trick: tf and norm aggs co-partition; no token shuffle") {
     // Tokens reduce map-side into (doc_id, bucket) partials before the
     // one grouping shuffle; the norm agg and the tf-norm join both
