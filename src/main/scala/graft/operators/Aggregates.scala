@@ -802,7 +802,51 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Pairwise Pearson correlation matrix over four per-user behavior
+    * metrics (clicks, views, purchases, spend-dollars) in long form —
+    * the feature-correlation screen run before model training. All
+    * sufficient statistics (4 sums + 10 pair products + n) come from
+    * ONE aggregation over the per-user frame in exact BIGINT (spend in
+    * whole dollars keeps squares < 2^63 at scale); each r casts to
+    * double only in the final quotient, variance factors cast BEFORE
+    * multiplying.
+    *
+    * Scale: one partial-agg'd user groupBy, then a 1-row global agg —
+    * the matrix itself is O(k²) = 16 numbers whatever the volume.
+    */
+  val aggCorrMatrix: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val perUser = e.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("m1"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("m2"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("m3"),
+      sum(floor(col("value") * 100 + 0.5).cast("long")).as("c4"))
+      .withColumn("m4", expr("c4 div 100"))
+    val ms = Seq("m1", "m2", "m3", "m4")
+    val sums = ms.map(m => sum(col(m)).as(s"s_$m")) ++
+      (for (a <- ms; b <- ms if a <= b)
+        yield sum(col(a) * col(b)).as(s"q_${a}_$b"))
+    val stats = perUser.agg(count(lit(1)).as("n"), sums: _*)
+    def q(a: String, b: String) =
+      if (a <= b) col(s"q_${a}_$b") else col(s"q_${b}_$a")
+    val pairs = for (a <- ms; b <- ms if a < b) yield {
+      val num = (col("n") * q(a, b) - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val da = (col("n") * q(a, a) - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")
+      val db = (col("n") * q(b, b) - col(s"s_$b") * col(s"s_$b"))
+        .cast("double")
+      struct(lit(a).as("ma"), lit(b).as("mb"),
+        (num / sqrt(da * db)).as("r"))
+    }
+    stats.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.ma").as("metric_a"), col("p.mb").as("metric_b"),
+        Norm.r4(col("p.r")).as("r"))
+      .orderBy("metric_a", "metric_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_mode" -> aggMode,
     "q_abtest" -> abTest,
@@ -838,6 +882,46 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_corr_matrix" -> """
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m1,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m2,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS m3,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 AS m4
+        FROM events GROUP BY user_id),
+      st AS (
+        SELECT count(*) AS n,
+               sum(m1) AS s1, sum(m2) AS s2, sum(m3) AS s3, sum(m4) AS s4,
+               sum(m1*m1) AS q11, sum(m1*m2) AS q12, sum(m1*m3) AS q13,
+               sum(m1*m4) AS q14, sum(m2*m2) AS q22, sum(m2*m3) AS q23,
+               sum(m2*m4) AS q24, sum(m3*m3) AS q33, sum(m3*m4) AS q34,
+               sum(m4*m4) AS q44
+        FROM pu),
+      pairs AS (
+        SELECT 'm1' AS metric_a, 'm2' AS metric_b,
+               CAST(n*q12 - s1*s2 AS DOUBLE) AS num,
+               CAST(n*q11 - s1*s1 AS DOUBLE) AS da,
+               CAST(n*q22 - s2*s2 AS DOUBLE) AS db FROM st
+        UNION ALL SELECT 'm1', 'm3', CAST(n*q13 - s1*s3 AS DOUBLE),
+               CAST(n*q11 - s1*s1 AS DOUBLE),
+               CAST(n*q33 - s3*s3 AS DOUBLE) FROM st
+        UNION ALL SELECT 'm1', 'm4', CAST(n*q14 - s1*s4 AS DOUBLE),
+               CAST(n*q11 - s1*s1 AS DOUBLE),
+               CAST(n*q44 - s4*s4 AS DOUBLE) FROM st
+        UNION ALL SELECT 'm2', 'm3', CAST(n*q23 - s2*s3 AS DOUBLE),
+               CAST(n*q22 - s2*s2 AS DOUBLE),
+               CAST(n*q33 - s3*s3 AS DOUBLE) FROM st
+        UNION ALL SELECT 'm2', 'm4', CAST(n*q24 - s2*s4 AS DOUBLE),
+               CAST(n*q22 - s2*s2 AS DOUBLE),
+               CAST(n*q44 - s4*s4 AS DOUBLE) FROM st
+        UNION ALL SELECT 'm3', 'm4', CAST(n*q34 - s3*s4 AS DOUBLE),
+               CAST(n*q33 - s3*s3 AS DOUBLE),
+               CAST(n*q44 - s4*s4 AS DOUBLE) FROM st)
+      SELECT metric_a, metric_b,
+             round(num / sqrt(da * db), 4) AS r
+      FROM pairs ORDER BY metric_a, metric_b""",
     "q_agg_percentiles" -> """
       WITH c AS (
         SELECT event_type,

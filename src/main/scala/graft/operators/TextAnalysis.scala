@@ -896,7 +896,48 @@ object TextAnalysis extends QueryModule {
           .as("intercept"))
   }
 
+  /** Neyman-allocation stratified sampling: a 200-doc budget split
+    * across language strata ∝ N_h·σ_h (strata that are big AND
+    * internally varied get more samples — the design that minimizes
+    * the estimator's variance, vs the proportional split
+    * q_sample_stratified draws). N_h·σ_h = √(n·Σx² − (Σx)²) on exact
+    * BIGINTs (x = n_chars); the stratum-weight total is an ordered
+    * fold over the ≤|langs| weights; within a stratum the sample is
+    * the alloc_h lowest md5(doc_id) — content-stable like every
+    * sampler here.
+    *
+    * Scale: the static rn ≤ 200 pre-cut compiles to a partial
+    * WindowGroupLimit — map tasks forward ≤200 rows per lang before
+    * the shuffle; the dynamic alloc_h cut then broadcasts onto that
+    * bounded frame. Stats are one partial-agg'd pass.
+    */
+  val sampleNeyman: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val st = d.groupBy("lang").agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .withColumn("w",
+        sqrt((col("n_h") * col("s2") - col("s1") * col("s1"))
+          .cast("double")))
+    val wtot = st.agg(aggregate(
+      array_sort(collect_list(struct(col("lang"), col("w")))),
+      lit(0.0d), (acc, e) => acc + e.getField("w")).as("wt"))
+    val alloc = st.crossJoin(broadcast(wtot))
+      .select(col("lang").as("alang"),
+        floor(lit(200.0d) * col("w") / col("wt")).cast("long").as("alloc"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 200)
+      .join(broadcast(alloc), col("lang") === col("alang"))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_neyman" -> sampleNeyman,
     "q_text_zipf" -> textZipf,
     "q_text_collocations" -> textCollocations,
     "q_text_hashing_trick" -> textHashingTrick,
@@ -946,6 +987,32 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_neyman" -> """
+      WITH st AS (
+        SELECT lang, count(*) AS n_h, sum(n_chars) AS s1,
+               sum(n_chars * n_chars) AS s2
+        FROM documents GROUP BY lang),
+      ws AS (
+        SELECT lang,
+               sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)) AS w
+        FROM st),
+      wt AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(w ORDER BY lang)), (a, x) -> a + x) AS wt
+        FROM ws),
+      alloc AS (
+        SELECT lang, CAST(floor(200.0 * w / wt) AS BIGINT) AS alloc
+        FROM ws, wt),
+      ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.lang, r.rn, a.alloc
+      FROM ranked r JOIN alloc a ON r.lang = a.lang
+      WHERE r.rn <= a.alloc
+      ORDER BY r.lang, r.rn""",
     "q_text_zipf" -> """
       WITH tk AS (SELECT tok FROM
              (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

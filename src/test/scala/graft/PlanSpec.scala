@@ -808,6 +808,22 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "HashAggregate") >= 2, p)
   }
 
+  test("q_agg_corr_matrix: one user pass, one global row, no join") {
+    val p = plan("q_agg_corr_matrix")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("q_sample_neyman: static rn<=200 pre-cut becomes a WindowGroupLimit") {
+    // Map tasks must forward at most 200 rows per lang BEFORE the
+    // shuffle; the dynamic alloc cut broadcasts onto that bounded
+    // frame.
+    val p = plan("q_sample_neyman")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_text_hashing_trick: tf and norm aggs co-partition; no token shuffle") {
     // Tokens reduce map-side into (doc_id, bucket) partials before the
     // one grouping shuffle; the norm agg and the tf-norm join both
