@@ -736,6 +736,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "source", "bucket")
   }
 
+  /** l-diversity audit, the companion check k-anonymity misses: a cell
+    * can hold ≥ k rows yet leak the sensitive attribute when every row
+    * shares one value. Over the release quasi-identifiers (lang,
+    * 100-char length bucket) with `source` sensitive: distinct-l per
+    * cell, the dominant source's share (exact BIGINT ratio), and the
+    * l ≥ 2 verdict a release gate enforces.
+    *
+    * Scale: one partial-agg'd pass to (QI × source) cells, then
+    * windows/aggs over that bounded histogram — text never shuffles.
+    */
+  val privacyLdiv: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val cells = d.groupBy(col("lang"),
+        concat(lit("b"), expr("n_chars div 100").cast("string"))
+          .as("bucket"),
+        col("source"))
+      .agg(count(lit(1)).as("ns"))
+    val w = Window.partitionBy("lang", "bucket")
+    cells
+      .withColumn("n", sum(col("ns")).over(w))
+      .withColumn("l", count(lit(1)).over(w))
+      .withColumn("mx", max(col("ns")).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("n")).as("n"), max(col("l")).as("l"),
+        Norm.r4tie(max(col("mx")).cast("double") /
+          max(col("n")).cast("double")).as("dominant_share"))
+      .withColumn("diverse", col("l") >= 2)
+      .orderBy("lang", "bucket")
+  }
+
   /** Feature-hashing ("hashing trick") bag-of-words vectorizer: each
     * token hashes to one of 64 buckets via the engine-portable
     * md5Bucket, per-doc bucket counts are the sparse vector, and the
@@ -937,6 +967,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_privacy_ldiv" -> privacyLdiv,
     "q_sample_neyman" -> sampleNeyman,
     "q_text_zipf" -> textZipf,
     "q_text_collocations" -> textCollocations,
@@ -987,6 +1018,22 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_ldiv" -> """
+      WITH cells AS (
+        SELECT lang, 'b' || CAST(n_chars // 100 AS VARCHAR) AS bucket,
+               source, count(*) AS ns
+        FROM documents GROUP BY 1, 2, 3),
+      g AS (
+        SELECT lang, bucket,
+               CAST(sum(ns) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS l,
+               CAST(max(ns) AS BIGINT) AS mx
+        FROM cells GROUP BY 1, 2)
+      SELECT lang, bucket, n, l,
+             floor(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS dominant_share,
+             l >= 2 AS diverse
+      FROM g ORDER BY lang, bucket""",
     "q_sample_neyman" -> """
       WITH st AS (
         SELECT lang, count(*) AS n_h, sum(n_chars) AS s1,

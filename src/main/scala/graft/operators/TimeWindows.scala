@@ -775,7 +775,53 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Single-frequency periodogram: the daily (24 h) and weekly (168 h)
+    * Fourier amplitudes of each type's hourly count series — "how
+    * strong is the diurnal/weekly cycle" in one number per period, the
+    * spectral companion to q_ts_seasonal's profile. a = Σx·cos(2πt/P),
+    * b = Σx·sin(2πt/P), amplitude = 2√(a²+b²)/n. The four trig sums
+    * are LEFT FOLDS over the hour-sorted array (q_stats_chi2
+    * discipline): both engines add the same doubles in the same order
+    * (cos/sin may differ by 1 ulp per term — ~1e-13 relative on the
+    * sum, invisible at 4dp). Phase angles come from exact integer
+    * (hour-index mod P)/P fractions.
+    *
+    * Scale: events partial-agg to (types × hours); the fold array is
+    * calendar-bounded (720 entries/month), never data-volume-sized.
+    */
+  val tsPeriodogram: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val twoPi = lit(2 * math.Pi)
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+    def ang(p: Int) =
+      twoPi * (col("h") % p).cast("double") / lit(p.toDouble)
+    val terms = hourly.select(col("event_type"), col("hr"),
+      struct(col("hr"),
+        (col("x").cast("double") * cos(ang(24))).as("c24"),
+        (col("x").cast("double") * sin(ang(24))).as("s24"),
+        (col("x").cast("double") * cos(ang(168))).as("c168"),
+        (col("x").cast("double") * sin(ang(168))).as("s168")).as("e"))
+    def fold(arr: Column, field: String): Column =
+      aggregate(arr, lit(0.0d), (acc, e) => acc + e.getField(field))
+    val agg = terms.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        array_sort(collect_list(col("e"))).as("es"))
+    val arr = col("es")
+    val nD = col("n_hours").cast("double")
+    def amp(c: String, s: String) = Norm.r4tie(
+      lit(2.0d) * sqrt(fold(arr, c) * fold(arr, c) +
+        fold(arr, s) * fold(arr, s)) / nD)
+    agg.select(col("event_type"), col("n_hours"),
+        amp("c24", "s24").as("amp_daily"),
+        amp("c168", "s168").as("amp_weekly"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_trend" -> tsTrend,
     "q_ts_cusum" -> tsCusum,
     "q_ts_autocorr" -> tsAutocorr,
@@ -803,6 +849,41 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_periodogram" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+        FROM events GROUP BY 1, 2),
+      terms AS (
+        SELECT event_type, hr,
+          CAST(x AS DOUBLE) * cos(2 * pi() * CAST(h % 24 AS DOUBLE) / 24.0)
+            AS c24,
+          CAST(x AS DOUBLE) * sin(2 * pi() * CAST(h % 24 AS DOUBLE) / 24.0)
+            AS s24,
+          CAST(x AS DOUBLE) * cos(2 * pi() * CAST(h % 168 AS DOUBLE) / 168.0)
+            AS c168,
+          CAST(x AS DOUBLE) * sin(2 * pi() * CAST(h % 168 AS DOUBLE) / 168.0)
+            AS s168
+        FROM hourly),
+      folded AS (
+        SELECT event_type, count(*) AS n_hours,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(c24 ORDER BY hr)), (a, v) -> a + v) AS a24,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(s24 ORDER BY hr)), (a, v) -> a + v) AS b24,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(c168 ORDER BY hr)), (a, v) -> a + v) AS a168,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(s168 ORDER BY hr)), (a, v) -> a + v) AS b168
+        FROM terms GROUP BY event_type)
+      SELECT event_type, n_hours,
+             floor(2.0 * sqrt(a24 * a24 + b24 * b24)
+                   / CAST(n_hours AS DOUBLE) * 10000 + 0.5) / 10000
+               AS amp_daily,
+             floor(2.0 * sqrt(a168 * a168 + b168 * b168)
+                   / CAST(n_hours AS DOUBLE) * 10000 + 0.5) / 10000
+               AS amp_weekly
+      FROM folded ORDER BY event_type""",
     "q_ts_trend" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x

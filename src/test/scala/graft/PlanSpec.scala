@@ -824,6 +824,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_privacy_ldiv: one pass to QI-source cells; text never shuffles") {
+    val p = plan("q_privacy_ldiv")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("text"), rs)
+  }
+
+  test("q_ts_periodogram: trig folds run on the calendar-bounded hourly table") {
+    val p = plan("q_ts_periodogram")
+    assert(countOcc(p, "FileScan parquet") === 1, p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
+
   test("q_text_hashing_trick: tf and norm aggs co-partition; no token shuffle") {
     // Tokens reduce map-side into (doc_id, bucket) partials before the
     // one grouping shuffle; the norm agg and the tf-norm join both
