@@ -845,7 +845,43 @@ object Aggregates extends QueryModule {
       .orderBy("metric_a", "metric_b")
   }
 
+  /** The SQL front-end, end-to-end: TPC-H Q5's local-supplier-volume
+    * shape submitted as ONE `spark.sql` text over registered temp
+    * views — proving a SQL-only user gets the same engine (parser →
+    * Catalyst → the same pushed-down, broadcast-planned physical plan
+    * the DataFrame API gets; the optimizer does not care which
+    * front-end built the tree). Revenue is exact integer cents ×
+    * (100 − discount%) so the 6-way join's sum is order-invariant.
+    *
+    * Scale: classic star join — region/nation broadcast, the
+    * customer⋈orders⋈lineitem⋈supplier spine shuffles on its keys with
+    * AQE free to re-plan; one partial-agg'd nation rollup at the top.
+    */
+  val sqlEntry: Q = (spark, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql("""
+      SELECT n.n_name AS nation,
+             count(*) AS n_items,
+             floor(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS DOUBLE)
+                   / 10000 * 10000 + 0.5) / 10000 AS revenue
+      FROM customer c
+      JOIN orders o    ON c.c_custkey = o.o_custkey
+      JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+      JOIN nation n    ON c.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('AMERICA', 'ASIA')
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, nation""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_mode" -> aggMode,
@@ -882,6 +918,24 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_entry" -> """
+      SELECT n.n_name AS nation,
+             count(*) AS n_items,
+             floor(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS DOUBLE)
+                   / 10000 * 10000 + 0.5) / 10000 AS revenue
+      FROM customer c
+      JOIN orders o    ON c.c_custkey = o.o_custkey
+      JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+      JOIN nation n    ON c.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('AMERICA', 'ASIA')
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, nation""",
     "q_agg_corr_matrix" -> """
       WITH pu AS (
         SELECT user_id,

@@ -808,6 +808,22 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "HashAggregate") >= 2, p)
   }
 
+  test("q_sql_entry: the SQL front-end gets the same star-join plan") {
+    // One spark.sql text must come out of Catalyst as the same plan
+    // shape the DataFrame API gets: region/nation/supplier broadcast,
+    // no cartesian, partial aggregation on the rollup.
+    val p = plan("q_sql_entry")
+    assert(countOcc(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    // The region filter must prune at the region scan, not post-join.
+    val rline = p.linesIterator
+      .find(l => l.contains("FileScan parquet") &&
+        l.contains("region.parquet"))
+      .getOrElse("")
+    assert(rline.contains("r_name"), p)
+  }
+
   test("q_agg_corr_matrix: one user pass, one global row, no join") {
     val p = plan("q_agg_corr_matrix")
     assert(!p.contains("Join"), p)
