@@ -2276,6 +2276,102 @@ object ops {
       definitelyNew.unionByName(maybeDup).drop("_key")
     }
 
+    // ──────────── monitoring / spatial / sampling ────────────
+
+    /** CUSUM change-point statistics over a keyed integer series: for
+      * each (key, time, x) row, emits the exact cumulative-sum score
+      * C_i of the recurrence C_i = max(0, C_{i-1} + (x_i − μ_key))
+      * computed via its closed form C_i = P_i − min(0, min_{j≤i} P_j)
+      * over prefix sums of d_i = n·x_i − S (deviations scaled by the
+      * series length n so the mean stays integral — everything exact
+      * BIGINT). Output: (key, time, x, c, n); the normalized score is
+      * c/n. The level-shift monitor for any keyed count/latency series.
+      *
+      * Scale: two windows sharing one (key)-partitioned sort; feed it
+      * an already-aggregated series (e.g. per-hour counts), not raw
+      * rows.
+      */
+    def cusumScores(key: Column, time: Column, x: Column): DataFrame = {
+      val base = df.select(key.as("key"), time.as("time"), x.as("x"))
+      val wAll = Window.partitionBy("key")
+      val wOrd = Window.partitionBy("key").orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x")).over(wAll))
+        .withColumn("p", sum(col("n") * col("x") - col("s")).over(wOrd))
+        .withColumn("c",
+          col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+        .select("key", "time", "x", "c", "n")
+    }
+
+    /** Grid-bucketed spatial radius join: all (left, right) pairs
+      * within euclidean `r`, as an equi-join on r-sized grid cells —
+      * the left side keeps its cell, the right side explodes to the
+      * 3×3 neighborhood, so every qualifying pair meets in exactly one
+      * cell and is distance-tested once. O(n·9·density) instead of
+      * O(n·m); shuffle is hash-by-cell, both sides may be huge.
+      * Output: (left_id, right_id, dist).
+      */
+    def gridRadiusJoin(right: DataFrame,
+                       leftId: Column, lx: Column, ly: Column,
+                       rightId: Column, rx: Column, ry: Column,
+                       r: Double): DataFrame = {
+      val l = df.select(leftId.as("left_id"), lx.as("_x"), ly.as("_y"))
+        .withColumn("_cx", floor(col("_x") / r).cast("long"))
+        .withColumn("_cy", floor(col("_y") / r).cast("long"))
+      val rt = right
+        .select(rightId.as("right_id"), rx.as("_rx"), ry.as("_ry"))
+        .withColumn("_scx", floor(col("_rx") / r).cast("long"))
+        .withColumn("_scy", floor(col("_ry") / r).cast("long"))
+        .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("right_id"), col("_rx"), col("_ry"),
+          (col("_scx") + col("_dx")).as("_jcx"),
+          (col("_scy") + col("_dy")).as("_jcy"))
+      val d2 = (col("_x") - col("_rx")) * (col("_x") - col("_rx")) +
+        (col("_y") - col("_ry")) * (col("_y") - col("_ry"))
+      l.join(rt, col("_cx") === col("_jcx") && col("_cy") === col("_jcy"))
+        .filter(d2 <= lit(r * r))
+        .select(col("left_id"), col("right_id"), sqrt(d2).as("dist"))
+    }
+
+    /** Neyman-allocation stratified sample: split a `budget` across
+      * strata ∝ N_h·σ_h = √(n·Σx² − (Σx)²) (exact BIGINT — big AND
+      * internally-varied strata get more rows: the minimum-variance
+      * allocation), then keep each stratum's `alloc_h` lowest-md5 ids
+      * (content-stable). The stratum-weight total is an ordered fold,
+      * so allocations are reproducible cross-engine. Output:
+      * (id, stratum, rn, alloc). Requires budget ≤ 1000 per stratum
+      * pre-cut (the static rn bound that becomes a WindowGroupLimit).
+      */
+    def neymanSample(stratum: Column, id: Column, x: Column,
+                     budget: Int): DataFrame = {
+      require(budget <= 1000, "budget pre-cut is capped at 1000/stratum")
+      val base = df.select(stratum.as("stratum"), id.as("id"), x.as("_x"))
+      val st = base.groupBy("stratum")
+        .agg(count(lit(1)).as("n_h"), sum(col("_x")).as("s1"),
+          sum(col("_x") * col("_x")).as("s2"))
+        .withColumn("w",
+          sqrt((col("n_h") * col("s2") - col("s1") * col("s1"))
+            .cast("double")))
+      val wtot = st.agg(aggregate(
+        array_sort(collect_list(struct(col("stratum"), col("w")))),
+        lit(0.0d), (acc, e) => acc + e.getField("w")).as("wt"))
+      val alloc = st.crossJoin(broadcast(wtot))
+        .select(col("stratum").as("_astratum"),
+          floor(lit(budget.toDouble) * col("w") / col("wt")).cast("long")
+            .as("alloc"))
+      val w = Window.partitionBy("stratum")
+        .orderBy(md5(col("id").cast("string")), col("id"))
+      base.select(col("id"), col("stratum"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= budget)
+        .join(broadcast(alloc), col("stratum") === col("_astratum"))
+        .filter(col("rn") <= col("alloc"))
+        .select(col("id"), col("stratum"), col("rn"), col("alloc"))
+    }
+
     // ───────────────────────── crypto ─────────────────────────
 
     /** Publisher side of the reference pipeline: AES-encrypt `payload`

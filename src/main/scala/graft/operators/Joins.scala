@@ -361,33 +361,24 @@ object Joins extends QueryModule {
     * product, proving the grid pruning loses no pair.
     */
   val geoGridJoin: Q = (spark, dir) => {
-    val r = 0.05
+    import graft.api.ops._
     val c = Tables(spark, dir, "customer")
       .select(col("c_custkey"),
         ((col("c_custkey") * 2654435761L) % 1000003L).cast("double")
           ./(1000003d).as("x"),
         ((col("c_custkey") * 40503L + 12345L) % 999983L).cast("double")
           ./(999983d).as("y"))
-      .withColumn("cx", floor(col("x") / r).cast("long"))
-      .withColumn("cy", floor(col("y") / r).cast("long"))
     val s = Tables(spark, dir, "supplier")
       .select(col("s_suppkey"),
         ((col("s_suppkey") * 1500450271L + 7919L) % 1000003L).cast("double")
           ./(1000003d).as("sx"),
         ((col("s_suppkey") * 96002369L + 271L) % 999983L).cast("double")
           ./(999983d).as("sy"))
-      .withColumn("scx", floor(col("sx") / r).cast("long"))
-      .withColumn("scy", floor(col("sy") / r).cast("long"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("s_suppkey"), col("sx"), col("sy"),
-        (col("scx") + col("dx")).as("jcx"), (col("scy") + col("dy")).as("jcy"))
-    c.join(s, col("cx") === col("jcx") && col("cy") === col("jcy"))
-      .filter((col("x") - col("sx")) * (col("x") - col("sx")) +
-        (col("y") - col("sy")) * (col("y") - col("sy")) <= lit(r * r))
-      .select(col("c_custkey"), col("s_suppkey"),
-        Norm.r4tie(sqrt((col("x") - col("sx")) * (col("x") - col("sx")) +
-          (col("y") - col("sy")) * (col("y") - col("sy")))).as("dist"))
+    c.gridRadiusJoin(s, col("c_custkey"), col("x"), col("y"),
+        col("s_suppkey"), col("sx"), col("sy"), r = 0.05)
+      .select(col("left_id").as("c_custkey"),
+        col("right_id").as("s_suppkey"),
+        Norm.r4tie(col("dist")).as("dist"))
       .orderBy("c_custkey", "s_suppkey")
   }
 

@@ -942,27 +942,12 @@ object TextAnalysis extends QueryModule {
     * bounded frame. Stats are one partial-agg'd pass.
     */
   val sampleNeyman: Q = (spark, dir) => {
-    val d = docs(spark, dir)
-    val st = d.groupBy("lang").agg(count(lit(1)).as("n_h"),
-        sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
-      .withColumn("w",
-        sqrt((col("n_h") * col("s2") - col("s1") * col("s1"))
-          .cast("double")))
-    val wtot = st.agg(aggregate(
-      array_sort(collect_list(struct(col("lang"), col("w")))),
-      lit(0.0d), (acc, e) => acc + e.getField("w")).as("wt"))
-    val alloc = st.crossJoin(broadcast(wtot))
-      .select(col("lang").as("alang"),
-        floor(lit(200.0d) * col("w") / col("wt")).cast("long").as("alloc"))
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    d.select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 200)
-      .join(broadcast(alloc), col("lang") === col("alang"))
-      .filter(col("rn") <= col("alloc"))
-      .select(col("doc_id"), col("lang"), col("rn"), col("alloc"))
+    import graft.api.ops._
+    docs(spark, dir)
+      .neymanSample(col("lang"), col("doc_id"), col("n_chars"),
+        budget = 200)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"),
+        col("rn"), col("alloc"))
       .orderBy("lang", "rn")
   }
 

@@ -631,23 +631,16 @@ object TimeWindows extends QueryModule {
     * window runs; the windows then sort thousands of rows, not events.
     */
   val tsCusum: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = Tables(spark, dir, "events")
     val hourly = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("x"))
-    val wAll = Window.partitionBy("event_type")
-    val wOrd = Window.partitionBy("event_type").orderBy("hr")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = hourly
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("s", sum(col("x")).over(wAll))
-      .withColumn("d", col("n") * col("x") - col("s"))
-      .withColumn("p", sum(col("d")).over(wOrd))
-      .withColumn("c", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
-    val wPeak = Window.partitionBy("event_type")
-      .orderBy(col("c").desc, col("hr"))
-    scored.select(col("event_type"), Norm.tstr(col("hr")).as("hour"),
-        col("x"),
+    val scored = hourly.cusumScores(col("event_type"), col("hr"), col("x"))
+    val wPeak = Window.partitionBy("key")
+      .orderBy(col("c").desc, col("time"))
+    scored.select(col("key").as("event_type"),
+        Norm.tstr(col("time")).as("hour"), col("x"),
         Norm.r4tie(col("c").cast("double") / col("n").cast("double"))
           .as("cusum"),
         (row_number().over(wPeak) === 1).as("is_cp"))

@@ -816,6 +816,41 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("cusumScores matches the hand-computed fold on a foreign schema") {
+    import spark.implicits._
+    // x = [5,1,1,9], mean 4 → scaled deviations d = 4x−16 =
+    // [4,−12,−12,20], prefixes [4,−8,−20,0] → C = [4,0,0,20].
+    val df = Seq(("a", 1, 5L), ("a", 2, 1L), ("a", 3, 1L), ("a", 4, 9L))
+      .toDF("series", "t", "cnt")
+    val out = df.cusumScores(col("series"), col("t"), col("cnt"))
+      .orderBy("time").collect().map(_.getLong(3))
+    assert(out.toSeq === Seq(4L, 0L, 0L, 20L))
+  }
+
+  test("gridRadiusJoin catches a pair straddling a cell border") {
+    import spark.implicits._
+    val l = Seq((1L, 0.099999, 0.1), (2L, 0.9, 0.9)).toDF("lid", "a", "b")
+    val r = Seq((10L, 0.100001, 0.1), (20L, 0.5, 0.5)).toDF("rid", "u", "v")
+    val out = l.gridRadiusJoin(r, col("lid"), col("a"), col("b"),
+        col("rid"), col("u"), col("v"), r = 0.05)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSeq === Seq((1L, 10L)))
+  }
+
+  test("neymanSample sends the whole budget to the varied stratum") {
+    import spark.implicits._
+    // Stratum s1 has zero variance → weight 0 → allocation 0; every
+    // sampled row must come from s2.
+    val df = (1 to 50).map(i => ("s1", i.toLong, 100L)) ++
+      (51 to 100).map(i => ("s2", i.toLong, (i % 7) * 37L))
+    val out = df.toDF("grp", "k", "v")
+      .neymanSample(col("grp"), col("k"), col("v"), budget = 4)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getString(1) == "s2"),
+      out.mkString(","))
+    assert(out.length === 4, out.mkString(","))
+  }
+
   test("stratumQualityGate keeps the above-mean stratum, drops the below") {
     import spark.implicits._
     val df = Seq(("good", 0.9), ("good", 0.8), ("bad", 0.1), ("bad", 0.2))
