@@ -75,6 +75,17 @@ object Norm {
     */
   def r4tie(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Sign-safe deterministic 4dp truncation: floor(x*1e4)/1e4 — rounds
+    * toward -inf, so unlike [[r4tie]] it needs no non-negativity
+    * precondition and unlike [[r4]] it has no half-way tie (floor is a
+    * step function whose only sensitivity is an argument landing
+    * exactly on an integer, which identical IEEE doubles on both
+    * engines either both do or both don't). Use for signed outputs
+    * (skewness, trend slopes, Flesch scores). Oracle twin:
+    * floor(x * 10000) / 10000.
+    */
+  def r4dn(c: Column): Column = floor(c * 10000) / 10000
+
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string; avoids engine-level
     * timestamp encoding differences in the compare. Oracle twin:
     * strftime(ts, '%Y-%m-%d %H:%M:%S').

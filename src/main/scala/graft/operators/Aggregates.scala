@@ -880,7 +880,115 @@ object Aggregates extends QueryModule {
       ORDER BY revenue DESC, nation""")
   }
 
+  /** Shape statistics — skewness and excess kurtosis of l_quantity per
+    * return flag, from EXACT integer raw moments: quantities are small
+    * integers (1..50 in the testdata), so Σq..Σq⁴ accumulate as BIGINTs
+    * with zero float error, and the only doubles are the closed-form
+    * central-moment quotients at the very end — evaluated by the
+    * textually identical expression tree in both engines, so the IEEE
+    * results match bit-for-bit before [[Norm.r4dn]] truncates
+    * (sign-safe: skewness/kurtosis can be negative).
+    *
+    * Scale: one partial-agg'd scan; 4 BIGINT sums + a count per group
+    * shuffle — a few dozen bytes per group regardless of input rows.
+    * Σq⁴ stays under 2^63 to ~1.4e12 rows at q ≤ 50; past that widen
+    * the accumulators to decimal(38,0).
+    */
+  val aggSkewness: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val agg = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum(col("q") * col("q")).as("s2"),
+      sum(col("q") * col("q") * col("q")).as("s3"),
+      sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val m = d("s1") / n
+    val m2 = d("s2") / n - m * m
+    val m3 = d("s3") / n - lit(3.0) * m * (d("s2") / n) +
+      lit(2.0) * m * m * m
+    val m4 = d("s4") / n - lit(4.0) * m * (d("s3") / n) +
+      lit(6.0) * m * m * (d("s2") / n) - lit(3.0) * m * m * m * m
+    agg.select(col("l_returnflag"), col("n"),
+        Norm.r4tie(m).as("mean_qty"),
+        Norm.r4dn(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        Norm.r4dn(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Gini concentration of customer spend per market segment — the
+    * standard inequality audit over a revenue distribution. Spend is
+    * exact integer cents; customers are ranked ascending within their
+    * segment (spend, then custkey so ties rank identically in both
+    * engines) and G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over the ranked values.
+    * Every accumulation (Σx, Σi·x) is BIGINT-exact; only the final
+    * quotient is floating.
+    *
+    * Scale: the per-customer rollup partial-aggs then shuffles by
+    * customer; the rank pass is a per-segment sort — the one inherent
+    * cost of an exact rank-weighted statistic. With billions of
+    * customers per segment, range-partition the sort (Spark's sort
+    * already does) and compute Σi·x per range with offset arithmetic;
+    * the formula itself needs no change. Σi·x ≤ n²·max_cents needs
+    * decimal(38,0) past ~10⁸ customers/segment.
+    */
+  val aggGini: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("cents"), col("c_custkey"))
+    val ranked = spend.withColumn("i", row_number().over(w))
+    ranked.groupBy("segment").agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i").cast("long") * col("cents")).as("s_ix"))
+      .select(col("segment"), col("n_customers"), col("total_cents"),
+        Norm.r4tie(
+          lit(2.0) * col("s_ix").cast("double")
+            / (col("n_customers").cast("double")
+               * col("total_cents").cast("double"))
+          - (col("n_customers") + 1).cast("double")
+            / col("n_customers").cast("double")).as("gini"))
+      .orderBy("segment")
+  }
+
+  /** Benford first-digit audit over order totals — the classic fraud /
+    * data-quality screen: the observed share of each leading digit vs
+    * the Benford expectation log10(1+1/d). The digit is extracted
+    * through exact integer+string ops (floor → BIGINT → first char),
+    * never float log10 of the value itself, so binning is deterministic;
+    * log10 only touches the 9 constant expectations.
+    *
+    * Scale: one scan, 9 groups, partial-agg'd; the total-count window
+    * is over the 9-row aggregate, not the input.
+    */
+  val statsBenford: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") >= 1)
+    val d = o.select(
+      substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).as("digit"))
+    val tot = Window.partitionBy()
+    val share = col("n").cast("double") / col("n_total").cast("double")
+    val benford = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    d.groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum("n").over(tot))
+      .select(col("digit"), col("n"),
+        Norm.r4tie(share).as("share"),
+        Norm.r4tie(benford).as("benford_p"),
+        Norm.r4tie(abs(share - benford)).as("abs_dev"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_skewness" -> aggSkewness,
+    "q_agg_gini" -> aggGini,
+    "q_stats_benford" -> statsBenford,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -918,6 +1026,76 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_skewness" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(q) AS DOUBLE) AS s1,
+               CAST(sum(q * q) AS DOUBLE) AS s2,
+               CAST(sum(q * q * q) AS DOUBLE) AS s3,
+               CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem)
+        GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n,
+               s1 / n AS m,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                 + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                 + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM (SELECT l_returnflag, CAST(n AS DOUBLE) AS n,
+                     s1, s2, s3, s4 FROM s))
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             floor(m * 10000 + 0.5) / 10000 AS mean_qty,
+             floor(m3 / sqrt(m2 * m2 * m2) * 10000) / 10000 AS skewness,
+             floor((m4 / (m2 * m2) - 3.0) * 10000) / 10000
+               AS kurtosis_excess
+      FROM m ORDER BY l_returnflag""",
+    "q_agg_gini" -> """
+      WITH spend AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cents, c_custkey) AS i
+        FROM spend),
+      g AS (
+        SELECT segment, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CAST(i AS BIGINT) * cents) AS BIGINT) AS s_ix
+        FROM ranked GROUP BY segment)
+      SELECT segment, n_customers, total_cents,
+             floor((2.0 * CAST(s_ix AS DOUBLE)
+                    / (CAST(n_customers AS DOUBLE)
+                       * CAST(total_cents AS DOUBLE))
+                    - CAST(n_customers + 1 AS DOUBLE)
+                      / CAST(n_customers AS DOUBLE)) * 10000 + 0.5)
+               / 10000 AS gini
+      FROM g ORDER BY segment""",
+    "q_stats_benford" -> """
+      WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+      agg AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      t AS (
+        SELECT digit, n, sum(n) OVER () AS n_total FROM agg)
+      SELECT digit, n,
+             floor(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS share,
+             floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS benford_p,
+             floor(abs(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                       - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   * 10000 + 0.5) / 10000 AS abs_dev
+      FROM t ORDER BY digit""",
     "q_sql_entry" -> """
       SELECT n.n_name AS nation,
              count(*) AS n_items,

@@ -813,7 +813,43 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Inter-arrival (gap) statistics per user — the latency/cadence
+    * profile behind session-timeout and rate-limit tuning: for each
+    * user with ≥ 2 events, the count, mean, min, and max of the gaps
+    * between consecutive events. Gaps are exact integer microsecond
+    * differences (lag over the per-user time order, event_id breaking
+    * ts ties identically in both engines), summed as BIGINT; the mean
+    * is the single float quotient at the end.
+    *
+    * Scale: one shuffle on user_id, per-partition sort for the lag,
+    * partial-agg'd rollup — gap rows never leave their user partition.
+    */
+  val tsInterarrival: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = e
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(wu))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap_us").as("sum_us"),
+        min("gap_us").as("min_us"),
+        max("gap_us").as("max_us"))
+      .select(col("user_id"), col("n_gaps"),
+        Norm.r4tie(col("sum_us").cast("double")
+          / col("n_gaps").cast("double") / lit(1000000.0)).as("mean_gap_s"),
+        Norm.r4tie(col("min_us").cast("double") / lit(1000000.0))
+          .as("min_gap_s"),
+        Norm.r4tie(col("max_us").cast("double") / lit(1000000.0))
+          .as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_interarrival" -> tsInterarrival,
     "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_trend" -> tsTrend,
     "q_ts_cusum" -> tsCusum,
@@ -842,6 +878,22 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_interarrival" -> """
+      WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_us
+        FROM events),
+      g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+      SELECT user_id, count(*) AS n_gaps,
+             floor(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0 * 10000 + 0.5) / 10000 AS mean_gap_s,
+             floor(CAST(min(gap_us) AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS min_gap_s,
+             floor(CAST(max(gap_us) AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS max_gap_s
+      FROM g GROUP BY user_id ORDER BY user_id""",
     "q_ts_periodogram" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x,

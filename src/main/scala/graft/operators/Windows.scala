@@ -173,7 +173,53 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Pareto (80/20) revenue-concentration audit per market segment:
+    * rank customers by spend descending, find the smallest head-count
+    * k whose cumulative spend reaches 80% of the segment total, and
+    * report k, its share of customers, and the share of revenue it
+    * actually holds. The 80% threshold test is INTEGER arithmetic
+    * (cum·5 ≥ total·4 on exact cents), so bucket membership can't
+    * drift between engines; only the two final ratio columns are
+    * floating.
+    *
+    * Scale: per-customer rollup partial-aggs then shuffles by
+    * customer; the rank pass sorts within each segment (same inherent
+    * cost note as Gini — range-partitioned sort at extreme n). The
+    * threshold pick is a partial-agg'd min(struct), not a second sort.
+    * cum·5 needs decimal past ~2^61 total cents per segment.
+    */
+  val windowPareto: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val wseg = Window.partitionBy("segment")
+    val ranked = spend
+      .withColumn("k", row_number().over(w))
+      .withColumn("cum", sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_customers", count(lit(1)).over(wseg))
+      .withColumn("total_cents", sum("cents").over(wseg))
+    ranked.filter(col("cum") * 5 >= col("total_cents") * 4)
+      .groupBy("segment").agg(
+        min(col("n_customers")).as("n_customers"),
+        min(col("total_cents")).as("total_cents"),
+        min(struct(col("k"), col("cum"))).as("hit"))
+      .select(col("segment"), col("n_customers"), col("total_cents"),
+        col("hit.k").as("k80"),
+        Norm.r4tie(col("hit.k").cast("double")
+          / col("n_customers").cast("double")).as("head_frac"),
+        Norm.r4tie(col("hit.cum").cast("double")
+          / col("total_cents").cast("double")).as("head_rev_share"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_pareto" -> windowPareto,
     "q_window_median" -> windowMedian,
     "q_skyline" -> skyline,
     "q_window_frame_values" -> windowFrameValues,
@@ -187,6 +233,38 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_pareto" -> """
+      WITH spend AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT segment, cents, c_custkey,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cents DESC, c_custkey) AS k,
+               CAST(sum(cents) OVER (PARTITION BY segment
+                                     ORDER BY cents DESC, c_custkey
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               count(*) OVER (PARTITION BY segment) AS n_customers,
+               CAST(sum(cents) OVER (PARTITION BY segment) AS BIGINT)
+                 AS total_cents
+        FROM spend),
+      hit AS (
+        SELECT segment, min(n_customers) AS n_customers,
+               min(total_cents) AS total_cents,
+               min(k) AS k80,
+               min_by(cum, k) AS cum80
+        FROM ranked WHERE cum * 5 >= total_cents * 4
+        GROUP BY segment)
+      SELECT segment, n_customers, total_cents, k80,
+             floor(CAST(k80 AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS head_frac,
+             floor(CAST(cum80 AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS head_rev_share
+      FROM hit ORDER BY segment""",
     "q_window_median" -> """
       WITH c AS (
         SELECT user_id, event_id, ts,
