@@ -152,7 +152,53 @@ object Graphs extends QueryModule {
       .orderBy("id")
   }
 
+  /** Adamic-Adar link prediction over the supplier co-purchase graph:
+    * score(s1, s2) = Σ over shared customers c of 1/ln(deg(c)) — the
+    * classic common-neighbor predictor where rare shared neighbors
+    * count more. The per-customer weight is quantized to an exact
+    * integer (⌊10⁶/ln(deg)⌋) BEFORE summation, so pair scores
+    * accumulate as BIGINTs in any order — no float-sum order
+    * dependence between engines — and the only doubles are the 9
+    * constant weights and the final rescale. Top-20 pairs by score
+    * (integer ties broken by the pair ids).
+    *
+    * Scale: pairs expand inside a codegen'd array lambda per customer
+    * (bounded by per-customer supplier count, like market-basket),
+    * never via an edge self-join; the pair aggregate partial-aggs, and
+    * the top-20 compiles to TakeOrderedAndProject (per-partition heap
+    * + driver merge of 20 rows). Skew guard at extreme scale: cap or
+    * sample mega-degree customers — their 1/ln(deg) weight is already
+    * asymptotically negligible.
+    */
+  val graphAdamicAdar: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val sets = edges.groupBy("cust")
+      .agg(array_sort(collect_set(col("supp"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .withColumn("w",
+        floor(lit(1000000.0) / log(size(col("ss")).cast("double")))
+          .cast("long"))
+    val pairs = sets
+      .select(col("w"),
+        explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+            struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("w"))
+    pairs.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("score_int"))
+      .orderBy(col("score_int").desc, col("s1"), col("s2"))
+      .limit(20)
+      .select(col("s1"), col("s2"), col("n_common"),
+        Norm.r4tie(col("score_int").cast("double") / lit(1000000.0))
+          .as("aa_score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_graph_bfs" -> graphBfs,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
@@ -161,6 +207,30 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_adamic_adar" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (
+        SELECT cust, count(*) AS d FROM edges GROUP BY cust),
+      w AS (
+        SELECT cust,
+               CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+                 AS w
+        FROM deg WHERE d >= 2),
+      pairs AS (
+        SELECT e1.supp AS s1, e2.supp AS s2, w.w
+        FROM edges e1
+        JOIN edges e2 ON e1.cust = e2.cust AND e1.supp < e2.supp
+        JOIN w ON w.cust = e1.cust),
+      sc AS (
+        SELECT s1, s2, count(*) AS n_common,
+               CAST(sum(w) AS BIGINT) AS score_int
+        FROM pairs GROUP BY s1, s2)
+      SELECT s1, s2, n_common,
+             floor(CAST(score_int AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS aa_score
+      FROM sc ORDER BY score_int DESC, s1, s2 LIMIT 20""",
     "q_graph_bfs" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

@@ -951,7 +951,72 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "rn")
   }
 
+  /** Flesch reading-ease + Flesch-Kincaid grade per document — the
+    * classic readability screens for a pretraining quality gate. All
+    * three counts (sentences, words, syllable proxies) come from the
+    * same marker trick: collapse each matching run to a single
+    * sentinel char with regexp_replace, strip everything else, take
+    * the length — pure per-row string ops with identical regex
+    * semantics (character classes only) in Java and RE2, no
+    * tokenizer state. Vowel-group count is the standard cheap
+    * syllable proxy. Scores are signed → [[Norm.r4dn]].
+    *
+    * Scale: pure projection — no shuffle, no state; whole-stage
+    * codegen keeps it in one pass over the text column.
+    */
+  val textReadability: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    def runs(src: Column, pattern: String, marker: String): Column =
+      length(regexp_replace(regexp_replace(src, pattern, marker),
+        s"[^$marker]", ""))
+    val lw = lower(col("text"))
+    val doc = d.select(col("doc_id"),
+        runs(lw, "[a-z]+", "W").as("n_words"),
+        runs(lw, "[aeiouy]+", "V").as("n_syllables"),
+        greatest(runs(col("text"), "[.!?]+", "S"), lit(1))
+          .as("n_sentences"))
+      .filter(col("n_words") > 0)
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    doc.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        Norm.r4dn(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .as("flesch"),
+        Norm.r4dn(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  /** Differentially-private event-type histogram — Laplace(b=20)
+    * noise via inverse-CDF over a DETERMINISTIC md5-derived uniform
+    * (48 bits of md5(event_type||'|dp') / 2^48), the same
+    * engine-portable coin construction as randomized response
+    * ([[privacyRr]]): the noisy release is reproducible, auditable,
+    * and oracle-checkable while keeping the real Laplace shape.
+    * Released counts clamp at 0 and round down to integers.
+    *
+    * Scale: the noise is a per-GROUP projection after the partial-
+    * agg'd count — one hash + one log per released cell, independent
+    * of input rows.
+    */
+  val privacyDpHist: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val t = e.groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val u = conv(substring(md5(concat(col("event_type"), lit("|dp"))),
+        1, 12), 16, 10).cast("long").cast("double") /
+      lit(281474976710656.0) // 2^48
+    val cen = u - lit(0.5)
+    val noise = -lit(20.0) * signum(cen) *
+      log(lit(1.0) - lit(2.0) * abs(cen))
+    t.select(col("event_type"), col("n_true"),
+        greatest(floor(col("n_true").cast("double") + noise).cast("long"),
+          lit(0L)).as("n_noisy"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_readability" -> textReadability,
+    "q_privacy_dp_hist" -> privacyDpHist,
     "q_privacy_ldiv" -> privacyLdiv,
     "q_sample_neyman" -> sampleNeyman,
     "q_text_zipf" -> textZipf,
@@ -1003,6 +1068,47 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_readability" -> """
+      WITH c AS (
+        SELECT doc_id,
+               length(regexp_replace(regexp_replace(lower(text),
+                 '[a-z]+', 'W', 'g'), '[^W]', '', 'g')) AS n_words,
+               length(regexp_replace(regexp_replace(lower(text),
+                 '[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS n_syllables,
+               greatest(length(regexp_replace(regexp_replace(text,
+                 '[.!?]+', 'S', 'g'), '[^S]', '', 'g')), 1) AS n_sentences
+        FROM documents),
+      f AS (SELECT * FROM c WHERE n_words > 0)
+      SELECT doc_id,
+             CAST(n_words AS INT) AS n_words,
+             CAST(n_sentences AS INT) AS n_sentences,
+             CAST(n_syllables AS INT) AS n_syllables,
+             floor((206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE)
+                               / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE))) * 10000)
+               / 10000 AS flesch,
+             floor((0.39 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                    + 11.8 * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE))
+                    - 15.59) * 10000) / 10000 AS fk_grade
+      FROM f ORDER BY doc_id""",
+    "q_privacy_dp_hist" -> """
+      WITH t AS (
+        SELECT event_type, count(*) AS n_true FROM events
+        GROUP BY event_type),
+      n AS (
+        SELECT event_type, n_true,
+               CAST(('0x' || substring(md5(event_type || '|dp'), 1, 12))
+                    AS BIGINT) / 281474976710656.0 - 0.5 AS cen
+        FROM t)
+      SELECT event_type, n_true,
+             greatest(CAST(floor(CAST(n_true AS DOUBLE)
+               + (-20.0) * sign(cen) * ln(1.0 - 2.0 * abs(cen)))
+               AS BIGINT), 0) AS n_noisy
+      FROM n ORDER BY event_type""",
     "q_privacy_ldiv" -> """
       WITH cells AS (
         SELECT lang, 'b' || CAST(n_chars // 100 AS VARCHAR) AS bucket,
