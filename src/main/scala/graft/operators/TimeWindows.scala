@@ -848,7 +848,50 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Holt linear (double-exponential) smoothing of the hourly event
+    * count per type — level + trend state with a one-step-ahead
+    * forecast, the simplest real forecaster over a business series.
+    * The recurrence lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁) +
+    * (1−β)bₜ₋₁ runs as an ordered fold over the per-type hour series
+    * with DYADIC α = β = 0.5: every intermediate is a finite binary
+    * fraction of integer counts, so the fold is EXACT IEEE arithmetic
+    * — no libm, no rounding drift — and the DuckDB twin replays it
+    * with list_reduce to bit-identical state.
+    *
+    * Scale: series are pre-aggregated per (type, hour) — the fold
+    * touches O(hours) elements per group, not O(events); state is 2
+    * doubles. For very long series, chunk the fold with the same
+    * closed-form the CUSUM op uses (the recurrence is linear, so
+    * chunks compose by a 2×2 matrix product).
+    */
+  val tsHolt: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val folded = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        array_sort(collect_list(struct(col("hr"), col("x")))).as("xs"))
+      .withColumn("st", expr("""
+        aggregate(xs,
+          named_struct('l', CAST(0.0 AS DOUBLE),
+                       'b', CAST(0.0 AS DOUBLE), 'i', 0),
+          (a, v) -> IF(a.i = 0,
+            named_struct('l', v.x, 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+            named_struct(
+              'l', 0.5D * v.x + 0.5D * (a.l + a.b),
+              'b', 0.5D * ((0.5D * v.x + 0.5D * (a.l + a.b)) - a.l)
+                   + 0.5D * a.b,
+              'i', 1)))"""))
+    folded.select(col("event_type"), col("n_hours"),
+        Norm.r4tie(col("st.l")).as("level"),
+        Norm.r4dn(col("st.b")).as("trend"),
+        Norm.r4dn(col("st.l") + col("st.b")).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_holt" -> tsHolt,
     "q_ts_interarrival" -> tsInterarrival,
     "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_trend" -> tsTrend,
@@ -878,6 +921,35 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_holt" -> """
+      WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS t,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+      holt AS (
+        SELECT event_type, t, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t, s.n,
+               CAST(0.5 AS DOUBLE) * s.x
+                 + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * s.x
+                     + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+                 + CAST(0.5 AS DOUBLE) * h.b
+        FROM holt h
+        JOIN seq s ON s.event_type = h.event_type AND s.t = h.t + 1)
+      SELECT event_type, n AS n_hours,
+             floor(l * 10000 + 0.5) / 10000 AS level,
+             floor(b * 10000) / 10000 AS trend,
+             floor((l + b) * 10000) / 10000 AS forecast_next
+      FROM holt WHERE t = n ORDER BY event_type""",
     "q_ts_interarrival" -> """
       WITH gaps AS (
         SELECT user_id,
