@@ -985,7 +985,43 @@ object Aggregates extends QueryModule {
       .orderBy("digit")
   }
 
+  /** 5%-trimmed mean of order totals per priority class — the robust
+    * location estimate that survives fat tails where the plain mean
+    * doesn't. Each group drops its k = ⌊n·5/100⌋ lowest and highest
+    * rows by (cents, orderkey) rank — integer trim boundaries on
+    * exact-cent ranks, so group membership of every row is
+    * deterministic — then averages the kept cents (one BIGINT sum,
+    * one final quotient). Reported next to the untrimmed mean so the
+    * tail influence is visible.
+    *
+    * Scale: rank pass shuffles by priority (5 groups) and sorts per
+    * group — for extreme groups use the same range-partitioned-sort
+    * note as Gini; the trim itself is a filter, no second shuffle.
+    */
+  val aggTrimmedMean: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("priority")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wp = Window.partitionBy("priority")
+    val ranked = o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("k", expr("n * 5 div 100"))
+    ranked.groupBy("priority").agg(
+        max(col("n")).as("n_orders"),
+        Norm.r4tie(sum(col("cents")).cast("double")
+          / count(lit(1)).cast("double") / lit(100.0)).as("mean_all"),
+        Norm.r4tie(
+          sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            col("cents"))).cast("double")
+          / sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            lit(1L))).cast("double") / lit(100.0)).as("mean_trimmed"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_trimmed_mean" -> aggTrimmedMean,
     "q_agg_skewness" -> aggSkewness,
     "q_agg_gini" -> aggGini,
     "q_stats_benford" -> statsBenford,
@@ -1026,6 +1062,29 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_trimmed_mean" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      ranked AS (
+        SELECT priority, cents,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM o),
+      t AS (SELECT priority, cents, rn, n, n * 5 // 100 AS k
+            FROM ranked)
+      SELECT priority, max(n) AS n_orders,
+             floor(CAST(sum(cents) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 100.0
+                   * 10000 + 0.5) / 10000 AS mean_all,
+             floor(CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                                 THEN cents END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                                   THEN 1 END) AS DOUBLE) / 100.0
+                   * 10000 + 0.5) / 10000 AS mean_trimmed
+      FROM t GROUP BY priority ORDER BY priority""",
     "q_agg_skewness" -> """
       WITH s AS (
         SELECT l_returnflag, count(*) AS n,

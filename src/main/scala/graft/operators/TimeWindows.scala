@@ -890,7 +890,48 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Theil-Sen robust trend estimate per event type — the median of
+    * all pairwise slopes over the hourly series, the outlier-immune
+    * alternative to the OLS slope (q_agg_linreg) and the magnitude
+    * companion to Mann-Kendall's direction test (q_ts_trend). Slopes
+    * are quotients of the same integers in both engines (identical
+    * doubles); the median is picked POSITIONALLY — row_number over
+    * (slope, h1, h2) at index (n+1)÷2 — so even tied slopes resolve
+    * identically, with no averaging of middle elements.
+    *
+    * Scale: the pair join is per-type over the PRE-AGGREGATED hourly
+    * series (O(hours²) pairs per type, not O(events²)); for
+    * year-scale series switch to the classic randomized-pair sample —
+    * the median is stable under sampling, the plan shape unchanged.
+    */
+  val tsTheilSen: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+      .select("event_type", "h", "x")
+    val a = hourly.select(col("event_type"), col("h").as("h1"),
+      col("x").as("x1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"),
+      col("x").as("x2"))
+    val slopes = a.join(b, "event_type").filter(col("h1") < col("h2"))
+      .select(col("event_type"), col("h1"), col("h2"),
+        ((col("x2") - col("x1")).cast("double")
+          / (col("h2") - col("h1")).cast("double")).as("slope"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("h1"), col("h2"))
+    slopes.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        Norm.r4dn(col("slope")).as("sen_slope"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_theilsen" -> tsTheilSen,
     "q_ts_holt" -> tsHolt,
     "q_ts_interarrival" -> tsInterarrival,
     "q_ts_periodogram" -> tsPeriodogram,
@@ -921,6 +962,29 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_theilsen" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT event_type, epoch_us(hr) // 3600000000 AS h, x
+        FROM hourly),
+      slopes AS (
+        SELECT a.event_type, a.h AS h1, b.h AS h2,
+               CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
+                 AS slope
+        FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.h < b.h),
+      ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, h1, h2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes)
+      SELECT event_type, n_pairs,
+             floor(slope * 10000) / 10000 AS sen_slope
+      FROM ranked WHERE rn = (n_pairs + 1) // 2
+      ORDER BY event_type""",
     "q_ts_holt" -> """
       WITH RECURSIVE hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr,
