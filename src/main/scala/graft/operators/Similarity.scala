@@ -573,7 +573,95 @@ object Similarity extends QueryModule {
       .orderBy("vec_id", "pos")
   }
 
+  /** Maximal-Marginal-Relevance (MMR) diversified retrieval: per query
+    * the greedy top-k that trades relevance against redundancy —
+    * argmax λ·sim(q,d) − (1−λ)·max sim(d, selected) — the standard
+    * reranker when plain cosine top-k returns ten copies of the same
+    * near-duplicate. Two-stage, scale-first: a DISTRIBUTED candidate
+    * cut (brute-force cosine top-50 per query — swap in the LSH/IVF
+    * path at corpus scale, same contract) feeds a PER-QUERY greedy
+    * loop over ≤50 candidates in flatMapGroups — bounded imperative
+    * state, the legitimate mapGroups niche, parallel across queries.
+    * Deterministic: candidates sort by (−relevance, vec_id), ties in
+    * the marginal score break toward the lower vec_id, and all
+    * arithmetic is a fixed-order Scala fold. λ = 0.7, k = 10.
+    *
+    * No SQL oracle (greedy argmax is not relational); QualitySpec
+    * pins: first pick = top-1, selection ⊆ candidates, and MMR's
+    * mean pairwise cosine ≤ plain top-k's (diversity actually won).
+    */
+  val simMmr: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cands = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("emb"), col("qv")).as("cos_sim"), col("emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("qid"), col("vec_id"), col("cos_sim"), col("emb"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val lambdaW = 0.7
+    val k = 10
+    val picked = cands.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.map(c => (c._2, c._3, c._4.toArray)).toArray
+        .sortBy(c => (-c._2, c._1))
+      def cosv(a: Array[Double], b: Array[Double]): Double = {
+        var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        dp / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val used = Array.fill(cs.length)(false)
+      val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double, Double)]
+      while (out.length < k && out.length < cs.length) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            // true max over the selection — can be NEGATIVE (an
+            // anti-similar candidate earns a diversity BONUS, per the
+            // standard MMR formula); only an empty selection zeroes
+            // the penalty term
+            var maxSim = Double.NegativeInfinity
+            var j = 0
+            while (j < selVecs.length) {
+              val s = cosv(cs(i)._3, selVecs(j))
+              if (s > maxSim) maxSim = s
+              j += 1
+            }
+            if (selVecs.isEmpty) maxSim = 0.0
+            val sc = lambdaW * cs(i)._2 - (1 - lambdaW) * maxSim
+            // strict > keeps the first (lowest vec_id at equal
+            // relevance) candidate on ties — deterministic
+            if (sc > bestScore) { bestScore = sc; bestIdx = i }
+          }
+          i += 1
+        }
+        used(bestIdx) = true
+        selVecs += cs(bestIdx)._3
+        out += ((qid, out.length + 1, cs(bestIdx)._1, cs(bestIdx)._2,
+          bestScore))
+      }
+      out
+    }
+    picked.toDF("qid", "rank", "vec_id", "relevance", "mmr_score")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        Norm.r4(col("relevance")).as("relevance"),
+        Norm.r4dn(col("mmr_score")).as("mmr_score"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_mmr" -> simMmr,
     "q_embed_whiten" -> embedWhiten,
     "q_rec_cooccur" -> recCooccur,
     "q_market_basket" -> marketBasket,

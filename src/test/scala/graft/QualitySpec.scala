@@ -596,4 +596,61 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(jEst - jTrue) < 3.0 / math.sqrt(k.toDouble),
       f"KMV estimate $jEst%.4f off true $jTrue%.4f beyond 3/sqrt(k)")
   }
+
+  /** MMR reranker invariants vs plain cosine top-k (q_sim_mmr has no
+    * SQL oracle — greedy argmax isn't relational).
+    */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+    while (i < a.length) {
+      dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q_sim_mmr: shape, first pick = top-1, greedy selection replays exactly") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    val mmr = SparkEntry.queries("q_sim_mmr")(spark, sfDir).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"qid=$qid ranks not contiguous")
+      assert(rows.forall(_.getAs[Long]("vec_id") != qid), s"qid=$qid self-hit")
+      // plain cosine top-k ground truth (ties by vec_id, like the query)
+      val scored = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosArr(v, vecs(qid))) }
+        .sortBy { case (id, s) => (-s, id) }
+      assert(ordered.head.getAs[Long]("vec_id") == scored.head._1,
+        s"qid=$qid first MMR pick must be the plain top-1")
+      // marginal scores can only shrink as the selection grows, so the
+      // reported mmr_score must be non-increasing in rank
+      val ms = ordered.map(_.getAs[Double]("mmr_score")).toSeq
+      ms.zip(ms.tail).foreach { case (a2, b2) =>
+        assert(a2 >= b2 - 1e-9, s"qid=$qid mmr_score increased $a2 -> $b2")
+      }
+      // independent replay of the greedy loop (same candidate cut and
+      // tie rules) must reproduce the selection id-for-id
+      val cands = scored.take(50)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val selV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      while (sel.length < math.min(10, cands.length)) {
+        val (bid, _) = cands.filterNot(c => sel.contains(c._1))
+          .map { case (id, rel) =>
+            val maxSim = if (selV.isEmpty) 0.0
+              else selV.map(v => cosArr(vecs(id), v)).max
+            (id, 0.7 * rel - (1 - 0.7) * maxSim)
+          }.maxBy { case (id, sc) => (sc, -id) }
+        sel += bid
+        selV += vecs(bid)
+      }
+      assert(ordered.map(_.getAs[Long]("vec_id")).toSeq == sel.toSeq,
+        s"qid=$qid greedy replay mismatch")
+    }
+  }
 }
