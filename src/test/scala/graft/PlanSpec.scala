@@ -867,4 +867,115 @@ class PlanSpec extends SparkSpec {
     // for the norm/join side — never more.
     assert(countOcc(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("q_agg_skewness: all four moment sums ride one partial-agg'd scan") {
+    val p = plan("q_agg_skewness")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(p.contains("partial_sum"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_extendedprice") && !rs.contains("l_shipdate"), rs)
+  }
+
+  test("q_agg_gini: broadcast dim, rank window over the per-customer rollup") {
+    val p = plan("q_agg_gini")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // custkey rollup + segment window; never an orders-sized exchange
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("q_stats_benford: digit agg first; the total window sees 9 rows") {
+    val p = plan("q_stats_benford")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    // the single-partition exchange is ABOVE the digit aggregate
+    val iSingle = p.indexOf("Exchange SinglePartition")
+    val iAgg = p.indexOf("HashAggregate")
+    assert(iSingle >= 0 && iAgg >= 0 && iSingle < p.lastIndexOf("HashAggregate"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("o_totalprice") && !rs.contains("o_orderdate"), rs)
+  }
+
+  test("q_window_pareto: broadcast dim; threshold pick is an agg, not a second sort") {
+    val p = plan("q_window_pareto")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("min(struct("), p)
+  }
+
+  test("q_ts_interarrival: one user shuffle; gaps never leave their partition") {
+    val p = plan("q_ts_interarrival")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("event_type"), rs)
+  }
+
+  test("q_ts_holt: fold runs over the hourly table, not events") {
+    val p = plan("q_ts_holt")
+    assert(p.contains("collect_list"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_ts_theilsen: pair join is over the hourly aggregates, never events") {
+    val p = plan("q_ts_theilsen")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both join inputs are already hour-level aggregates
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_agg_trimmed_mean: one priority shuffle; trim is a filter, not a re-sort") {
+    val p = plan("q_agg_trimmed_mean")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("o_orderdate") && !rs.contains("o_orderstatus"), rs)
+  }
+
+  test("q_graph_adamic_adar: lambda pair expansion + heap top-20, no edge self-join") {
+    val p = plan("q_graph_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    assert(p.contains("collect_set"), p)
+    // exactly one join: the edge build (lineitem x broadcast orders);
+    // pairs come from the array lambda, not a second join
+    assert(countOcc(p, "BroadcastHashJoin") === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("q_text_readability: pure projection — no shuffle, no agg, text pruned scan") {
+    val p = plan("q_text_readability")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 0, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("text") && !rs.contains("lang") &&
+      !rs.contains("source"), rs)
+  }
+
+  test("q_privacy_dp_hist: noise is a per-group projection after the agg") {
+    val p = plan("q_privacy_dp_hist")
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("event_type") && !rs.contains("props") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_sim_mmr: distributed candidate cut feeds a per-query object loop") {
+    val p = plan("q_sim_mmr")
+    // query vectors broadcast against the corpus; greedy runs in
+    // MapGroups over <=50-candidate groups
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(countOcc(p, "SortMergeJoin") === 0, p)
+  }
 }
