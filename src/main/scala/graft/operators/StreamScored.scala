@@ -405,7 +405,29 @@ object StreamScored extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Online Holt smoothing scored (see [[Streams.holtSmoothing]]):
+    * the drained Update-mode emissions, reduced to each type's LAST
+    * (max n_hours) view, must equal batch `q_ts_holt`'s recursive-CTE
+    * oracle bit-for-bit — the incremental hour-bucketing fold and the
+    * batch array fold are two formulations of the same exact-dyadic
+    * recurrence, proven equal through the real streaming engine.
+    */
+  val streamHolt: Q = (spark, dir) => {
+    val out = Streams.holtSmoothing(Streams.eventsFileStream(spark, dir))
+    runToTable(out, OutputMode.Update(), "graft_stream_holt")
+      .groupBy("event_type")
+      .agg(max(col("n_hours")).as("n_hours"),
+        max_by(col("level"), col("n_hours")).as("lv"),
+        max_by(col("trend"), col("n_hours")).as("tr"))
+      .select(col("event_type"), col("n_hours"),
+        Norm.r4tie(col("lv")).as("level"),
+        Norm.r4dn(col("tr")).as("trend"),
+        Norm.r4dn(col("lv") + col("tr")).as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_holt" -> streamHolt,
     "q_stream_anomaly" -> streamAnomaly,
     "q_stream_cdc" -> streamCdcApply,
     "q_stream_topk" -> streamTopk,
@@ -423,6 +445,35 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_holt" -> """
+      WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS t,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+      holt AS (
+        SELECT event_type, t, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t, s.n,
+               CAST(0.5 AS DOUBLE) * s.x
+                 + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * s.x
+                     + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+                 + CAST(0.5 AS DOUBLE) * h.b
+        FROM holt h
+        JOIN seq s ON s.event_type = h.event_type AND s.t = h.t + 1)
+      SELECT event_type, n AS n_hours,
+             floor(l * 10000 + 0.5) / 10000 AS level,
+             floor(b * 10000) / 10000 AS trend,
+             floor((l + b) * 10000) / 10000 AS forecast_next
+      FROM holt WHERE t = n ORDER BY event_type""",
     "q_stream_anomaly" -> """
       WITH c AS (
         SELECT event_id, user_id, ts,

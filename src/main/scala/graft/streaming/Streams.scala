@@ -51,6 +51,13 @@ case class PatternState(inSignup: Boolean, lastWasError: Boolean,
   */
 case class ZState(n: Long, s1: Long, s2: Long)
 
+/** Holt level/trend state plus the still-open hour's running count —
+  * `lastHour`/`cnt` hold the pending bucket so a later micro-batch can
+  * keep filling it before it folds into (l, b). `init` is false until
+  * the first completed hour seeds the level. */
+case class HoltState(lastHour: Long, cnt: Long, l: Double, b: Double,
+                     n: Long, init: Boolean)
+
 /** Open-session tracker: event count + last-activity millis. */
 case class SessionTrack(nEvents: Long, lastTs: Long)
 
@@ -233,6 +240,63 @@ object Streams {
     * in production, watermark-ordered replay) preserves order. State
     * is O(1) per user: two booleans + three counters.
     */
+  /** s_holt: ONLINE Holt linear smoothing per event type — the
+    * streaming twin of batch `q_ts_holt`, same dyadic α = β = 0.5
+    * recurrence, run incrementally: events bucket into hours inside
+    * the state handler; an hour folds into (level, trend) the moment
+    * a later hour opens, and the still-open hour rides in state so a
+    * micro-batch boundary inside an hour cannot split its count.
+    * Each emission reports the "as-if-closed" view (pending hour
+    * folded in for OUTPUT, kept pending in STATE), so the final
+    * emission equals the batch fold exactly — and because the fold
+    * is exact binary arithmetic, equality is bitwise, proven through
+    * the DuckDB recursive-CTE oracle shared with the batch query.
+    *
+    * Ordering contract: within a micro-batch, (ts, event_id) sort;
+    * across batches, in-order arrival per key (the file source's
+    * AvailableNow drain, or watermark-ordered replay in production).
+    * State is O(1): two doubles + three longs + a flag.
+    */
+  def holtSmoothing(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[HoltState]) =>
+          def fold(l: Double, b: Double, init: Boolean,
+                   x: Double): (Double, Double) =
+            if (!init) (x, 0.0)
+            else {
+              val l1 = 0.5 * x + 0.5 * (l + b)
+              (l1, 0.5 * (l1 - l) + 0.5 * b)
+            }
+          var st = state.getOption
+            .getOrElse(HoltState(Long.MinValue, 0L, 0.0, 0.0, 0L, false))
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            val h = Math.floorDiv(r._2, 3600000000L)
+            if (h == st.lastHour) st = st.copy(cnt = st.cnt + 1)
+            else if (st.cnt == 0L) st = st.copy(lastHour = h, cnt = 1L)
+            else {
+              val (l1, b1) = fold(st.l, st.b, st.init, st.cnt.toDouble)
+              st = HoltState(h, 1L, l1, b1, st.n + 1, init = true)
+            }
+          }
+          state.update(st)
+          val (lf, bf) =
+            if (st.cnt > 0L) fold(st.l, st.b, st.init, st.cnt.toDouble)
+            else (st.l, st.b)
+          val nf = st.n + (if (st.cnt > 0L) 1L else 0L)
+          Iterator((et, nf, lf, bf))
+      }
+      .toDF("event_type", "n_hours", "level", "trend")
+  }
+
   def patternAutomaton(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

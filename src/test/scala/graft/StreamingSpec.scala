@@ -466,4 +466,39 @@ class StreamingSpec extends SparkSpec {
     assert(last(7L) === ((3L, 1L, 0L)), s"user 7: ${last(7L)}")
     assert(last(8L) === ((5L, 0L, 2L)), s"user 8: ${last(8L)}")
   }
+
+  test("s_holt folds split hours exactly once across micro-batches") {
+    // Hour buckets [3, 2, 4] with the 2-event hour SPLIT across two
+    // micro-batches — the pending-hour state must keep filling the
+    // open bucket instead of folding a 1-event hour twice. Hand fold:
+    // l=3,b=0 -> x=2: l=2.5, b=-0.25 -> x=4: l=3.125, b=0.1875.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.holtSmoothing(in.toDF), "holt", "update") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0),
+        Ev(2, t("2024-01-01 10:10:00"), 1, "click", 0),
+        Ev(3, t("2024-01-01 10:20:00"), 1, "click", 0),
+        Ev(4, t("2024-01-01 11:00:00"), 1, "click", 0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(5, t("2024-01-01 11:30:00"), 1, "click", 0),
+        Ev(6, t("2024-01-01 12:00:00"), 1, "click", 0),
+        Ev(7, t("2024-01-01 12:15:00"), 1, "click", 0),
+        Ev(8, t("2024-01-01 12:30:00"), 1, "click", 0),
+        Ev(9, t("2024-01-01 12:45:00"), 1, "click", 0))
+      q.processAllAvailable()
+    }
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    val last = out.filter(col("event_type") === "click")
+      .groupBy("event_type")
+      .agg(max("n_hours").as("n"),
+        max_by(col("level"), col("n_hours")).as("l"),
+        max_by(col("trend"), col("n_hours")).as("b"))
+      .collect().head
+    assert(last.getAs[Long]("n") === 3L)
+    assert(last.getAs[Double]("l") === 3.125) // exact dyadic
+    assert(last.getAs[Double]("b") === 0.1875)
+  }
 }
