@@ -2305,6 +2305,101 @@ object ops {
         .select("key", "time", "x", "c", "n")
     }
 
+    /** Holt linear (double-exponential) smoothing per key over an
+      * ALREADY-AGGREGATED series (feed per-hour counts, not raw rows):
+      * ordered fold of lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁)
+      * + (1−β)bₜ₋₁ with the DYADIC α = β = 0.5 — every intermediate is
+      * a finite binary fraction, so results are bit-reproducible on
+      * any IEEE engine (the property `q_ts_holt`'s DuckDB oracle
+      * proves). Output: (key, n, level, trend); forecast h steps ahead
+      * is level + h·trend. Streaming twin:
+      * [[graft.streaming.Streams.holtSmoothing]].
+      *
+      * Scale: one shuffle on key; per-key state is the collected
+      * series (bounded — hours, not events). For very long series,
+      * chunk the fold and compose chunks by 2×2 matrix product (the
+      * recurrence is linear).
+      */
+    def holtSmooth(key: Column, time: Column, x: Column): DataFrame = {
+      val base = df.select(key.as("key"), time.as("time"),
+        x.cast("double").as("x"))
+      base.groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("time"), col("x"))))
+            .as("xs"))
+        .withColumn("st", expr("""
+          aggregate(xs,
+            named_struct('l', CAST(0.0 AS DOUBLE),
+                         'b', CAST(0.0 AS DOUBLE), 'i', 0),
+            (a, v) -> IF(a.i = 0,
+              named_struct('l', v.x, 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+              named_struct(
+                'l', 0.5D * v.x + 0.5D * (a.l + a.b),
+                'b', 0.5D * ((0.5D * v.x + 0.5D * (a.l + a.b)) - a.l)
+                     + 0.5D * a.b,
+                'i', 1)))"""))
+        .select(col("key"), col("n"), col("st.l").as("level"),
+          col("st.b").as("trend"))
+    }
+
+    /** Theil-Sen robust slope per key: the POSITIONAL median (index
+      * (n+1)÷2 over (slope, t1, t2) order — no middle-pair averaging,
+      * so tied slopes resolve identically on any engine) of all
+      * pairwise slopes over an already-aggregated integer series.
+      * Output: (key, n_pairs, slope). O(points²) pairs per key — for
+      * year-scale series feed a sampled pair set; the median is
+      * stable under sampling.
+      */
+    def theilSenSlope(key: Column, t: Column, x: Column): DataFrame = {
+      val base = df.select(key.as("key"), t.cast("long").as("t"),
+        x.cast("long").as("x"))
+      val a = base.select(col("key"), col("t").as("t1"),
+        col("x").as("x1"))
+      val b = base.select(col("key"), col("t").as("t2"),
+        col("x").as("x2"))
+      val slopes = a.join(b, "key").filter(col("t1") < col("t2"))
+        .select(col("key"), col("t1"), col("t2"),
+          ((col("x2") - col("x1")).cast("double")
+            / (col("t2") - col("t1")).cast("double")).as("slope"))
+      val w = Window.partitionBy("key")
+        .orderBy(col("slope"), col("t1"), col("t2"))
+      slopes.withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs",
+          count(lit(1)).over(Window.partitionBy("key")))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("key"), col("n_pairs"), col("slope"))
+    }
+
+    /** Adamic-Adar link prediction over a bipartite edge frame
+      * (src → dst): top-K dst pairs by Σ 1/ln(deg(src)) over shared
+      * srcs. Weights quantize to exact integers (⌊10⁶/ln deg⌋) BEFORE
+      * the pair aggregate, so scores sum order-independently; pairs
+      * expand inside a per-src array lambda (no edge self-join) and
+      * the top-K is a TakeOrderedAndProject heap. Output:
+      * (d1, d2, n_common, score_int) — divide score_int by 10⁶ for
+      * the real-valued score. Skew guard: cap or sample mega-degree
+      * srcs; their 1/ln(deg) weight is asymptotically negligible.
+      */
+    def adamicAdar(src: Column, dst: Column, topK: Int): DataFrame = {
+      val edges = df.select(src.as("src"), dst.as("dst")).distinct()
+      val sets = edges.groupBy("src")
+        .agg(array_sort(collect_set(col("dst"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .withColumn("w",
+          floor(lit(1000000.0) / log(size(col("ss")).cast("double")))
+            .cast("long"))
+      sets
+        .select(col("w"),
+          explode(flatten(transform(col("ss"), (x, i) =>
+            transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+              y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("w"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_common"), sum("w").as("score_int"))
+        .orderBy(col("score_int").desc, col("d1"), col("d2"))
+        .limit(topK)
+    }
+
     /** Grid-bucketed spatial radius join: all (left, right) pairs
       * within euclidean `r`, as an equi-join on r-sized grid cells —
       * the left side keeps its cell, the right side explodes to the

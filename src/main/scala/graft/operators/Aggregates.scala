@@ -1020,7 +1020,40 @@ object Aggregates extends QueryModule {
       .orderBy("priority")
   }
 
+  /** Herfindahl-Hirschman concentration index per market segment —
+    * the antitrust-style measure HHI = Σ shareᵢ² over each customer's
+    * revenue share, completing the concentration family (Gini = rank
+    * inequality, Pareto = head mass, HHI = squared-share mass).
+    * Computed as Σcents²/(Σcents)² with DECIMAL(38,0) accumulators —
+    * cents² crosses 2^63 early, so the sums stay exact in decimal and
+    * only the final ratio is floating. Also reports the
+    * effective-competitor count 1/HHI.
+    *
+    * Scale: per-customer rollup then a 5-group partial-agg'd rollup;
+    * no sort anywhere (unlike Gini/Pareto, HHI needs no ranking).
+    */
+  val aggHhi: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val dc = col("cents").cast("decimal(38,0)")
+    val hhi = col("s2").cast("double") /
+      (col("s1").cast("double") * col("s1").cast("double"))
+    spend.groupBy("segment").agg(
+        count(lit(1)).as("n_customers"),
+        sum(dc).as("s1"),
+        sum(dc * dc).as("s2"))
+      .select(col("segment"), col("n_customers"),
+        Norm.r4tie(hhi * 10000).as("hhi_x10k"),
+        Norm.r4tie(lit(1.0) / hhi).as("eff_competitors"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_hhi" -> aggHhi,
     "q_agg_trimmed_mean" -> aggTrimmedMean,
     "q_agg_skewness" -> aggSkewness,
     "q_agg_gini" -> aggGini,
@@ -1062,6 +1095,24 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_hhi" -> """
+      WITH spend AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      g AS (
+        SELECT segment, count(*) AS n_customers,
+               CAST(sum(cents) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2
+        FROM spend GROUP BY segment)
+      SELECT segment, n_customers,
+             floor(s2 / (s1 * s1) * 10000 * 10000 + 0.5) / 10000
+               AS hhi_x10k,
+             floor(1.0 / (s2 / (s1 * s1)) * 10000 + 0.5) / 10000
+               AS eff_competitors
+      FROM g ORDER BY segment""",
     "q_agg_trimmed_mean" -> """
       WITH o AS (
         SELECT o_orderpriority AS priority, o_orderkey,

@@ -171,28 +171,12 @@ object Graphs extends QueryModule {
     * asymptotically negligible.
     */
   val graphAdamicAdar: Q = (spark, dir) => {
+    import graft.api.ops._
     val li = Tables(spark, dir, "lineitem")
     val ord = Tables(spark, dir, "orders")
-    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-    val sets = edges.groupBy("cust")
-      .agg(array_sort(collect_set(col("supp"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-      .withColumn("w",
-        floor(lit(1000000.0) / log(size(col("ss")).cast("double")))
-          .cast("long"))
-    val pairs = sets
-      .select(col("w"),
-        explode(flatten(transform(col("ss"), (x, i) =>
-          transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
-            struct(x.as("s1"), y.as("s2")))))).as("p"))
-      .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("w"))
-    pairs.groupBy("s1", "s2")
-      .agg(count(lit(1)).as("n_common"), sum("w").as("score_int"))
-      .orderBy(col("score_int").desc, col("s1"), col("s2"))
-      .limit(20)
-      .select(col("s1"), col("s2"), col("n_common"),
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .adamicAdar(col("o_custkey"), col("l_suppkey"), topK = 20)
+      .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
         Norm.r4tie(col("score_int").cast("double") / lit(1000000.0))
           .as("aa_score"))
   }

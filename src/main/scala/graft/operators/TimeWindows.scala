@@ -865,28 +865,16 @@ object TimeWindows extends QueryModule {
     * chunks compose by a 2×2 matrix product).
     */
   val tsHolt: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = Tables(spark, dir, "events")
     val hourly = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).cast("double").as("x"))
-    val folded = hourly.groupBy("event_type")
-      .agg(count(lit(1)).as("n_hours"),
-        array_sort(collect_list(struct(col("hr"), col("x")))).as("xs"))
-      .withColumn("st", expr("""
-        aggregate(xs,
-          named_struct('l', CAST(0.0 AS DOUBLE),
-                       'b', CAST(0.0 AS DOUBLE), 'i', 0),
-          (a, v) -> IF(a.i = 0,
-            named_struct('l', v.x, 'b', CAST(0.0 AS DOUBLE), 'i', 1),
-            named_struct(
-              'l', 0.5D * v.x + 0.5D * (a.l + a.b),
-              'b', 0.5D * ((0.5D * v.x + 0.5D * (a.l + a.b)) - a.l)
-                   + 0.5D * a.b,
-              'i', 1)))"""))
-    folded.select(col("event_type"), col("n_hours"),
-        Norm.r4tie(col("st.l")).as("level"),
-        Norm.r4dn(col("st.b")).as("trend"),
-        Norm.r4dn(col("st.l") + col("st.b")).as("forecast_next"))
+    hourly.holtSmooth(col("event_type"), col("hr"), col("x"))
+      .select(col("key").as("event_type"), col("n").as("n_hours"),
+        Norm.r4tie(col("level")).as("level"),
+        Norm.r4dn(col("trend")).as("trend"),
+        Norm.r4dn(col("level") + col("trend")).as("forecast_next"))
       .orderBy("event_type")
   }
 
@@ -905,27 +893,14 @@ object TimeWindows extends QueryModule {
     * the median is stable under sampling, the plan shape unchanged.
     */
   val tsTheilSen: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = Tables(spark, dir, "events")
     val hourly = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("x"))
       .withColumn("h", expr("unix_micros(hr) div 3600000000"))
-      .select("event_type", "h", "x")
-    val a = hourly.select(col("event_type"), col("h").as("h1"),
-      col("x").as("x1"))
-    val b = hourly.select(col("event_type"), col("h").as("h2"),
-      col("x").as("x2"))
-    val slopes = a.join(b, "event_type").filter(col("h1") < col("h2"))
-      .select(col("event_type"), col("h1"), col("h2"),
-        ((col("x2") - col("x1")).cast("double")
-          / (col("h2") - col("h1")).cast("double")).as("slope"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("slope"), col("h1"), col("h2"))
-    slopes.withColumn("rn", row_number().over(w))
-      .withColumn("n_pairs",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
-      .select(col("event_type"), col("n_pairs"),
+    hourly.theilSenSlope(col("event_type"), col("h"), col("x"))
+      .select(col("key").as("event_type"), col("n_pairs"),
         Norm.r4dn(col("slope")).as("sen_slope"))
       .orderBy("event_type")
   }

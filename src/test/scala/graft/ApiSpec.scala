@@ -862,4 +862,44 @@ class ApiSpec extends SparkSpec {
     assert(out("good") === ((2L, 0.85, true)), s"got $out")
     assert(out("bad") === ((2L, 0.15, false)), s"got $out")
   }
+
+  test("holtSmooth reproduces the hand fold exactly (dyadic arithmetic)") {
+    import spark.implicits._
+    // x = [3,2,4]: l=3,b=0 -> l=2.5,b=-0.25 -> l=3.125,b=0.1875
+    val df = Seq(("m", 1, 3.0), ("m", 2, 2.0), ("m", 3, 4.0))
+      .toDF("metric", "hr", "cnt")
+    val out = df.holtSmooth(col("metric"), col("hr"), col("cnt"))
+      .collect().head
+    assert(out.getAs[Long]("n") === 3L)
+    assert(out.getAs[Double]("level") === 3.125)
+    assert(out.getAs[Double]("trend") === 0.1875)
+  }
+
+  test("theilSenSlope picks the positional median pairwise slope") {
+    import spark.implicits._
+    // points (0,0),(1,2),(2,1): slopes 2, 0.5, -1 -> median 0.5
+    val df = Seq(("s", 0, 0), ("s", 1, 2), ("s", 2, 1))
+      .toDF("series", "t", "x")
+    val out = df.theilSenSlope(col("series"), col("t"), col("x"))
+      .collect().head
+    assert(out.getAs[Long]("n_pairs") === 3L)
+    assert(out.getAs[Double]("slope") === 0.5)
+  }
+
+  test("adamicAdar weights shared neighbors by 1/ln(degree), exact ints") {
+    import spark.implicits._
+    // c1,c2 -> {s1,s2}; c3 -> {s1,s2,s3}: (s1,s2) shares 3 customers
+    // (2 of degree 2, 1 of degree 3) = 2*1442695 + 910239 = 3795629;
+    // (s1,s3) and (s2,s3) share only c3 = 910239.
+    val df = Seq(("c1","s1"),("c1","s2"),("c2","s1"),("c2","s2"),
+      ("c3","s1"),("c3","s2"),("c3","s3"),("c3","s3"))
+      .toDF("cust", "supp")
+    val out = df.adamicAdar(col("cust"), col("supp"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_common"), r.getAs[Long]("score_int")))
+    assert(out.toSeq === Seq(
+      ("s1", "s2", 3L, 3795629L),
+      ("s1", "s3", 1L, 910239L),
+      ("s2", "s3", 1L, 910239L)))
+  }
 }
