@@ -1052,7 +1052,62 @@ object Aggregates extends QueryModule {
       .orderBy("segment")
   }
 
+  /** Poisson-bootstrap confidence interval for the mean order value
+    * per priority — THE distributed bootstrap: instead of a global
+    * with-replacement resample (impossible without shuffling the
+    * world), each row enters replicate b with weight ~ Poisson(1),
+    * drawn DETERMINISTICALLY by inverting the Poisson CDF on a
+    * 48-bit md5 uniform of (orderkey, b). B = 40 replicates ride one
+    * explode; replicate means are exact-integer quotients, and the
+    * interval is POSITIONAL (2nd smallest / 2nd largest replicate
+    * mean ≈ 5–95%), so no float averaging of order statistics. CDF
+    * thresholds are 17-digit literals — both engines parse them to
+    * identical doubles; no libm in the row path.
+    *
+    * Scale: the explode multiplies rows by B before a partial-agg'd
+    * rollup to groups × B cells — shuffle volume is O(groups·B), and
+    * B is the precision knob, independent of data size.
+    */
+  val statsBootstrap: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // P(Pois(1) <= k) for k = 0..5; heavier tails truncate to 6.
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val u = conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit("|"), col("b").cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    val w = cdf.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val reps = o
+      .withColumn("b", explode(sequence(lit(0), lit(39))))
+      .withColumn("w", w)
+      .groupBy("priority", "b")
+      .agg((sum(col("w") * col("cents")).cast("double")
+        / sum(col("w")).cast("double")).as("mean_b"))
+    val wr = Window.partitionBy("priority")
+      .orderBy(col("mean_b"), col("b"))
+    val ci = reps.withColumn("rn", row_number().over(wr))
+      .groupBy("priority")
+      .agg(min(when(col("rn") === 2, col("mean_b"))).as("lo"),
+        min(when(col("rn") === 39, col("mean_b"))).as("hi"))
+    val point = o.groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_cents"))
+    point.join(ci, "priority")
+      .select(col("priority"), col("n_orders"),
+        Norm.r4tie(col("mean_cents")).as("mean_cents"),
+        Norm.r4tie(col("lo")).as("boot_lo"),
+        Norm.r4tie(col("hi")).as("boot_hi"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_bootstrap" -> statsBootstrap,
     "q_agg_hhi" -> aggHhi,
     "q_agg_trimmed_mean" -> aggTrimmedMean,
     "q_agg_skewness" -> aggSkewness,
@@ -1095,6 +1150,52 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_bootstrap" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      reps AS (
+        SELECT priority, b,
+               CAST(sum(w * cents) AS DOUBLE)
+                 / CAST(sum(w) AS DOUBLE) AS mean_b
+        FROM (
+          SELECT priority, cents, b,
+            CASE WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 WHEN u < 0.9994058151824183 THEN 5
+                 ELSE 6 END AS w
+          FROM (
+            SELECT priority, cents, b,
+              CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                || '|' || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+                / 281474976710656.0 AS u
+            FROM o, (SELECT unnest(generate_series(0, 39)) AS b)))
+        GROUP BY priority, b),
+      ranked AS (
+        SELECT priority, mean_b,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY mean_b, b) AS rn
+        FROM reps),
+      ci AS (
+        SELECT priority,
+               min(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+               min(CASE WHEN rn = 39 THEN mean_b END) AS hi
+        FROM ranked GROUP BY priority),
+      pt AS (
+        SELECT priority, count(*) AS n_orders,
+               CAST(sum(cents) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean_cents
+        FROM o GROUP BY priority)
+      SELECT pt.priority, n_orders,
+             floor(mean_cents * 10000 + 0.5) / 10000 AS mean_cents,
+             floor(lo * 10000 + 0.5) / 10000 AS boot_lo,
+             floor(hi * 10000 + 0.5) / 10000 AS boot_hi
+      FROM pt JOIN ci ON pt.priority = ci.priority
+      ORDER BY pt.priority""",
     "q_agg_hhi" -> """
       WITH spend AS (
         SELECT c_mktsegment AS segment, c_custkey,

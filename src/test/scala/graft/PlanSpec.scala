@@ -978,4 +978,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("MapGroups"), p)
     assert(countOcc(p, "SortMergeJoin") === 0, p)
   }
+
+  test("q_agg_hhi: no ranking sort — two partial-agg'd rollups, broadcast dim") {
+    val p = plan("q_agg_hhi")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "Window") === 0, p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("q_stats_bootstrap: B explodes before a groups-x-B partial agg") {
+    val p = plan("q_stats_bootstrap")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_sum"), p)
+    // replicate cells then the 5-row CI window; never an
+    // orders-volume exchange after the explode
+    assert(countOcc(p, "Exchange hashpartitioning") <= 3, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("o_orderdate") && !rs.contains("o_custkey"), rs)
+  }
 }
