@@ -905,7 +905,101 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Markov-chain (removal-effect) attribution — the data-driven
+    * alternative to last-touch ([[attribution]]): model each user's
+    * pre-conversion path as a first-order chain over touch channels,
+    * and credit channel c by how much the start→conversion absorption
+    * probability DROPS when c is removed (transitions into c redirect
+    * to the null sink). The heavy half is distributed: episode
+    * extraction (events strictly before the user's first purchase)
+    * and transition counting shuffle once by user and reduce to a
+    * ≤ 6×7 count matrix. The absorption solve is a bounded
+    * driver-side iteration over that matrix (the Lloyd-centroid
+    * precedent: k×k state, not data-sized), folding in SORTED-dst
+    * order with probabilities that are quotients of the same integers
+    * in both engines — the DuckDB twin replays the identical K = 60
+    * ordered-fold iterations in a recursive CTE, so results match
+    * bit-for-bit.
+    *
+    * Scale: transition counting is one user-shuffle + partial-agg'd
+    * (src, dst) rollup; the driver matrix is channels², independent
+    * of data volume. K truncates the absorption series identically
+    * on both sides (transparent in the compare, geometric in error).
+    */
+  val attributionMarkov: Q = (spark, dir) => {
+    val chans = Seq("click", "error", "signup", "view")
+    val e = Tables(spark, dir, "events")
+    val firstP = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val path = e.join(firstP, Seq("user_id"), "left")
+      .filter(col("event_type").isin(chans: _*))
+      .filter(col("fp").isNull ||
+        struct(col("ts"), col("event_id")) < col("fp"))
+      .select(col("user_id"), col("event_type").as("ch"),
+        col("ts"), col("event_id"))
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val steps = path
+      .select(coalesce(lag(col("ch"), 1).over(wu), lit("start"))
+        .as("src"), col("ch").as("dst"))
+    val lastCh = path.groupBy("user_id")
+      .agg(max_by(col("ch"), struct(col("ts"), col("event_id")))
+        .as("last_ch"))
+    val term = e.select("user_id").distinct()
+      .join(lastCh, Seq("user_id"), "left")
+      .join(firstP, Seq("user_id"), "left")
+      .select(coalesce(col("last_ch"), lit("start")).as("src"),
+        when(col("fp").isNotNull, "conv").otherwise("null").as("dst"))
+    val counts = steps.unionByName(term)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Bounded driver-side absorption solve, K iterations, dst-sorted
+    // folds — mirrored exactly by the oracle's recursive CTE.
+    val K = 60
+    def absorb(removed: Option[String]): Double = {
+      val adj = counts.toSeq
+        .filterNot { case ((s, _), _) => removed.contains(s) }
+        .map { case ((s, d), n) =>
+          (s, if (removed.contains(d)) "null" else d) -> n }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val totals = adj.groupBy(_._1._1)
+        .map { case (s, m) => s -> m.values.sum }
+      val transient = "start" +: chans
+      var p = transient.map(_ -> 0.0).toMap
+      for (_ <- 1 to K) {
+        p = transient.map { s =>
+          val tot = totals.getOrElse(s, 0L)
+          if (tot == 0L) s -> 0.0
+          else s -> adj.toSeq.filter(_._1._1 == s).sortBy(_._1._2)
+            .foldLeft(0.0) { case (acc, ((_, d), n)) =>
+              val pd = d match {
+                case "conv" => 1.0
+                case "null" => 0.0
+                case t => p(t)
+              }
+              acc + (n.toDouble / tot.toDouble) * pd
+            }
+        }.toMap
+      }
+      p("start")
+    }
+    val pFull = absorb(None)
+    val re = chans.map(c => c -> (pFull - absorb(Some(c))))
+    val sumRe = re.foldLeft(0.0)(_ + _._2)
+    import spark.implicits._
+    re.map { case (c, r) =>
+        (c, pFull, r, if (sumRe == 0.0) 0.0 else r / sumRe) }
+      .toDF("channel", "p_conv", "removal_effect", "attr_share")
+      .select(col("channel"), Norm.r4tie(col("p_conv")).as("p_conv"),
+        Norm.r4dn(col("removal_effect")).as("removal_effect"),
+        Norm.r4dn(col("attr_share")).as("attr_share"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_attribution_markov" -> attributionMarkov,
     "q_ts_theilsen" -> tsTheilSen,
     "q_ts_holt" -> tsHolt,
     "q_ts_interarrival" -> tsInterarrival,
@@ -937,6 +1031,99 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution_markov" -> """
+      WITH RECURSIVE
+      fp AS (
+        SELECT user_id, ts AS pts, event_id AS peid FROM (
+          SELECT user_id, ts, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+      path AS (
+        SELECT e.user_id, e.event_type AS ch, e.ts, e.event_id
+        FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type IN ('click','error','signup','view')
+          AND (fp.user_id IS NULL
+               OR (e.ts, e.event_id) < (fp.pts, fp.peid))),
+      steps AS (
+        SELECT coalesce(lag(ch) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), 'start') AS src, ch AS dst
+        FROM path),
+      lastch AS (
+        SELECT user_id, ch FROM (
+          SELECT user_id, ch, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM path) WHERE rn = 1),
+      term AS (
+        SELECT coalesce(l.ch, 'start') AS src,
+               CASE WHEN fp.user_id IS NOT NULL THEN 'conv'
+                    ELSE 'null' END AS dst
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN lastch l ON u.user_id = l.user_id
+        LEFT JOIN fp ON u.user_id = fp.user_id),
+      trans AS (
+        SELECT src, dst, count(*) AS n FROM (
+          SELECT src, dst FROM steps
+          UNION ALL SELECT src, dst FROM term)
+        GROUP BY src, dst),
+      variants AS (
+        SELECT '__full__' AS rm
+        UNION ALL SELECT unnest(['click','error','signup','view'])),
+      adj AS (
+        SELECT v.rm, t.src,
+               CASE WHEN t.dst = v.rm THEN 'null' ELSE t.dst END AS dst,
+               CAST(sum(t.n) AS BIGINT) AS n
+        FROM variants v JOIN trans t ON t.src <> v.rm
+        GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT rm, src, CAST(sum(n) AS BIGINT) AS tot
+        FROM adj GROUP BY 1, 2),
+      tp AS (
+        SELECT a.rm, a.src, a.dst,
+               CAST(a.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS pr
+        FROM adj a JOIN tot t ON a.rm = t.rm AND a.src = t.src),
+      tl AS (
+        SELECT rm, list(struct_pack(src := src, dst := dst, pr := pr))
+                 AS trans
+        FROM tp GROUP BY rm),
+      it AS (
+        SELECT rm, 0 AS k, trans,
+               map_from_entries(list_transform(
+                 ['start','click','error','signup','view'],
+                 s -> struct_pack(ks := s, vs := CAST(0.0 AS DOUBLE))))
+                 AS p
+        FROM tl
+        UNION ALL
+        SELECT rm, k + 1, trans,
+               map_from_entries(list_transform(
+                 ['start','click','error','signup','view'],
+                 s -> struct_pack(ks := s, vs := list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(
+                       list_sort(list_filter(trans, x -> x.src = s)),
+                       x -> x.pr * CASE
+                         WHEN x.dst = 'conv' THEN CAST(1.0 AS DOUBLE)
+                         WHEN x.dst = 'null' THEN CAST(0.0 AS DOUBLE)
+                         ELSE coalesce(map_extract(p, x.dst)[1],
+                                       CAST(0.0 AS DOUBLE)) END)),
+                   (a, b) -> a + b))))
+        FROM it WHERE k < 60),
+      fin AS (
+        SELECT rm, map_extract(p, 'start')[1] AS ps
+        FROM it WHERE k = 60),
+      fullp AS (SELECT ps AS pf FROM fin WHERE rm = '__full__'),
+      re AS (
+        SELECT rm AS channel, pf, pf - ps AS re
+        FROM fin, fullp WHERE rm <> '__full__'),
+      sre AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(re ORDER BY channel)), (a, b) -> a + b) AS s
+        FROM re)
+      SELECT channel,
+             floor(pf * 10000 + 0.5) / 10000 AS p_conv,
+             floor(re * 10000) / 10000 AS removal_effect,
+             floor((CASE WHEN s = 0.0 THEN 0.0 ELSE re / s END)
+                   * 10000) / 10000 AS attr_share
+      FROM re, sre ORDER BY channel""",
     "q_ts_theilsen" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
