@@ -1106,7 +1106,48 @@ object Aggregates extends QueryModule {
       .orderBy("priority")
   }
 
+  /** Tukey IQR outlier fences per event type — the boxplot rule as a
+    * data-quality monitor: positional quartiles (exact-cent ranks at
+    * (n+1)÷4 and 3(n+1)÷4, clamped to [1, n]), fences at Q1−1.5·IQR /
+    * Q3+1.5·IQR tested in SCALED-INTEGER form (2·cents vs 5·Q1−3·Q3)
+    * so fence membership can't float-drift, and the outlier count +
+    * extremes per type.
+    *
+    * Scale: one rank window per type (the inherent sort), the
+    * quartile pick is a filter + 2-row aggregate joined back
+    * broadcast; outlier counting is a partial-agg'd scan of the
+    * ranked frame.
+    */
+  val statsIqrOutliers: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val wt = Window.partitionBy("event_type")
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wt))
+    val qs = ranked
+      .filter(col("rn") === greatest(expr("(n + 1) div 4"), lit(1)) ||
+        col("rn") === least(expr("(3 * (n + 1)) div 4"), col("n")))
+      .groupBy("event_type")
+      .agg(min(col("cents")).as("q1"), max(col("cents")).as("q3"))
+    ranked.join(broadcast(qs), "event_type")
+      .withColumn("is_out",
+        col("cents") * 2 < col("q1") * 5 - col("q3") * 3 ||
+        col("cents") * 2 > col("q3") * 5 - col("q1") * 3)
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        min(col("q1")).as("q1_cents"), min(col("q3")).as("q3_cents"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("cents"))).as("min_outlier"),
+        max(when(col("is_out"), col("cents"))).as("max_outlier"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_iqr_outliers" -> statsIqrOutliers,
     "q_stats_bootstrap" -> statsBootstrap,
     "q_agg_hhi" -> aggHhi,
     "q_agg_trimmed_mean" -> aggTrimmedMean,
@@ -1150,6 +1191,37 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_iqr_outliers" -> """
+      WITH e AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               event_id
+        FROM events),
+      ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      qs AS (
+        SELECT event_type, min(cents) AS q1, max(cents) AS q3
+        FROM ranked
+        WHERE rn = greatest((n + 1) // 4, 1)
+           OR rn = least((3 * (n + 1)) // 4, n)
+        GROUP BY event_type)
+      SELECT r.event_type, max(n) AS n_events,
+             min(q1) AS q1_cents, min(q3) AS q3_cents,
+             CAST(sum(CASE WHEN cents * 2 < q1 * 5 - q3 * 3
+                             OR cents * 2 > q3 * 5 - q1 * 3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             min(CASE WHEN cents * 2 < q1 * 5 - q3 * 3
+                        OR cents * 2 > q3 * 5 - q1 * 3
+                      THEN cents END) AS min_outlier,
+             max(CASE WHEN cents * 2 < q1 * 5 - q3 * 3
+                        OR cents * 2 > q3 * 5 - q1 * 3
+                      THEN cents END) AS max_outlier
+      FROM ranked r JOIN qs ON r.event_type = qs.event_type
+      GROUP BY r.event_type ORDER BY r.event_type""",
     "q_stats_bootstrap" -> """
       WITH o AS (
         SELECT o_orderpriority AS priority, o_orderkey,

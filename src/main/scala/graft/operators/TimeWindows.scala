@@ -998,7 +998,53 @@ object TimeWindows extends QueryModule {
       .orderBy("channel")
   }
 
+  /** Classical additive decomposition of each type's hourly series —
+    * x = trend + seasonal + residual, the non-iterative STL
+    * predecessor: trend is a centered 25 h rolling mean (exact
+    * integer sum / window count), the hour-of-day seasonal index is
+    * hodMean − grandMean (both quotients of BIGINTs), and the
+    * residual is what's left. Every aggregate is integer-exact; the
+    * three float subtractions are the same expression tree in both
+    * engines. Emits the decomposition for the last 48 hours per type
+    * (the inspection window), keeping output bounded.
+    *
+    * Scale: one events partial-agg to (type, hour); the rolling mean
+    * rides one per-type window sort; the seasonal index is a 24-row
+    * broadcast join back.
+    */
+  val tsDecompose: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+      .withColumn("hod", (col("h") % 24).cast("int"))
+    val wRoll = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-12, 12)
+    val wType = Window.partitionBy("event_type")
+    val withTrend = hourly
+      .withColumn("trend", sum(col("x")).over(wRoll).cast("double")
+        / count(lit(1)).over(wRoll).cast("double"))
+      .withColumn("gsum", sum(col("x")).over(wType))
+      .withColumn("gn", count(lit(1)).over(wType))
+      .withColumn("hmax", max(col("h")).over(wType))
+    val hod = hourly.groupBy("event_type", "hod")
+      .agg(sum(col("x")).as("hsum"), count(lit(1)).as("hn"))
+    withTrend.join(broadcast(hod), Seq("event_type", "hod"))
+      .withColumn("seasonal",
+        col("hsum").cast("double") / col("hn").cast("double")
+          - col("gsum").cast("double") / col("gn").cast("double"))
+      .filter(col("h") > col("hmax") - 48)
+      .select(col("event_type"), col("h"), col("x"),
+        Norm.r4tie(col("trend")).as("trend"),
+        Norm.r4dn(col("seasonal")).as("seasonal"),
+        Norm.r4dn(col("x").cast("double") - col("trend")
+          - col("seasonal")).as("residual"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_decompose" -> tsDecompose,
     "q_attribution_markov" -> attributionMarkov,
     "q_ts_theilsen" -> tsTheilSen,
     "q_ts_holt" -> tsHolt,
@@ -1031,6 +1077,45 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_decompose" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT event_type, x,
+               epoch_us(hr) // 3600000000 AS h,
+               CAST((epoch_us(hr) // 3600000000) % 24 AS INT) AS hod
+        FROM hourly),
+      wt AS (
+        SELECT event_type, h, hod, x,
+               CAST(sum(x) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS DOUBLE)
+                 AS trend,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS gsum,
+               count(*) OVER (PARTITION BY event_type) AS gn,
+               max(h) OVER (PARTITION BY event_type) AS hmax
+        FROM pts),
+      hod AS (
+        SELECT event_type, hod,
+               CAST(sum(x) AS BIGINT) AS hsum, count(*) AS hn
+        FROM pts GROUP BY 1, 2),
+      j AS (
+        SELECT wt.event_type, wt.h, wt.x, wt.trend,
+               CAST(hsum AS DOUBLE) / CAST(hn AS DOUBLE)
+                 - CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE)
+                 AS seasonal
+        FROM wt JOIN hod ON wt.event_type = hod.event_type
+                        AND wt.hod = hod.hod
+        WHERE wt.h > wt.hmax - 48)
+      SELECT event_type, h, x,
+             floor(trend * 10000 + 0.5) / 10000 AS trend,
+             floor(seasonal * 10000) / 10000 AS seasonal,
+             floor((CAST(x AS DOUBLE) - trend - seasonal) * 10000)
+               / 10000 AS residual
+      FROM j ORDER BY event_type, h""",
     "q_attribution_markov" -> """
       WITH RECURSIVE
       fp AS (
