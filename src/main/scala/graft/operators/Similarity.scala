@@ -660,7 +660,55 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
+  /** k-center coreset by farthest-point (Gonzalez) sampling — the
+    * geometric data-pruning pick: k = 8 vectors that 2-approximate the
+    * optimal covering radius, the diversity-first alternative to the
+    * distribution-matching samplers (DSIR/stratified). Greedy is
+    * inherently sequential, so each round is ONE distributed pass
+    * (min-distance-to-centers via fixed-order per-dim folds, argmax by
+    * (dist desc, vec_id)) and the driver keeps only the k×dim center
+    * matrix (the Lloyd-centroid precedent); the reported radius at
+    * each rank is the covering radius before that pick. The DuckDB
+    * twin replays the same greedy in a recursive CTE whose working row
+    * carries the selected ids + center vectors, arg-maxing via
+    * max(struct) — distances are identical left folds over identical
+    * doubles, so the trace matches bit-for-bit.
+    *
+    * Scale: k passes over the corpus, each a scan + broadcast k×dim
+    * literal — no pairwise materialization; for huge corpora swap the
+    * exact argmax for a per-partition top-1 pre-reduce (same plan
+    * Spark's TakeOrdered already does).
+    */
+  val sampleKcenter: Q = (spark, dir) => {
+    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+    val k = 8
+    val first = e.filter(col("vec_id") === 0)
+      .select(col("emb")).head.getSeq[Double](0).toVector
+    var centers = Vector((0L, first))
+    var out = Vector((1, 0L, 0.0))
+    def dist2(p: Column, c: Column): Column =
+      aggregate(zip_with(p, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _)
+    for (r <- 2 to k) {
+      val cArr = typedLit(centers.map(_._2))
+      val md = aggregate(cArr, lit(Double.PositiveInfinity),
+        (acc, c) => least(acc, dist2(col("emb"), c)))
+      val row = e.filter(!col("vec_id").isin(centers.map(_._1): _*))
+        .select(col("vec_id"), md.as("md"), col("emb"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).collect().head
+      centers :+= ((row.getLong(0), row.getSeq[Double](2).toVector))
+      out :+= ((r, row.getLong(0), row.getDouble(1)))
+    }
+    import spark.implicits._
+    out.toDF("rank", "vec_id", "radius")
+      .select(col("rank"), col("vec_id"),
+        Norm.r4tie(col("radius")).as("radius"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_kcenter" -> sampleKcenter,
     "q_sim_mmr" -> simMmr,
     "q_embed_whiten" -> embedWhiten,
     "q_rec_cooccur" -> recCooccur,
@@ -906,6 +954,39 @@ object Similarity extends QueryModule {
                (a, x) -> a + x)) * 10000 + 0.5) / 10000 AS err_l2
       FROM q
       ORDER BY vec_id""",
+    "q_sample_kcenter" -> """
+      WITH RECURSIVE emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      it AS (
+        SELECT 1 AS rnk, [CAST(0 AS BIGINT)] AS ids,
+               [(SELECT v FROM emb WHERE vec_id = 0)] AS centers,
+               CAST(0.0 AS DOUBLE) AS radius
+        UNION ALL
+        SELECT rnk + 1,
+               list_append(ids, -((max(st)).nid)),
+               list_append(centers, (max(st)).v),
+               (max(st)).md
+        FROM (
+          SELECT it.rnk, it.ids, it.centers,
+                 {'md': list_reduce(
+                    list_prepend(CAST('inf' AS DOUBLE),
+                      list_transform(it.centers, c ->
+                        list_reduce(
+                          list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(list_zip(e.v, c),
+                              z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                          (a, b) -> a + b))),
+                    (a, b) -> least(a, b)),
+                  'nid': -e.vec_id,
+                  'v': e.v} AS st
+          FROM it, emb e
+          WHERE NOT list_contains(it.ids, e.vec_id) AND it.rnk < 8)
+        GROUP BY rnk, ids, centers)
+      SELECT rnk AS rank, ids[rnk] AS vec_id,
+             floor(radius * 10000 + 0.5) / 10000 AS radius
+      FROM it ORDER BY rnk""",
     "q_sim_cosine_topk" -> """
       WITH z AS (
         SELECT vec_id,
