@@ -1146,7 +1146,38 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Wilson 95% score interval for each event type's traffic share —
+    * the binomial CI that stays inside [0,1] and behaves at small n,
+    * the standard error bar on a rate dashboard (vs the bootstrap's
+    * distribution-free CI on a MEAN). p̂ = nₜ/n from exact BIGINTs;
+    * the closed form (p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²))/(1 + z²/n)
+    * is the identical expression tree in both engines (z = 1.96
+    * literal), one sqrt each bound.
+    *
+    * Scale: one partial-agg'd pass to |types| cells + a 1-row total
+    * window over the aggregate.
+    */
+  val statsWilson: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val tot = Window.partitionBy()
+    val n = col("n_total").cast("double")
+    val p = col("n_type").cast("double") / n
+    val z2 = lit(3.8416) // 1.96^2, exact decimal literal
+    val centre = p + z2 / (lit(2.0) * n)
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      .withColumn("n_total", sum("n_type").over(tot))
+      .select(col("event_type"), col("n_type"), col("n_total"),
+        Norm.r4tie(p).as("share"),
+        Norm.r4tie((centre - half) / denom).as("wilson_lo"),
+        Norm.r4tie((centre + half) / denom).as("wilson_hi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_wilson" -> statsWilson,
     "q_stats_iqr_outliers" -> statsIqrOutliers,
     "q_stats_bootstrap" -> statsBootstrap,
     "q_agg_hhi" -> aggHhi,
@@ -1191,6 +1222,32 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_wilson" -> """
+      WITH t AS (
+        SELECT event_type, count(*) AS n_type FROM events
+        GROUP BY event_type),
+      w AS (
+        SELECT event_type, n_type,
+               CAST(sum(n_type) OVER () AS BIGINT) AS n_total
+        FROM t),
+      c AS (
+        SELECT event_type, n_type, n_total,
+               CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+               CAST(n_total AS DOUBLE) AS n
+        FROM w)
+      SELECT event_type, n_type, n_total,
+             floor(p * 10000 + 0.5) / 10000 AS share,
+             floor(((p + 3.8416 / (2.0 * n))
+                    - 1.96 * sqrt(p * (1.0 - p) / n
+                                  + 3.8416 / (4.0 * n * n)))
+                   / (1.0 + 3.8416 / n) * 10000 + 0.5) / 10000
+               AS wilson_lo,
+             floor(((p + 3.8416 / (2.0 * n))
+                    + 1.96 * sqrt(p * (1.0 - p) / n
+                                  + 3.8416 / (4.0 * n * n)))
+                   / (1.0 + 3.8416 / n) * 10000 + 0.5) / 10000
+               AS wilson_hi
+      FROM c ORDER BY event_type""",
     "q_stats_iqr_outliers" -> """
       WITH e AS (
         SELECT event_type,
