@@ -997,4 +997,31 @@ class PlanSpec extends SparkSpec {
     val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs.contains("o_orderdate") && !rs.contains("o_custkey"), rs)
   }
+
+  test("q_stats_iqr_outliers: quartile pick broadcasts back; one rank sort per side") {
+    val p = plan("q_stats_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("user_id"), rs)
+  }
+
+  test("q_ts_decompose: windows ride the hourly table; seasonal index broadcasts") {
+    val p = plan("q_ts_decompose")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_stats_wilson: single-partition window sees only the 5-row aggregate") {
+    val p = plan("q_stats_wilson")
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val iSingle = p.indexOf("Exchange SinglePartition")
+    assert(iSingle >= 0 && iSingle < p.lastIndexOf("HashAggregate"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("struct<event_type:string>"), rs)
+  }
 }
