@@ -1014,7 +1014,69 @@ object TextAnalysis extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** RAKE keyword extraction (Rose et al.) — corpus top-25 key
+    * phrases: candidate phrases are maximal stopword-free word runs
+    * (a running stopword count segments each document — pure window
+    * arithmetic, no sequential parser), each word scores
+    * degree/frequency over the phrase corpus, and a phrase scores the
+    * sum of its words. Word scores quantize to exact integers
+    * (⌊10⁶·degree/freq⌋) before any summation, so phrase scores are
+    * BIGINT-exact and the top-25 cut can't float-drift.
+    *
+    * Scale: one word explode (shuffle by doc for the segment window,
+    * then by word for the vocab-bounded stats, broadcast back); the
+    * top-25 is a heap TakeOrderedAndProject.
+    */
+  val textRake: Q = (spark, dir) => {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "on", "for", "with", "as", "at", "by", "be", "are", "was",
+      "it", "this", "that", "from", "not", "but", "have", "has")
+    val d = Tables(spark, dir, "documents")
+    val words = d.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w") =!= "")
+      .withColumn("is_stop", col("w").isInCollection(stop))
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val phr = words
+      .withColumn("pid",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wdoc))
+      .filter(!col("is_stop"))
+    val phrases = phr.groupBy("doc_id", "pid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("w"))))
+        .as("pw"))
+      .select(col("doc_id"), col("pid"),
+        transform(col("pw"), _.getField("w")).as("ws"))
+      .withColumn("len", size(col("ws")))
+      // standard RAKE candidate cap: runs longer than 4 words are
+      // almost never keyphrases (and the synthetic corpus's sparse
+      // stopwords would otherwise make whole documents candidates)
+      .filter(col("len") <= 4)
+      .localCheckpoint()
+    val wstats = phrases
+      .select(explode(col("ws")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("degree"))
+      .withColumn("wscore", expr("degree * 1000000 div freq"))
+    val inst = phrases
+      .select(col("doc_id"), col("pid"),
+        concat_ws(" ", col("ws")).as("phrase"),
+        explode(col("ws")).as("w"))
+      .join(broadcast(wstats.select("w", "wscore")), "w")
+      .groupBy("doc_id", "pid", "phrase")
+      .agg(sum("wscore").as("score_int"))
+    inst.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("score_int").as("score_int"))
+      .orderBy(col("score_int").desc, col("phrase"))
+      .limit(25)
+      .select(col("phrase"), col("n_occurrences"),
+        Norm.r4tie(col("score_int").cast("double") / 1000000.0)
+          .as("rake_score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_rake" -> textRake,
     "q_text_readability" -> textReadability,
     "q_privacy_dp_hist" -> privacyDpHist,
     "q_privacy_ldiv" -> privacyLdiv,
@@ -1068,6 +1130,59 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_rake" -> """
+      WITH raw AS (
+        SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+        FROM documents),
+      words0 AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos,
+               unnest(l) AS w
+        FROM raw),
+      words AS (
+        SELECT doc_id, pos, w,
+               w IN ('the','a','an','and','or','of','to','in','is',
+                     'on','for','with','as','at','by','be','are',
+                     'was','it','this','that','from','not','but',
+                     'have','has') AS is_stop
+        FROM words0 WHERE w <> ''),
+      seg AS (
+        SELECT doc_id, pos, w,
+               CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pid
+        FROM words
+        QUALIFY NOT is_stop),
+      phrases AS (
+        SELECT doc_id, pid, phrase, len FROM (
+          SELECT doc_id, pid,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS len
+          FROM seg GROUP BY doc_id, pid)
+        WHERE len <= 4),
+      wstats AS (
+        SELECT w, count(*) AS freq,
+               CAST(sum(len) AS BIGINT) AS degree,
+               CAST(sum(len) AS BIGINT) * 1000000 // count(*) AS wscore
+        FROM (SELECT s.w, p.len
+              FROM seg s JOIN phrases p
+                ON s.doc_id = p.doc_id AND s.pid = p.pid)
+        GROUP BY w),
+      inst AS (
+        SELECT s.doc_id, s.pid, p.phrase,
+               CAST(sum(wstats.wscore) AS BIGINT) AS score_int
+        FROM seg s
+        JOIN phrases p ON s.doc_id = p.doc_id AND s.pid = p.pid
+        JOIN wstats ON s.w = wstats.w
+        GROUP BY s.doc_id, s.pid, p.phrase),
+      top AS (
+        SELECT phrase, count(*) AS n_occurrences,
+               min(score_int) AS score_int
+        FROM inst GROUP BY phrase
+        ORDER BY score_int DESC, phrase LIMIT 25)
+      SELECT phrase, n_occurrences,
+             floor(CAST(score_int AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS rake_score
+      FROM top""",
     "q_text_readability" -> """
       WITH c AS (
         SELECT doc_id,
