@@ -1176,7 +1176,55 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Spearman rank correlation between per-user behavior metrics —
+    * the monotone-association companion to q_agg_corr_matrix's
+    * Pearson: ranks via row_number with user_id tiebreak (the
+    * deterministic tie rule, documented — not average-rank), then the
+    * EXACT closed form ρ = 1 − 6Σd²/(n(n²−1)) on BIGINT rank
+    * differences; the only float is the final quotient. Reports
+    * clicks↔spend and views↔purchases.
+    *
+    * Scale: one partial-agg'd user rollup; each rank is one
+    * global-ish sort of the USER table (not events) — at extreme user
+    * counts use range-partitioned rank, the formula is unchanged.
+    */
+  val aggSpearman: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val m = e.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("views"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"),
+      sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+        .as("spend"))
+    def rk(c: String) = row_number().over(
+      Window.orderBy(col(c), col("user_id")))
+    val ranked = m
+      .withColumn("r_clicks", rk("clicks"))
+      .withColumn("r_views", rk("views"))
+      .withColumn("r_purchases", rk("purchases"))
+      .withColumn("r_spend", rk("spend"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r_clicks - r_spend AS BIGINT) " +
+          "* CAST(r_clicks - r_spend AS BIGINT)")).as("d2_cs"),
+        sum(expr("CAST(r_views - r_purchases AS BIGINT) " +
+          "* CAST(r_views - r_purchases AS BIGINT)")).as("d2_vp"))
+      .select(col("n").as("n_users"),
+        Norm.r4dn(lit(1.0) - lit(6.0) * col("d2_cs").cast("double")
+          / (col("n").cast("double")
+             * (col("n").cast("double") * col("n").cast("double")
+                - lit(1.0)))).as("rho_clicks_spend"),
+        Norm.r4dn(lit(1.0) - lit(6.0) * col("d2_vp").cast("double")
+          / (col("n").cast("double")
+             * (col("n").cast("double") * col("n").cast("double")
+                - lit(1.0)))).as("rho_views_purchases"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_spearman" -> aggSpearman,
     "q_stats_wilson" -> statsWilson,
     "q_stats_iqr_outliers" -> statsIqrOutliers,
     "q_stats_bootstrap" -> statsBootstrap,
@@ -1222,6 +1270,50 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_spearman" -> """
+      WITH m AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS views,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS purchases,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 100 + 0.5)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS spend
+        FROM events GROUP BY user_id),
+      ranked AS (
+        SELECT row_number() OVER (ORDER BY clicks, user_id)
+                 AS r_clicks,
+               row_number() OVER (ORDER BY views, user_id) AS r_views,
+               row_number() OVER (ORDER BY purchases, user_id)
+                 AS r_purchases,
+               row_number() OVER (ORDER BY spend, user_id) AS r_spend
+        FROM m),
+      s AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(r_clicks - r_spend AS BIGINT)
+                        * CAST(r_clicks - r_spend AS BIGINT))
+                    AS BIGINT) AS d2_cs,
+               CAST(sum(CAST(r_views - r_purchases AS BIGINT)
+                        * CAST(r_views - r_purchases AS BIGINT))
+                    AS BIGINT) AS d2_vp
+        FROM ranked)
+      SELECT n AS n_users,
+             floor((1.0 - 6.0 * CAST(d2_cs AS DOUBLE)
+                    / (CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          - 1.0))) * 10000) / 10000
+               AS rho_clicks_spend,
+             floor((1.0 - 6.0 * CAST(d2_vp AS DOUBLE)
+                    / (CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          - 1.0))) * 10000) / 10000
+               AS rho_views_purchases
+      FROM s""",
     "q_stats_wilson" -> """
       WITH t AS (
         SELECT event_type, count(*) AS n_type FROM events

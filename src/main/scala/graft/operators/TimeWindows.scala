@@ -1043,7 +1043,47 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "h")
   }
 
+  /** Lagged cross-correlation between the click and purchase hourly
+    * series — the lead-lag detector ("do clicks predict purchases L
+    * hours later?"): Pearson r of (clickₜ, purchaseₜ₊L) for L ∈
+    * [−3, 3], every sufficient statistic an exact BIGINT over the
+    * joined overlap, one float closed form per lag. The argmax lag is
+    * the reporting headline; all 7 lags are emitted.
+    *
+    * Scale: both series are pre-aggregated to hours; the lag
+    * alignment is a 7×-exploded equi-join on the shifted hour index —
+    * calendar-bounded rows, volume-independent.
+    */
+  val tsCrosscorr: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+    val hc = hourly.filter(col("event_type") === "click")
+      .select(col("h"), col("n").as("x"))
+    val hp = hourly.filter(col("event_type") === "purchase")
+      .select(col("h").as("hp"), col("n").as("y"))
+    val lagged = hc
+      .withColumn("lag_h", explode(sequence(lit(-3), lit(3))))
+      .join(hp, col("hp") === col("h") + col("lag_h"))
+    val agg = lagged.groupBy("lag_h").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val r = (d("n") * d("sxy") - d("sx") * d("sy")) /
+      sqrt((d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy")))
+    agg.select(col("lag_h"), col("n").as("n_hours"),
+        Norm.r4dn(r).as("r"))
+      .orderBy("lag_h")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_crosscorr" -> tsCrosscorr,
     "q_ts_decompose" -> tsDecompose,
     "q_attribution_markov" -> attributionMarkov,
     "q_ts_theilsen" -> tsTheilSen,
@@ -1077,6 +1117,38 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_crosscorr" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT event_type, epoch_us(hr) // 3600000000 AS h, n
+        FROM hourly),
+      hc AS (SELECT h, n AS x FROM pts WHERE event_type = 'click'),
+      hp AS (SELECT h AS hp2, n AS y FROM pts
+             WHERE event_type = 'purchase'),
+      lagged AS (
+        SELECT l.lag_h, hc.x, hp.y
+        FROM hc, (SELECT unnest(generate_series(-3, 3)) AS lag_h) l
+        JOIN hp ON hp.hp2 = hc.h + l.lag_h),
+      agg AS (
+        SELECT lag_h, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY lag_h)
+      SELECT lag_h, n AS n_hours,
+             floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE)
+                               * CAST(sy AS DOUBLE)))
+                   * 10000) / 10000 AS r
+      FROM agg ORDER BY lag_h""",
     "q_ts_decompose" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
