@@ -707,7 +707,50 @@ object Similarity extends QueryModule {
       .orderBy("rank")
   }
 
+  /** Per-label embedding outliers — mislabeled-example screening: each
+    * label's centroid (per-dim mean, QUANTIZED to 6dp so downstream
+    * comparisons can't ride float-sum ulps), every member's squared
+    * distance to it (fixed-order per-dim fold, then quantized to an
+    * exact ⌊d·10⁶⌋ BIGINT), the label's mean distance from the integer
+    * sums, and the top-3 farthest members by (dist desc, vec_id).
+    *
+    * Scale: the centroid is a per-(label, dim) partial-agg'd rollup
+    * broadcast back; distances are a projection; the top-3 rides a
+    * per-label rank window over quantized integers.
+    */
+  val embedOutliers: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val cen = e.select(col("label"), posexplode(col("emb")))
+      .toDF("label", "pos", "v")
+      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+      .withColumn("mq", floor(col("m") * 1000000 + 0.5) / 1000000)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
+        .as("cw"))
+      .select(col("label"), transform(col("cw"), _.getField("mq"))
+        .as("cen"))
+    val dist = e.join(broadcast(cen), "label")
+      .withColumn("d2", aggregate(
+        zip_with(col("emb"), col("cen"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("d2i", floor(col("d2") * 1000000).cast("long"))
+    val wl = Window.partitionBy("label")
+      .orderBy(col("d2i").desc, col("vec_id"))
+    val wm = Window.partitionBy("label")
+    dist
+      .withColumn("rank", row_number().over(wl))
+      .withColumn("n", count(lit(1)).over(wm))
+      .withColumn("sum_d2i", sum(col("d2i")).over(wm))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"),
+        Norm.r4tie(col("d2i").cast("double") / 1000000.0).as("dist2"),
+        Norm.r4tie(col("sum_d2i").cast("double")
+          / col("n").cast("double") / 1000000.0).as("label_mean_dist2"))
+      .orderBy("label", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_outliers" -> embedOutliers,
     "q_sample_kcenter" -> sampleKcenter,
     "q_sim_mmr" -> simMmr,
     "q_embed_whiten" -> embedWhiten,
@@ -954,6 +997,43 @@ object Similarity extends QueryModule {
                (a, x) -> a + x)) * 10000 + 0.5) / 10000 AS err_l2
       FROM q
       ORDER BY vec_id""",
+    "q_embed_outliers" -> """
+      WITH x AS (
+        SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+      cenp AS (
+        SELECT label, pos,
+               floor(avg(v) * 1000000 + 0.5) / 1000000 AS mq
+        FROM x GROUP BY label, pos),
+      cen AS (
+        SELECT label, list(mq ORDER BY pos) AS cen FROM cenp
+        GROUP BY label),
+      dist AS (
+        SELECT e.label, e.vec_id,
+               CAST(floor(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                     list_zip(CAST(e.embedding AS DOUBLE[]), c.cen),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                 (a, b) -> a + b) * 1000000) AS BIGINT) AS d2i
+        FROM embeddings e JOIN cen c ON e.label = c.label),
+      ranked AS (
+        SELECT label, vec_id, d2i,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY d2i DESC, vec_id) AS rank,
+               count(*) OVER (PARTITION BY label) AS n,
+               CAST(sum(d2i) OVER (PARTITION BY label) AS BIGINT)
+                 AS sum_d2i
+        FROM dist)
+      SELECT label, CAST(rank AS INT) AS rank, vec_id,
+             floor(CAST(d2i AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+               / 10000 AS dist2,
+             floor(CAST(sum_d2i AS DOUBLE) / CAST(n AS DOUBLE)
+                   / 1000000.0 * 10000 + 0.5) / 10000
+               AS label_mean_dist2
+      FROM ranked WHERE rank <= 3
+      ORDER BY label, rank""",
     "q_sample_kcenter" -> """
       WITH RECURSIVE emb AS (
         SELECT vec_id,

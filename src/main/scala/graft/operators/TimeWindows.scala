@@ -1082,7 +1082,53 @@ object TimeWindows extends QueryModule {
       .orderBy("lag_h")
   }
 
+  /** Time-to-convert distribution — the funnel-latency report: per
+    * user, the gap between first signup and the first purchase AFTER
+    * it; the conversion rate and positional quartiles + p90 of the
+    * gap (exact-µs integer deltas, ranks tie-broken by user_id, the
+    * same index arithmetic as the IQR op — no interpolation, no
+    * float drift).
+    *
+    * Scale: two user-keyed min-rollups and one join — all partial-
+    * agg'd; the rank pass sorts the CONVERTED-USER table (bounded by
+    * users, not events).
+    */
+  val tsTimeToConvert: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("su"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .join(su, "user_id")
+      .filter(struct(col("ts"), col("event_id")) > col("su"))
+      .groupBy("user_id")
+      .agg((min(expr("unix_micros(ts)"))
+        - min(expr("unix_micros(su.ts)"))).as("gap_us"))
+    val wAll = Window.partitionBy()
+    val ranked = pu
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gap_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val nSign = su.count()
+    def at(idx: Column) = min(when(col("rn") === idx, col("gap_us")))
+    ranked.groupBy().agg(
+        max(col("n")).as("n_converted"),
+        at(greatest(expr("(n + 3) div 4"), lit(1))).as("p25_us"),
+        at(expr("(n + 1) div 2")).as("p50_us"),
+        at(least(expr("(3 * (n + 1)) div 4"), col("n"))).as("p75_us"),
+        at(least(expr("(9 * (n + 1)) div 10"), col("n"))).as("p90_us"))
+      .select(lit(nSign).as("n_signups"), col("n_converted"),
+        Norm.r4tie(col("n_converted").cast("double") / lit(nSign.toDouble))
+          .as("cvr"),
+        Norm.r4tie(col("p25_us").cast("double") / 1000000.0).as("p25_s"),
+        Norm.r4tie(col("p50_us").cast("double") / 1000000.0).as("p50_s"),
+        Norm.r4tie(col("p75_us").cast("double") / 1000000.0).as("p75_s"),
+        Norm.r4tie(col("p90_us").cast("double") / 1000000.0).as("p90_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_time_to_convert" -> tsTimeToConvert,
     "q_ts_crosscorr" -> tsCrosscorr,
     "q_ts_decompose" -> tsDecompose,
     "q_attribution_markov" -> attributionMarkov,
@@ -1117,6 +1163,49 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_time_to_convert" -> """
+      WITH su AS (
+        SELECT user_id, ts AS sts, event_id AS seid FROM (
+          SELECT user_id, ts, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      pu AS (
+        SELECT e.user_id,
+               min(epoch_us(e.ts)) - min(epoch_us(su.sts)) AS gap_us
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase'
+          AND (e.ts, e.event_id) > (su.sts, su.seid)
+        GROUP BY e.user_id),
+      ranked AS (
+        SELECT gap_us,
+               row_number() OVER (ORDER BY gap_us, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM pu),
+      sel AS (
+        SELECT max(n) AS n_converted,
+               min(CASE WHEN rn = greatest((n + 3) // 4, 1)
+                        THEN gap_us END) AS p25_us,
+               min(CASE WHEN rn = (n + 1) // 2
+                        THEN gap_us END) AS p50_us,
+               min(CASE WHEN rn = least((3 * (n + 1)) // 4, n)
+                        THEN gap_us END) AS p75_us,
+               min(CASE WHEN rn = least((9 * (n + 1)) // 10, n)
+                        THEN gap_us END) AS p90_us
+        FROM ranked),
+      ns AS (SELECT count(*) AS n_signups FROM su)
+      SELECT n_signups, n_converted,
+             floor(CAST(n_converted AS DOUBLE)
+                   / CAST(n_signups AS DOUBLE) * 10000 + 0.5) / 10000
+               AS cvr,
+             floor(CAST(p25_us AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS p25_s,
+             floor(CAST(p50_us AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS p50_s,
+             floor(CAST(p75_us AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS p75_s,
+             floor(CAST(p90_us AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS p90_s
+      FROM sel, ns""",
     "q_ts_crosscorr" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
