@@ -1024,4 +1024,43 @@ class PlanSpec extends SparkSpec {
     val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(rs.contains("struct<event_type:string>"), rs)
   }
+
+  test("q_text_rake: word stats broadcast back; top-25 is a heap top-k") {
+    val p = plan("q_text_rake")
+    assert(p.contains("TakeOrderedAndProject(limit=25"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_agg_spearman: ranks ride the user rollup, never raw events") {
+    val p = plan("q_agg_spearman")
+    assert(!p.contains("Join"), p)
+    // events shuffle once to users; the four rank windows re-shuffle
+    // only the user table
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains(
+      "struct<user_id:bigint,event_type:string,value:double>"), rs)
+  }
+
+  test("q_ts_crosscorr: lag join is over the hourly aggregates") {
+    val p = plan("q_ts_crosscorr")
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value") &&
+      !rs.contains("user_id"), rs)
+  }
+
+  test("q_embed_outliers: centroid broadcasts; distances are a projection") {
+    val p = plan("q_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ts_time_to_convert: rank pass sorts converted users, not events") {
+    val p = plan("q_ts_time_to_convert")
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("props") && !rs.contains("value"), rs)
+  }
 }
