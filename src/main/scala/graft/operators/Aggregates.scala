@@ -1223,7 +1223,82 @@ object Aggregates extends QueryModule {
                 - lit(1.0)))).as("rho_views_purchases"))
   }
 
+  /** Cramér's V association between order priority and order status —
+    * the [0,1]-normalized effect size the raw χ² (q_stats_chi2) can't
+    * give you across tables of different size: V = √(χ²/(n·(k−1))).
+    * χ² from exact BIGINT contingency cells with the expected counts
+    * as single float quotients; the cell-sum fold is ordered (sorted
+    * by the cell key) so both engines add in the same sequence.
+    *
+    * Scale: one partial-agg'd pass to r×c cells; everything after is
+    * arithmetic on the bounded contingency table.
+    */
+  val statsCramersV: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+    val cells = o.groupBy(col("o_orderpriority").as("p"),
+        col("o_orderstatus").as("s"))
+      .agg(count(lit(1)).as("nij"))
+    val wAll = Window.partitionBy()
+    val enriched = cells
+      .withColumn("ni", sum("nij").over(Window.partitionBy("p")))
+      .withColumn("nj", sum("nij").over(Window.partitionBy("s")))
+      .withColumn("n", sum("nij").over(wAll))
+      .withColumn("term", struct(col("p"), col("s"),
+        ((col("nij").cast("double")
+          - col("ni").cast("double") * col("nj").cast("double")
+            / col("n").cast("double"))
+          * (col("nij").cast("double")
+            - col("ni").cast("double") * col("nj").cast("double")
+              / col("n").cast("double"))
+          / (col("ni").cast("double") * col("nj").cast("double")
+            / col("n").cast("double"))).as("t")))
+    val folded = enriched.groupBy().agg(
+      max(col("n")).as("n"),
+      countDistinct(col("p")).as("r"),
+      countDistinct(col("s")).as("c"),
+      aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+        (acc, e) => acc + e.getField("t")).as("chi2"))
+    folded.select(col("n").as("n_orders"), col("r").as("n_rows"),
+        col("c").as("n_cols"),
+        Norm.r4tie(col("chi2")).as("chi2"),
+        Norm.r4tie(sqrt(col("chi2")
+          / (col("n").cast("double")
+             * (least(col("r"), col("c")) - 1).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** Power analysis for the A/B test (q_abtest's planning twin): the
+    * per-arm sample size to detect a 2% relative lift in mean
+    * purchase value at α = 0.05 / power 0.80 — n = 2(z_α/2+z_β)²σ²/δ²
+    * with σ² from the observed exact-integer moments and the z
+    * constants as decimal literals (1.96, 0.8416). The answer every
+    * experimentation platform computes before flipping a flag.
+    *
+    * Scale: one partial-agg'd pass to a single sufficient-statistics
+    * row; the closed form is driver-free arithmetic on it.
+    */
+  val statsPower: Q = (spark, dir) => {
+    val p = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val s = p.agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+      sum(col("c") * col("c")).as("s2"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val vr = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / n) /
+      (n - lit(1.0))
+    val delta = mean * lit(0.02)
+    val need = lit(2.0) * lit(7.849) * vr / (delta * delta)
+    s.select(col("n").as("n_purchases"),
+        Norm.r4tie(mean).as("mean_cents"),
+        Norm.r4tie(sqrt(vr)).as("sd_cents"),
+        ceil(need).cast("long").as("n_per_arm_2pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cramers_v" -> statsCramersV,
+    "q_stats_power" -> statsPower,
     "q_agg_spearman" -> aggSpearman,
     "q_stats_wilson" -> statsWilson,
     "q_stats_iqr_outliers" -> statsIqrOutliers,
@@ -1270,6 +1345,56 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_cramers_v" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s,
+               count(*) AS nij
+        FROM orders GROUP BY 1, 2),
+      enr AS (
+        SELECT p, s, nij,
+               CAST(sum(nij) OVER (PARTITION BY p) AS BIGINT) AS ni,
+               CAST(sum(nij) OVER (PARTITION BY s) AS BIGINT) AS nj,
+               CAST(sum(nij) OVER () AS BIGINT) AS n
+        FROM cells),
+      terms AS (
+        SELECT p, s, n,
+               (CAST(nij AS DOUBLE)
+                - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(nij AS DOUBLE)
+                  - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS t
+        FROM enr),
+      folded AS (
+        SELECT max(n) AS n, count(DISTINCT p) AS r,
+               count(DISTINCT s) AS c,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(t ORDER BY p, s)), (a, b) -> a + b) AS chi2
+        FROM terms)
+      SELECT n AS n_orders, r AS n_rows, c AS n_cols,
+             floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+             floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                    * CAST(least(r, c) - 1 AS DOUBLE)))
+                   * 10000 + 0.5) / 10000 AS cramers_v
+      FROM folded""",
+    "q_stats_power" -> """
+      WITH p AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      s AS (
+        SELECT count(*) AS n, CAST(sum(c) AS DOUBLE) AS s1,
+               CAST(sum(c * c) AS DOUBLE) AS s2
+        FROM p)
+      SELECT n AS n_purchases,
+             floor(s1 / n * 10000 + 0.5) / 10000 AS mean_cents,
+             floor(sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+                   * 10000 + 0.5) / 10000 AS sd_cents,
+             CAST(ceil(2.0 * 7.849 * ((s2 - s1 * s1 / n) / (n - 1.0))
+                  / ((s1 / n * 0.02) * (s1 / n * 0.02)))
+                  AS BIGINT) AS n_per_arm_2pct
+      FROM s""",
     "q_agg_spearman" -> """
       WITH m AS (
         SELECT user_id,
