@@ -537,4 +537,56 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(bad === 0)
   }
+
+  test("holtSmooth on a constant series returns (level=c, trend=0) exactly") {
+    import spark.implicits._
+    import graft.api.ops._
+    // With dyadic alpha=beta=0.5 the fold is exact: any constant
+    // integer series fixes the level at c and the trend at 0.
+    val cs = (1 to 20).map(i => sample(Gen.choose(1L, 1000000L), i * 13 + 1))
+    val rows = cs.zipWithIndex.flatMap { case (c, k) =>
+      (1 to 12).map(t => (s"s$k", t, c.toDouble)) }
+    val out = rows.toDF("key", "t", "x")
+      .holtSmooth(col("key"), col("t"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    cs.zipWithIndex.foreach { case (c, k) =>
+      assert(out(s"s$k") === ((c.toDouble, 0.0)), s"series s$k c=$c")
+    }
+  }
+
+  test("theilSenSlope recovers an exact linear trend for any integer slope") {
+    import spark.implicits._
+    import graft.api.ops._
+    // x = a*t + b: every pairwise slope equals a, so the positional
+    // median is a regardless of n or b.
+    val abs2 = (1 to 15).map(i => (sample(Gen.choose(-500L, 500L), i * 3 + 2),
+      sample(Gen.choose(-10000L, 10000L), i * 5 + 7)))
+    val rows = abs2.zipWithIndex.flatMap { case ((a, b), k) =>
+      (0 to 9).map(t => (s"s$k", t.toLong, a * t + b)) }
+    val out = rows.toDF("key", "t", "x")
+      .theilSenSlope(col("key"), col("t"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    abs2.zipWithIndex.foreach { case ((a, _), k) =>
+      assert(out(s"s$k") === a.toDouble, s"series s$k a=$a")
+    }
+  }
+
+  test("adamicAdar on complete bipartite K(2,m) scores every pair 2*floor(1e6/ln m)") {
+    import spark.implicits._
+    import graft.api.ops._
+    for (m <- Seq(3, 5, 9)) {
+      val edges = for (srcN <- Seq("c1", "c2"); d <- 1 to m)
+        yield (srcN, s"d$d")
+      val out = edges.toDF("src", "dst")
+        .adamicAdar(col("src"), col("dst"), topK = 100).collect()
+      val expected = 2L * math.floor(1e6 / math.log(m.toDouble)).toLong
+      assert(out.length === m * (m - 1) / 2, s"m=$m pair count")
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_common") === 2L, s"m=$m")
+        assert(r.getAs[Long]("score_int") === expected,
+          s"m=$m got ${r.getAs[Long]("score_int")} want $expected")
+      }
+    }
+  }
 }
