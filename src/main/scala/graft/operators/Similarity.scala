@@ -749,7 +749,47 @@ object Similarity extends QueryModule {
       .orderBy("label", "rank")
   }
 
+  /** Nearest-centroid classification audit — the zero-training
+    * label-quality / separability check: classify every vector by its
+    * closest label centroid (6dp-quantized centroids, distances
+    * quantized to BIGINT, ties to the lower label — the same
+    * determinism kit as [[embedOutliers]]) and report per-label
+    * accuracy. Near-random accuracy means the labels aren't separable
+    * in embedding space; per-label dips localize label noise.
+    *
+    * Scale: centroid rollup broadcast back; the classify pass is a
+    * corpus × k-centroid projection (k literal-sized), then a
+    * per-vector min(struct) — no pairwise corpus join.
+    */
+  val simCentroidClassify: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val cen = e.select(col("label"), posexplode(col("emb")))
+      .toDF("label", "pos", "v")
+      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+      .withColumn("mq", floor(col("m") * 1000000 + 0.5) / 1000000)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
+        .as("cw"))
+      .select(col("label").as("clabel"),
+        transform(col("cw"), _.getField("mq")).as("cen"))
+    val best = e.crossJoin(broadcast(cen))
+      .withColumn("d2i", floor(aggregate(
+        zip_with(col("emb"), col("cen"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _) * 1000000).cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d2i"), col("clabel"))).as("best"))
+    best.groupBy(col("label").as("true_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("best.clabel"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("true_label"), col("n"), col("n_correct"),
+        Norm.r4tie(col("n_correct").cast("double")
+          / col("n").cast("double")).as("accuracy"))
+      .orderBy("true_label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_centroid_classify" -> simCentroidClassify,
     "q_embed_outliers" -> embedOutliers,
     "q_sample_kcenter" -> sampleKcenter,
     "q_sim_mmr" -> simMmr,
@@ -997,6 +1037,38 @@ object Similarity extends QueryModule {
                (a, x) -> a + x)) * 10000 + 0.5) / 10000 AS err_l2
       FROM q
       ORDER BY vec_id""",
+    "q_sim_centroid_classify" -> """
+      WITH x AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings),
+      cenp AS (
+        SELECT label AS clabel, pos,
+               floor(avg(v) * 1000000 + 0.5) / 1000000 AS mq
+        FROM x GROUP BY label, pos),
+      cen AS (
+        SELECT clabel, list(mq ORDER BY pos) AS cen FROM cenp
+        GROUP BY clabel),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               {'d': CAST(floor(list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(
+                      list_zip(CAST(e.embedding AS DOUBLE[]), c.cen),
+                      z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                  (a, b) -> a + b) * 1000000) AS BIGINT),
+                'l': c.clabel} AS st
+        FROM embeddings e, cen c),
+      best AS (
+        SELECT vec_id, label, (min(st)).l AS pred
+        FROM scored GROUP BY vec_id, label)
+      SELECT label AS true_label, count(*) AS n,
+             CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             floor(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS accuracy
+      FROM best GROUP BY label ORDER BY label""",
     "q_embed_outliers" -> """
       WITH x AS (
         SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -1127,7 +1127,43 @@ object TimeWindows extends QueryModule {
         Norm.r4tie(col("p90_us").cast("double") / 1000000.0).as("p90_s"))
   }
 
+  /** Conditional transition entropy H(next | prev) per source state —
+    * how predictable behavior is after each event type (0 bits =
+    * deterministic next step, log₂5 ≈ 2.32 = uniform): transition
+    * counts from the per-user lag, then per source the ordered fold
+    * of (n_sd/n_s)·log₂(n_s/n_sd) over dst-sorted terms. Counts are
+    * exact BIGINTs; log₂ touches only the ≤5×5 probability table.
+    *
+    * Scale: one user shuffle for the lag, partial-agg'd (src, dst)
+    * rollup, arithmetic on the bounded transition table.
+    */
+  val seqEntropy: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val trans = e
+      .select(col("user_id"), col("event_type").as("dst"),
+        lag(col("event_type"), 1).over(wu).as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_sd"))
+    val withTot = trans
+      .withColumn("n_s", sum("n_sd").over(Window.partitionBy("src")))
+      .withColumn("term", struct(col("dst"),
+        (col("n_sd").cast("double") / col("n_s").cast("double")
+          * log2(col("n_s").cast("double") / col("n_sd").cast("double")))
+          .as("t")))
+    withTot.groupBy("src")
+      .agg(max(col("n_s")).as("n_transitions"),
+        count(lit(1)).as("n_dsts"),
+        aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+          (acc, e2) => acc + e2.getField("t")).as("h"))
+      .select(col("src"), col("n_transitions"), col("n_dsts"),
+        Norm.r4tie(col("h")).as("entropy_bits"))
+      .orderBy("src")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_seq_entropy" -> seqEntropy,
     "q_ts_time_to_convert" -> tsTimeToConvert,
     "q_ts_crosscorr" -> tsCrosscorr,
     "q_ts_decompose" -> tsDecompose,
@@ -1163,6 +1199,30 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_entropy" -> """
+      WITH trans AS (
+        SELECT src, dst, count(*) AS n_sd FROM (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS src,
+                 event_type AS dst
+          FROM events)
+        WHERE src IS NOT NULL GROUP BY src, dst),
+      t AS (
+        SELECT src, dst, n_sd,
+               CAST(sum(n_sd) OVER (PARTITION BY src) AS BIGINT)
+                 AS n_s
+        FROM trans),
+      terms AS (
+        SELECT src, dst, n_s,
+               CAST(n_sd AS DOUBLE) / CAST(n_s AS DOUBLE)
+                 * log2(CAST(n_s AS DOUBLE) / CAST(n_sd AS DOUBLE))
+                 AS tv
+        FROM t)
+      SELECT src, max(n_s) AS n_transitions, count(*) AS n_dsts,
+             floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(tv ORDER BY dst)), (a, b) -> a + b)
+                   * 10000 + 0.5) / 10000 AS entropy_bits
+      FROM terms GROUP BY src ORDER BY src""",
     "q_ts_time_to_convert" -> """
       WITH su AS (
         SELECT user_id, ts AS sts, event_id AS seid FROM (
