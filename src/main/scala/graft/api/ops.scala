@@ -2305,6 +2305,29 @@ object ops {
         .select("key", "time", "x", "c", "n")
     }
 
+    /** Gini coefficient per key over non-negative integer values —
+      * G = 2Σi·xᵢ/(nΣx) − (n+1)/n with values ranked ascending and
+      * ties broken by `id`, so both the rank and the BIGINT Σi·x are
+      * engine-reproducible. Output: (key, n, total, gini). Feed
+      * integer units (cents, counts); the only float is the final
+      * closed form.
+      */
+    def giniCoefficient(key: Column, id: Column, x: Column): DataFrame = {
+      val base = df.select(key.as("key"), id.as("id"),
+        x.cast("long").as("x"))
+      val w = Window.partitionBy("key").orderBy(col("x"), col("id"))
+      base.withColumn("i", row_number().over(w))
+        .groupBy("key").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("total"),
+          sum(col("i").cast("long") * col("x")).as("s_ix"))
+        .select(col("key"), col("n"), col("total"),
+          (lit(2.0) * col("s_ix").cast("double")
+            / (col("n").cast("double") * col("total").cast("double"))
+            - (col("n") + 1).cast("double") / col("n").cast("double"))
+            .as("gini"))
+    }
+
     /** Holt linear (double-exponential) smoothing per key over an
       * ALREADY-AGGREGATED series (feed per-hour counts, not raw rows):
       * ordered fold of lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁)

@@ -935,26 +935,17 @@ object Aggregates extends QueryModule {
     * decimal(38,0) past ~10⁸ customers/segment.
     */
   val aggGini: Q = (spark, dir) => {
+    import graft.api.ops._
     val o = Tables(spark, dir, "orders")
     val c = Tables(spark, dir, "customer")
-    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
         .as("cents"))
-    val w = Window.partitionBy("segment")
-      .orderBy(col("cents"), col("c_custkey"))
-    val ranked = spend.withColumn("i", row_number().over(w))
-    ranked.groupBy("segment").agg(
-        count(lit(1)).as("n_customers"),
-        sum(col("cents")).as("total_cents"),
-        sum(col("i").cast("long") * col("cents")).as("s_ix"))
-      .select(col("segment"), col("n_customers"), col("total_cents"),
-        Norm.r4tie(
-          lit(2.0) * col("s_ix").cast("double")
-            / (col("n_customers").cast("double")
-               * col("total_cents").cast("double"))
-          - (col("n_customers") + 1).cast("double")
-            / col("n_customers").cast("double")).as("gini"))
+      .giniCoefficient(col("segment"), col("c_custkey"), col("cents"))
+      .select(col("key").as("segment"), col("n").as("n_customers"),
+        col("total").as("total_cents"),
+        Norm.r4tie(col("gini")).as("gini"))
       .orderBy("segment")
   }
 

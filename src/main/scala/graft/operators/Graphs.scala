@@ -181,7 +181,43 @@ object Graphs extends QueryModule {
           .as("aa_score"))
   }
 
+  /** Degree assortativity of the bipartite customer↔supplier graph —
+    * do high-volume customers buy from high-volume suppliers (r > 0)
+    * or from the periphery (r < 0)? Pearson correlation over each
+    * edge's (customer-degree, supplier-degree), every sufficient
+    * statistic an exact BIGINT; one float closed form at the end.
+    * (The supplier co-supply PROJECTION is near-complete at these SFs
+    * — zero degree variance, assortativity undefined — which is
+    * itself why the bipartite form is the structurally honest one.)
+    *
+    * Scale: one fact join to the distinct edge list, two degree
+    * rollups joined back (supplier side broadcast-sized), one global
+    * moment aggregate.
+    */
+  val graphAssortativity: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
+      .distinct()
+    val degc = edges.groupBy("cu").agg(count(lit(1)).as("dc"))
+    val degs = edges.groupBy("su").agg(count(lit(1)).as("ds"))
+    val e2 = edges.join(degc, "cu").join(broadcast(degs), "su")
+    def dd(c: String) = col(c).cast("double")
+    val agg = e2.agg(count(lit(1)).as("n"),
+      sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
+      sum(col("dc") * col("ds")).as("sxy"),
+      sum(col("dc") * col("dc")).as("sxx"),
+      sum(col("ds") * col("ds")).as("syy"))
+    agg.select(col("n").as("n_edges"),
+        Norm.r4dn((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+          sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx"))
+            * (dd("n") * dd("syy") - dd("sy") * dd("sy"))))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_assortativity" -> graphAssortativity,
     "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_graph_bfs" -> graphBfs,
     "q_graph_pagerank" -> graphPagerank,
@@ -191,6 +227,34 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_assortativity" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS cu, l_suppkey AS su2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      degc AS (SELECT cu, count(*) AS dc FROM edges GROUP BY cu),
+      degs AS (SELECT su2, count(*) AS ds FROM edges GROUP BY su2),
+      e2 AS (
+        SELECT dc, ds FROM edges
+        JOIN degc ON edges.cu = degc.cu
+        JOIN degs ON edges.su2 = degs.su2),
+      agg AS (
+        SELECT count(*) AS n,
+               CAST(sum(dc) AS BIGINT) AS sx,
+               CAST(sum(ds) AS BIGINT) AS sy,
+               CAST(sum(dc * ds) AS BIGINT) AS sxy,
+               CAST(sum(dc * dc) AS BIGINT) AS sxx,
+               CAST(sum(ds * ds) AS BIGINT) AS syy
+        FROM e2)
+      SELECT n AS n_edges,
+             floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE)
+                               * CAST(sy AS DOUBLE)))
+                   * 10000) / 10000 AS assortativity
+      FROM agg""",
     "q_graph_adamic_adar" -> """
       WITH edges AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp

@@ -902,4 +902,17 @@ class ApiSpec extends SparkSpec {
       ("s1", "s3", 1L, 910239L),
       ("s2", "s3", 1L, 910239L)))
   }
+
+  test("giniCoefficient matches the closed form on a hand fixture") {
+    import spark.implicits._
+    // values [1,1,2]: ranks 1,2,3 (id tiebreak), sum(i*x)=9, total=4
+    // G = 2*9/(3*4) - 4/3
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L))
+      .toDF("grp", "id", "v")
+    val out = df.giniCoefficient(col("grp"), col("id"), col("v"))
+      .collect().head
+    assert(out.getAs[Long]("n") === 3L)
+    assert(out.getAs[Long]("total") === 4L)
+    assert(out.getAs[Double]("gini") === 2.0 * 9 / (3.0 * 4.0) - 4.0 / 3.0)
+  }
 }
