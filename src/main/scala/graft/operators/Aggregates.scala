@@ -1287,7 +1287,32 @@ object Aggregates extends QueryModule {
         ceil(need).cast("long").as("n_per_arm_2pct"))
   }
 
+  /** Second SQL-front-end proof point beside [[sqlEntry]]: window
+    * functions + ROLLUP through one `spark.sql` text — the top-100
+    * orders per priority summarized with a grand-total row. Proves a
+    * SQL-only user gets ranks, frames, and grouping analytics from
+    * the identical engine; exact cents, explicit NULLS FIRST so both
+    * engines order the rollup row identically.
+    */
+  val sqlAnalytics: Q = (spark, dir) => {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      WITH r AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+      SELECT priority, count(*) AS n_top,
+             sum(cents) AS top100_cents
+      FROM r WHERE rnk <= 100
+      GROUP BY ROLLUP(priority)
+      ORDER BY priority ASC NULLS FIRST""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_analytics" -> sqlAnalytics,
     "q_stats_cramers_v" -> statsCramersV,
     "q_stats_power" -> statsPower,
     "q_agg_spearman" -> aggSpearman,
@@ -1336,6 +1361,19 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_analytics" -> """
+      WITH r AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders)
+      SELECT priority, count(*) AS n_top,
+             CAST(sum(cents) AS BIGINT) AS top100_cents
+      FROM r WHERE rnk <= 100
+      GROUP BY ROLLUP(priority)
+      ORDER BY priority ASC NULLS FIRST""",
     "q_stats_cramers_v" -> """
       WITH cells AS (
         SELECT o_orderpriority AS p, o_orderstatus AS s,

@@ -1075,7 +1075,43 @@ object TextAnalysis extends QueryModule {
           .as("rake_score"))
   }
 
+  /** N-gram novelty per document — the incremental-crawl signal
+    * ("how much of this doc is new against everything before it"):
+    * distinct word-3-gram md5 digests per doc, each gram attributed
+    * to its FIRST doc (min doc_id), novelty = first-occurrence share.
+    * Exactly the statistic a dedup-aware ingest uses to rank refresh
+    * candidates; pure integer counts + one quotient.
+    *
+    * Scale: digests shuffle, never text (the dupNgramStats
+    * discipline); the first-doc table is gram-cardinality-bounded and
+    * the join back is digest-keyed.
+    */
+  val textNovelty: Q = (spark, dir) => {
+    val n = 3
+    val grams = when(size(col("_t")) >= n,
+      transform(sequence(lit(0), size(col("_t")) - n),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val inst = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("_t"))
+      .select(col("doc_id"), explode(grams).as("_gs"))
+      .select(col("doc_id"), md5(col("_gs")).as("g"))
+      .distinct()
+    val first = inst.groupBy("g").agg(min("doc_id").as("first_doc"))
+    inst.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        Norm.r4tie(col("n_novel").cast("double")
+          / col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_novelty" -> textNovelty,
     "q_text_rake" -> textRake,
     "q_text_readability" -> textReadability,
     "q_privacy_dp_hist" -> privacyDpHist,
@@ -1130,6 +1166,27 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_novelty" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      inst AS (
+        SELECT DISTINCT doc_id, md5(g) AS g FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+                   AS g
+          FROM t WHERE len(w) >= 3) x),
+      fst AS (SELECT g, min(doc_id) AS first_doc FROM inst GROUP BY g)
+      SELECT i.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc = i.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             floor(CAST(sum(CASE WHEN first_doc = i.doc_id
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS novelty
+      FROM inst i JOIN fst ON i.g = fst.g
+      GROUP BY i.doc_id ORDER BY i.doc_id""",
     "q_text_rake" -> """
       WITH raw AS (
         SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
