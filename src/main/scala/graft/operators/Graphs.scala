@@ -197,9 +197,12 @@ object Graphs extends QueryModule {
   val graphAssortativity: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
     val ord = Tables(spark, dir, "orders")
+    // pin: edges feed THREE consumers (the join spine + both degree
+    // rollups) — without the checkpoint each rebuilds the fact join
     val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
       .distinct()
+      .localCheckpoint()
     val degc = edges.groupBy("cu").agg(count(lit(1)).as("dc"))
     val degs = edges.groupBy("su").agg(count(lit(1)).as("ds"))
     val e2 = edges.join(degc, "cu").join(broadcast(degs), "su")

@@ -1098,6 +1098,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(grams).as("_gs"))
       .select(col("doc_id"), md5(col("_gs")).as("g"))
       .distinct()
+      .localCheckpoint() // two consumers: first-doc agg + join back
     val first = inst.groupBy("g").agg(min("doc_id").as("first_doc"))
     inst.join(first, "g")
       .groupBy("doc_id")

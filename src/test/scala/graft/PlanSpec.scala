@@ -1063,4 +1063,51 @@ class PlanSpec extends SparkSpec {
     val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs.contains("props") && !rs.contains("value"), rs)
   }
+
+  test("q_seq_entropy: lag rides one user shuffle; fold on the transition cells") {
+    val p = plan("q_seq_entropy")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("collect_list"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
+  test("q_sim_centroid_classify: centroids broadcast; min(struct) picks the label") {
+    val p = plan("q_sim_centroid_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("min(struct("), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_graph_assortativity: edge list pinned once for its three consumers") {
+    val p = plan("q_graph_assortativity")
+    // the checkpointed edge list replaces the triple fact-join rebuild
+    assert(countOcc(p, "Scan ExistingRDD") >= 1 ||
+      p.contains("LocalTableScan"), p)
+    assert(countOcc(p, "FileScan parquet") === 0, p)
+  }
+
+  test("q_text_novelty: gram digests pinned; join is digest-keyed") {
+    val p = plan("q_text_novelty")
+    assert(countOcc(p, "FileScan parquet") === 0, p)
+    assert(p.contains("first_doc"), p)
+  }
+
+  test("q_sql_analytics: static rank cut lowers to WindowGroupLimit; rollup expands") {
+    val p = plan("q_sql_analytics")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q_stats_cramers_v: chi-square folds over the contingency cells") {
+    val p = plan("q_stats_cramers_v")
+    assert(p.contains("collect_list"), p)
+    assert(countOcc(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q_stats_power: purchase filter pushes to the scan; one stats row") {
+    val p = plan("q_stats_power")
+    assert(!p.contains("Join"), p)
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pf.contains("event_type"), p)
+  }
 }
