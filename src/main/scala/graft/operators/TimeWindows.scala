@@ -1162,7 +1162,52 @@ object TimeWindows extends QueryModule {
       .orderBy("src")
   }
 
+  /** Token-bucket rate-limit audit — replay each user's event stream
+    * through a 5-token bucket refilling 1 token/hour and report how
+    * many events the quota would admit (the capacity-planning
+    * question behind every API limiter). The simulation is an ordered
+    * fold whose state is ONE packed BIGINT (tokens-in-µs · 2²⁰ +
+    * admitted-count) over pre-computed integer µs gaps — all-integer
+    * arithmetic, bit-exact on any engine, and a SCALAR accumulator on
+    * purpose: DuckDB 1.0's list_reduce corrupts multi-field struct
+    * accumulators (see q_ts_holt), packing sidesteps it.
+    *
+    * Scale: one user shuffle for the lag + fold; state is a constant
+    * 8 bytes per user regardless of event count.
+    */
+  val tsRateLimit: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val wu = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = e
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("dt",
+        coalesce(expr("unix_micros(ts)")
+          - lag(expr("unix_micros(ts)"), 1).over(wu), lit(0L)))
+    val folded = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("dt")))).as("es"))
+      // acc = tokens_us * 2^20 + n_allowed; cap 5 tokens = 1.8e10 us,
+      // cost 1 token = 3.6e9 us
+      .withColumn("acc", expr("""
+        aggregate(es, 18000000000L * 1048576L,
+          (a, x) -> IF(least(18000000000L, a div 1048576 + x.dt)
+                       >= 3600000000,
+            (least(18000000000L, a div 1048576 + x.dt) - 3600000000)
+              * 1048576 + a % 1048576 + 1,
+            least(18000000000L, a div 1048576 + x.dt) * 1048576
+              + a % 1048576))"""))
+    folded.select(col("user_id"), col("n_events"),
+        expr("acc % 1048576").as("n_allowed"),
+        (col("n_events") - expr("acc % 1048576")).as("n_denied"),
+        Norm.r4tie(expr("acc % 1048576").cast("double")
+          / col("n_events").cast("double")).as("allow_rate"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_rate_limit" -> tsRateLimit,
     "q_seq_entropy" -> seqEntropy,
     "q_ts_time_to_convert" -> tsTimeToConvert,
     "q_ts_crosscorr" -> tsCrosscorr,
@@ -1199,6 +1244,33 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_rate_limit" -> """
+      WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 0) AS dt
+        FROM events),
+      folded AS (
+        SELECT user_id, count(*) AS n_events,
+               list_reduce(
+                 list_prepend(CAST(18000000000 * 1048576 AS BIGINT),
+                   list(CAST(dt AS BIGINT) ORDER BY ts, event_id)),
+                 (a, x) -> CASE
+                   WHEN least(18000000000, a // 1048576 + x)
+                        >= 3600000000
+                   THEN (least(18000000000, a // 1048576 + x)
+                         - 3600000000) * 1048576 + a % 1048576 + 1
+                   ELSE least(18000000000, a // 1048576 + x) * 1048576
+                        + a % 1048576 END) AS acc
+        FROM gaps GROUP BY user_id)
+      SELECT user_id, n_events,
+             CAST(acc % 1048576 AS BIGINT) AS n_allowed,
+             CAST(n_events - acc % 1048576 AS BIGINT) AS n_denied,
+             floor(CAST(acc % 1048576 AS DOUBLE)
+                   / CAST(n_events AS DOUBLE) * 10000 + 0.5) / 10000
+               AS allow_rate
+      FROM folded ORDER BY user_id""",
     "q_seq_entropy" -> """
       WITH trans AS (
         SELECT src, dst, count(*) AS n_sd FROM (
