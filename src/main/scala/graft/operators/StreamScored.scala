@@ -426,7 +426,26 @@ object StreamScored extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Online token-bucket enforcement scored (see
+    * [[Streams.rateLimitAudit]]): the drained per-user counters must
+    * equal batch `q_ts_rate_limit`'s packed-BIGINT fold exactly —
+    * all-integer state, same admission sequence, shared oracle.
+    */
+  val streamRateLimit: Q = (spark, dir) => {
+    val out = Streams.rateLimitAudit(Streams.eventsFileStream(spark, dir))
+    runToTable(out, OutputMode.Update(), "graft_stream_rate_limit")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("n_allowed"), col("n_events")).as("n_allowed"))
+      .select(col("user_id"), col("n_events"), col("n_allowed"),
+        (col("n_events") - col("n_allowed")).as("n_denied"),
+        Norm.r4tie(col("n_allowed").cast("double")
+          / col("n_events").cast("double")).as("allow_rate"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_rate_limit" -> streamRateLimit,
     "q_stream_holt" -> streamHolt,
     "q_stream_anomaly" -> streamAnomaly,
     "q_stream_cdc" -> streamCdcApply,
@@ -445,6 +464,33 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_rate_limit" -> """
+      WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts), 1)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 0) AS dt
+        FROM events),
+      folded AS (
+        SELECT user_id, count(*) AS n_events,
+               list_reduce(
+                 list_prepend(CAST(18000000000 * 1048576 AS BIGINT),
+                   list(CAST(dt AS BIGINT) ORDER BY ts, event_id)),
+                 (a, x) -> CASE
+                   WHEN least(18000000000, a // 1048576 + x)
+                        >= 3600000000
+                   THEN (least(18000000000, a // 1048576 + x)
+                         - 3600000000) * 1048576 + a % 1048576 + 1
+                   ELSE least(18000000000, a // 1048576 + x) * 1048576
+                        + a % 1048576 END) AS acc
+        FROM gaps GROUP BY user_id)
+      SELECT user_id, n_events,
+             CAST(acc % 1048576 AS BIGINT) AS n_allowed,
+             CAST(n_events - acc % 1048576 AS BIGINT) AS n_denied,
+             floor(CAST(acc % 1048576 AS DOUBLE)
+                   / CAST(n_events AS DOUBLE) * 10000 + 0.5) / 10000
+               AS allow_rate
+      FROM folded ORDER BY user_id""",
     "q_stream_holt" -> """
       WITH RECURSIVE hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -51,6 +51,11 @@ case class PatternState(inSignup: Boolean, lastWasError: Boolean,
   */
 case class ZState(n: Long, s1: Long, s2: Long)
 
+/** Token-bucket state: last event time (µs), remaining tokens (µs of
+  * refill credit), and the running event/admitted counters. */
+case class BucketState(lastTs: Long, tokensUs: Long, nEvents: Long,
+                       nAllowed: Long)
+
 /** Holt level/trend state plus the still-open hour's running count —
   * `lastHour`/`cnt` hold the pending bucket so a later micro-batch can
   * keep filling it before it folds into (l, b). `init` is false until
@@ -295,6 +300,49 @@ object Streams {
           Iterator((et, nf, lf, bf))
       }
       .toDF("event_type", "n_hours", "level", "trend")
+  }
+
+  /** s_rate_limit: ONLINE token-bucket quota enforcement per user —
+    * the streaming twin of batch `q_ts_rate_limit` (5 tokens, 1
+    * token/hour, all-integer µs arithmetic): state carries the last
+    * event time and remaining refill credit, so admission decisions
+    * are identical whether events arrive in one batch or many. The
+    * drained counters hash-match the batch packed-BIGINT fold through
+    * the shared oracle.
+    *
+    * Ordering contract: (ts, event_id) sort within a micro-batch,
+    * in-order arrival across batches per key — same as the other
+    * stateful ops here. State is 4 longs per user.
+    */
+  def rateLimitAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsu"),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[BucketState]) =>
+          var st = state.getOption
+            .getOrElse(BucketState(Long.MinValue, 18000000000L, 0L, 0L))
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            val dt = if (st.lastTs == Long.MinValue) 0L
+              else r._2 - st.lastTs
+            val tokens = math.min(18000000000L, st.tokensUs + dt)
+            st =
+              if (tokens >= 3600000000L)
+                BucketState(r._2, tokens - 3600000000L,
+                  st.nEvents + 1, st.nAllowed + 1)
+              else BucketState(r._2, tokens, st.nEvents + 1,
+                st.nAllowed)
+          }
+          state.update(st)
+          Iterator((uid, st.nEvents, st.nAllowed))
+      }
+      .toDF("user_id", "n_events", "n_allowed")
   }
 
   def patternAutomaton(events: DataFrame): DataFrame = {

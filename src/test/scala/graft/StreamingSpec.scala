@@ -501,4 +501,28 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("l") === 3.125) // exact dyadic
     assert(last.getAs[Double]("b") === 0.1875)
   }
+
+  test("s_rate_limit bucket depletion survives the micro-batch boundary") {
+    // 7 events inside one hour, split 4 + 3 across batches: the
+    // 5-token bucket admits exactly 5 overall — tokens spent in
+    // batch 1 must stay spent in batch 2.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.rateLimitAudit(in.toDF), "rl", "update") { q =>
+      in.addData((1 to 4).map(i =>
+        Ev(i, t(f"2024-01-01 10:0$i:00"), 1, "click", 0)): _*)
+      q.processAllAvailable()
+      in.addData((5 to 7).map(i =>
+        Ev(i, t(f"2024-01-01 10:0$i:00"), 1, "click", 0)): _*)
+      q.processAllAvailable()
+    }
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    val last = out.groupBy("user_id")
+      .agg(max("n_events").as("n"),
+        max_by(col("n_allowed"), col("n_events")).as("allowed"))
+      .collect().head
+    assert(last.getAs[Long]("n") === 7L)
+    assert(last.getAs[Long]("allowed") === 5L)
+  }
 }
