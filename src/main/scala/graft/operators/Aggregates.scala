@@ -1311,7 +1311,40 @@ object Aggregates extends QueryModule {
       ORDER BY priority ASC NULLS FIRST""")
   }
 
+  /** Bowley (quartile) skewness per event type — the robust companion
+    * to the moment skewness (q_agg_skewness): (Q1 + Q3 − 2·median) /
+    * (Q3 − Q1) from positional exact-cent quartiles (the IQR op's
+    * index arithmetic), outlier-immune where third moments aren't.
+    * Integer numerator and denominator; one float quotient.
+    */
+  val statsBowley: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("event_id"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    val wt = Window.partitionBy("event_type")
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wt))
+    ranked.groupBy("event_type").agg(
+        max(col("n")).as("n_events"),
+        min(when(col("rn") === greatest(expr("(n + 1) div 4"), lit(1)),
+          col("cents"))).as("q1"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .as("median"),
+        min(when(col("rn") === least(expr("(3 * (n + 1)) div 4"),
+          col("n")), col("cents"))).as("q3"))
+      .select(col("event_type"), col("n_events"), col("q1"),
+        col("median"), col("q3"),
+        Norm.r4dn((col("q1") + col("q3") - lit(2L) * col("median"))
+          .cast("double")
+          / (col("q3") - col("q1")).cast("double")).as("bowley_skew"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_bowley" -> statsBowley,
     "q_sql_analytics" -> sqlAnalytics,
     "q_stats_cramers_v" -> statsCramersV,
     "q_stats_power" -> statsPower,
@@ -1361,6 +1394,32 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_bowley" -> """
+      WITH e AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               event_id
+        FROM events),
+      ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      qs AS (
+        SELECT event_type, max(n) AS n_events,
+               min(CASE WHEN rn = greatest((n + 1) // 4, 1)
+                        THEN cents END) AS q1,
+               min(CASE WHEN rn = (n + 1) // 2
+                        THEN cents END) AS median,
+               min(CASE WHEN rn = least((3 * (n + 1)) // 4, n)
+                        THEN cents END) AS q3
+        FROM ranked GROUP BY event_type)
+      SELECT event_type, n_events, q1, median, q3,
+             floor(CAST(q1 + q3 - 2 * median AS DOUBLE)
+                   / CAST(q3 - q1 AS DOUBLE) * 10000) / 10000
+               AS bowley_skew
+      FROM qs ORDER BY event_type""",
     "q_sql_analytics" -> """
       WITH r AS (
         SELECT o_orderpriority AS priority,

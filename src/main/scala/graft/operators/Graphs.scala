@@ -219,7 +219,51 @@ object Graphs extends QueryModule {
           .as("assortativity"))
   }
 
+  /** Newman modularity of the LPA communities — did label propagation
+    * find real structure? Q = (4m·E_in − Σ_c d_c²)/(4m²) over the same
+    * deterministic 2-round LPA labels `q_graph_lpa` scores: E_in
+    * (intra-community edges), per-community degree mass, and m are all
+    * exact BIGINTs; the single float division comes last, so no
+    * ordered fold is even needed (the community sums are integer and
+    * order-free). Q ≈ 0 says the bipartite business graph has no
+    * modular structure beyond degree — itself an auditable finding.
+    *
+    * Scale: the edge list is checkpointed once for its three
+    * consumers (LPA, the intra-edge join, degrees); everything else
+    * is label-keyed rollups of bounded tables.
+    */
+  val graphModularity: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val edges0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (-col("l_suppkey")).as("supp"))
+      .distinct()
+      .localCheckpoint()
+    val labels = edges0.labelPropagation("cust", "supp", iters = 2)
+    val sym = edges0.select(col("cust").as("u"))
+      .unionByName(edges0.select(col("supp").as("u")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val la = labels.select(col("id").as("cust"), col("label").as("la"))
+    val lb = labels.select(col("id").as("supp"), col("label").as("lb"))
+    val einM = edges0.join(la, "cust").join(lb, "supp")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_in"))
+    val dc = labels.join(deg, labels("id") === deg("u"))
+      .groupBy("label").agg(sum(col("d")).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sum_dc2"))
+    einM.crossJoin(dc).select(
+      col("m").as("n_edges"), col("n_communities"),
+      Norm.r4dn((lit(4.0) * col("m").cast("double")
+        * col("e_in").cast("double") - col("sum_dc2").cast("double")) /
+        (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+        .as("modularity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_modularity" -> graphModularity,
     "q_graph_assortativity" -> graphAssortativity,
     "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_graph_bfs" -> graphBfs,
@@ -230,6 +274,45 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_modularity" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS s, -l_suppkey AS t
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+      l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+      c1 AS (SELECT e.s AS id, l.label, count(*) AS c
+             FROM e JOIN l0 l ON e.t = l.id GROUP BY 1, 2),
+      l1 AS (SELECT id, label FROM (
+               SELECT id, label,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.s AS id, l.label, count(*) AS c
+             FROM e JOIN l1 l ON e.t = l.id GROUP BY 1, 2),
+      l2 AS (SELECT id, label FROM (
+               SELECT id, label,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      deg AS (SELECT s AS id, count(*) AS d FROM e GROUP BY s),
+      em AS (
+        SELECT count(*) AS m,
+               CAST(sum(CASE WHEN a.label = b.label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+        FROM e0 JOIN l2 a ON e0.s = a.id JOIN l2 b ON e0.t = b.id),
+      dc AS (
+        SELECT l2.label, CAST(sum(d) AS BIGINT) AS d_c
+        FROM l2 JOIN deg ON l2.id = deg.id GROUP BY l2.label),
+      s2 AS (
+        SELECT count(*) AS n_communities,
+               CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2
+        FROM dc)
+      SELECT m AS n_edges, n_communities,
+             floor((4.0 * CAST(m AS DOUBLE) * CAST(e_in AS DOUBLE)
+                    - CAST(sum_dc2 AS DOUBLE))
+                   / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                   * 10000) / 10000 AS modularity
+      FROM em, s2""",
     "q_graph_assortativity" -> """
       WITH edges AS (
         SELECT DISTINCT o_custkey AS cu, l_suppkey AS su2
