@@ -1110,4 +1110,25 @@ class PlanSpec extends SparkSpec {
     val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pf.contains("event_type"), p)
   }
+
+  test("q_ts_rate_limit: one user shuffle; bucket fold is per-partition") {
+    val p = plan("q_ts_rate_limit")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("collect_list"), p)
+  }
+
+  test("q_stats_bowley: quartiles ride one rank window per type") {
+    val p = plan("q_stats_bowley")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q_graph_modularity: edge list pinned; label-keyed rollups after") {
+    val p = plan("q_graph_modularity")
+    // the checkpointed edge list replaces repeated fact-join rebuilds
+    assert(countOcc(p, "FileScan parquet") === 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct") || p.contains("Join"), p)
+  }
 }
