@@ -1111,7 +1111,47 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality rule gate (Rae et al.) — the named-rule
+    * variant of the scalar quality score: per document the individual
+    * verdicts a pretraining filter logs (word count in [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio < 0.1,
+    * ≥ 80% alphabetic words) plus the overall pass. EVERY threshold
+    * tests in scaled-integer form (3n ≤ Σlen ≤ 10n; symbols·10 < n;
+    * alpha·5 ≥ n·4), so rule membership is exact — no float
+    * boundaries to drift between engines.
+    *
+    * Scale: pure per-row projection over the text column, no shuffle.
+    */
+  val textGopherRules: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val base = d.select(col("doc_id"), words.as("ws"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[#…]|\\.\\.\\.", "")))
+          .as("symbols"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+          .as("sum_len"),
+        size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
+          .as("n_alpha"),
+        col("symbols"))
+    base.select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .as("ok_word_count"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).as("ok_word_len"),
+        (col("symbols") * 10 < col("n_words")).as("ok_symbols"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
+        ((col("n_words") >= 50 && col("n_words") <= 100000) &&
+         (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10) &&
+         (col("symbols") * 10 < col("n_words")) &&
+         (col("n_alpha") * 5 >= col("n_words") * 4)).as("pass"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_gopher_rules" -> textGopherRules,
     "q_text_novelty" -> textNovelty,
     "q_text_rake" -> textRake,
     "q_text_readability" -> textReadability,
@@ -1167,6 +1207,35 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_gopher_rules" -> """
+      WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS n_words,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> CAST(length(w) AS BIGINT))),
+                 (a, b) -> a + b) AS BIGINT) AS sum_len,
+               len(list_filter(string_split(text, ' '),
+                 w -> w <> '' AND regexp_matches(w, '[a-zA-Z]')))
+                 AS n_alpha,
+               length(text)
+                 - length(regexp_replace(text, '[#…]|\\.\\.\\.',
+                          '', 'g')) AS symbols
+        FROM documents)
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+             sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AS ok_word_len,
+             symbols * 10 < n_words AS ok_symbols,
+             n_alpha * 5 >= n_words * 4 AS ok_alpha,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (sum_len >= n_words * 3
+                    AND sum_len <= n_words * 10)
+               AND (symbols * 10 < n_words)
+               AND (n_alpha * 5 >= n_words * 4) AS pass
+      FROM base ORDER BY doc_id""",
     "q_text_novelty" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1206,7 +1206,47 @@ object TimeWindows extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Intervention (before/after) analysis — "did the Jan-16 change
+    * move the metric?": per event type, pre vs post mean event value
+    * with a Welch t statistic, the time-based sibling of the user-
+    * split A/B test (q_abtest). Moments are exact integer cents; the
+    * t closed form is the identical expression tree in both engines.
+    *
+    * Scale: one partial-agg'd pass to types × {pre, post} sufficient-
+    * statistic cells; no shuffle after.
+    */
+  val tsIntervention: Q = (spark, dir) => {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        when(col("ts") < cut, "pre").otherwise("post").as("phase"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val s = e.groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    def side(p: String) = s.filter(col("phase") === p)
+      .select(col("event_type"), col("n").as(s"n_$p"),
+        col("s1").as(s"s1_$p"), col("s2").as(s"s2_$p"))
+    def mean(p: String) =
+      col(s"s1_$p").cast("double") / col(s"n_$p").cast("double")
+    def vr(p: String) =
+      (col(s"s2_$p").cast("double") - col(s"s1_$p").cast("double")
+        * col(s"s1_$p").cast("double") / col(s"n_$p").cast("double")) /
+        (col(s"n_$p").cast("double") - lit(1.0))
+    val t = (mean("post") - mean("pre")) /
+      sqrt(vr("post") / col("n_post").cast("double")
+        + vr("pre") / col("n_pre").cast("double"))
+    side("pre").join(side("post"), "event_type")
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        Norm.r4tie(mean("pre")).as("mean_pre_cents"),
+        Norm.r4tie(mean("post")).as("mean_post_cents"),
+        Norm.r4dn(t).as("welch_t"),
+        (abs(t) > 1.96).as("significant"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_intervention" -> tsIntervention,
     "q_ts_rate_limit" -> tsRateLimit,
     "q_seq_entropy" -> seqEntropy,
     "q_ts_time_to_convert" -> tsTimeToConvert,
@@ -1244,6 +1284,46 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_intervention" -> """
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'pre' ELSE 'post' END AS phase,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+      s AS (
+        SELECT event_type, phase, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM e GROUP BY 1, 2),
+      pre AS (SELECT event_type, n AS n_pre, s1 AS s1_pre,
+                     s2 AS s2_pre FROM s WHERE phase = 'pre'),
+      post AS (SELECT event_type, n AS n_post, s1 AS s1_post,
+                      s2 AS s2_post FROM s WHERE phase = 'post'),
+      j AS (
+        SELECT pre.event_type, n_pre, n_post,
+               CAST(s1_pre AS DOUBLE) / CAST(n_pre AS DOUBLE) AS mpre,
+               CAST(s1_post AS DOUBLE) / CAST(n_post AS DOUBLE)
+                 AS mpost,
+               (CAST(s2_pre AS DOUBLE) - CAST(s1_pre AS DOUBLE)
+                * CAST(s1_pre AS DOUBLE) / CAST(n_pre AS DOUBLE))
+               / (CAST(n_pre AS DOUBLE) - 1.0) AS vpre,
+               (CAST(s2_post AS DOUBLE) - CAST(s1_post AS DOUBLE)
+                * CAST(s1_post AS DOUBLE) / CAST(n_post AS DOUBLE))
+               / (CAST(n_post AS DOUBLE) - 1.0) AS vpost
+        FROM pre JOIN post ON pre.event_type = post.event_type)
+      SELECT event_type, n_pre, n_post,
+             floor(mpre * 10000 + 0.5) / 10000 AS mean_pre_cents,
+             floor(mpost * 10000 + 0.5) / 10000 AS mean_post_cents,
+             floor((mpost - mpre)
+                   / sqrt(vpost / CAST(n_post AS DOUBLE)
+                          + vpre / CAST(n_pre AS DOUBLE)) * 10000)
+               / 10000 AS welch_t,
+             abs((mpost - mpre)
+                 / sqrt(vpost / CAST(n_post AS DOUBLE)
+                        + vpre / CAST(n_pre AS DOUBLE))) > 1.96
+               AS significant
+      FROM j ORDER BY event_type""",
     "q_ts_rate_limit" -> """
       WITH gaps AS (
         SELECT user_id, ts, event_id,
