@@ -1150,7 +1150,27 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Small-cell suppression — the census-style release rule the
+    * k-anonymity audit (q_privacy_kanon) motivates: publish the
+    * (lang, source) contingency table with every cell under 5 NULLed
+    * and flagged, so no released count can isolate a small group.
+    * Pure integer counts; the release and its suppression ledger in
+    * one result.
+    *
+    * Scale: one partial-agg'd pass to the bounded cell table.
+    */
+  val privacySuppress: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_raw"))
+      .select(col("lang"), col("source"),
+        when(col("n_raw") >= 5, col("n_raw")).as("n_released"),
+        (col("n_raw") < 5).as("suppressed"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_suppress" -> privacySuppress,
     "q_text_gopher_rules" -> textGopherRules,
     "q_text_novelty" -> textNovelty,
     "q_text_rake" -> textRake,
@@ -1207,6 +1227,12 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_privacy_suppress" -> """
+      SELECT lang, source,
+             CASE WHEN count(*) >= 5 THEN count(*) END AS n_released,
+             count(*) < 5 AS suppressed
+      FROM documents GROUP BY lang, source
+      ORDER BY lang, source""",
     "q_text_gopher_rules" -> """
       WITH base AS (
         SELECT doc_id,

@@ -1245,7 +1245,42 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Week-over-week change per event type — the dashboard staple:
+    * ISO-week event counts and revenue cents, each with its previous
+    * week's value (lag) and percent change (bp-exact: Δ·10⁴/prev on
+    * integers, floor-divided, so the basis-point figure is itself an
+    * exact integer — no float percentages at all).
+    *
+    * Scale: one partial-agg'd pass to types × weeks; the lag window
+    * re-shuffles only the bounded weekly table.
+    */
+  val tsWow: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val weekly = e.groupBy(col("event_type"),
+        weekofyear(col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      // floor of an exact double quotient, NOT integer `div`: Spark's
+      // div truncates toward zero while DuckDB's // floors, so they'd
+      // disagree on every negative change
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        floor(((col("n") - col("prev_n")) * 10000).cast("double")
+          / col("prev_n").cast("double")).cast("long")
+          .as("n_change_bp"),
+        col("cents"), col("prev_cents"),
+        floor(((col("cents") - col("prev_cents")) * 10000).cast("double")
+          / col("prev_cents").cast("double")).cast("long")
+          .as("cents_change_bp"))
+      .orderBy("event_type", "week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_wow" -> tsWow,
     "q_ts_intervention" -> tsIntervention,
     "q_ts_rate_limit" -> tsRateLimit,
     "q_seq_entropy" -> seqEntropy,
@@ -1284,6 +1319,29 @@ object TimeWindows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ts_wow" -> """
+      WITH weekly AS (
+        SELECT event_type, weekofyear(ts) AS week, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, week, n, cents,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                 AS prev_n,
+               lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+                 AS prev_cents
+        FROM weekly)
+      SELECT event_type, CAST(week AS INT) AS week, n, prev_n,
+             CAST(floor(CAST((n - prev_n) * 10000 AS DOUBLE)
+                        / CAST(prev_n AS DOUBLE)) AS BIGINT)
+               AS n_change_bp,
+             cents, prev_cents,
+             CAST(floor(CAST((cents - prev_cents) * 10000 AS DOUBLE)
+                        / CAST(prev_cents AS DOUBLE)) AS BIGINT)
+               AS cents_change_bp
+      FROM lagged WHERE prev_n IS NOT NULL
+      ORDER BY event_type, week""",
     "q_ts_intervention" -> """
       WITH e AS (
         SELECT event_type,
