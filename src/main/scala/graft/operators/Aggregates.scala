@@ -1343,7 +1343,45 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** CUPED variance reduction (Deng et al.) — the experimentation-
+    * platform workhorse: use each user's PRE-period spend as the
+    * covariate for the post-period metric, θ = cov/var_pre, and
+    * report the variance reduction corr² the adjustment buys. All
+    * moments are exact integer DOLLARS (dollar products keep
+    * n·Σxy < 2⁵³ with headroom cents wouldn't, so the double casts
+    * stay exact); θ and the reduction are the identical closed-form
+    * expressions in both engines.
+    *
+    * Scale: one user rollup, one 1-row moment aggregate — the same
+    * sufficient-statistics discipline as the A/B and intervention
+    * tests.
+    */
+  val statsCuped: Q = (spark, dir) => {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+    val u = e.groupBy("user_id").agg(
+      sum(when(col("ts") < cut, floor(col("value")).cast("long"))
+        .otherwise(0L)).as("x"),
+      sum(when(col("ts") >= cut, floor(col("value")).cast("long"))
+        .otherwise(0L)).as("y"))
+    val s = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    s.select(col("n").as("n_users"),
+        Norm.r4dn(cov / vx).as("theta"),
+        Norm.r4dn(cov / sqrt(vx * vy)).as("corr"),
+        Norm.r4tie(cov * cov / (vx * vy) * 100).as("var_reduction_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cuped" -> statsCuped,
     "q_stats_bowley" -> statsBowley,
     "q_sql_analytics" -> sqlAnalytics,
     "q_stats_cramers_v" -> statsCramersV,
@@ -1394,6 +1432,37 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_cuped" -> """
+      WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(floor(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(floor(value) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      s AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM u),
+      c AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+               CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+               CAST(n AS DOUBLE) * syy - sy * sy AS vy
+        FROM s)
+      SELECT n AS n_users,
+             floor(cov / vx * 10000) / 10000 AS theta,
+             floor(cov / sqrt(vx * vy) * 10000) / 10000 AS corr,
+             floor(cov * cov / (vx * vy) * 100 * 10000 + 0.5) / 10000
+               AS var_reduction_pct
+      FROM c""",
     "q_stats_bowley" -> """
       WITH e AS (
         SELECT event_type,

@@ -382,7 +382,41 @@ object Joins extends QueryModule {
       .orderBy("c_custkey", "s_suppkey")
   }
 
+  /** As-of join with a STALENESS BOUND — the feature-store freshness
+    * contract: each event takes the user's most recent prior order
+    * only if it is ≤ 7 days old, else reports 'stale' ('none' when no
+    * prior order exists at all). Same union-window spine as
+    * [[joinAsof]] (one shuffle, no join); the tolerance test is an
+    * exact integer µs comparison, so freshness classification can't
+    * drift.
+    */
+  val joinAsofTolerance: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(1).as("tag"),
+        lit(null).cast("timestamp").as("odate"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"),
+        col("o_orderdate").as("odate"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("matched",
+        last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("age_us",
+        expr("unix_micros(t)") - expr("unix_micros(matched)"))
+      .select(col("event_id"), col("k").as("user_id"),
+        Norm.tstr(col("t")).as("ts"),
+        when(col("matched").isNull, "none")
+          .when(col("age_us") > 604800000000L, "stale")
+          .otherwise(Norm.dstr(col("matched"))).as("fresh_order_date"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_geo_grid_join" -> geoGridJoin,
     "q_join_bloom" -> joinBloom,
     "q_join_lateral" -> joinLateral,
@@ -527,6 +561,18 @@ object Joins extends QueryModule {
         ON p_retailprice BETWEEN s_acctbal - 500 AND s_acctbal + 500
       GROUP BY s_suppkey
       ORDER BY s_suppkey""",
+    "q_join_asof_tolerance" -> """
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             CASE WHEN o.o_orderdate IS NULL THEN 'none'
+                  WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate)
+                       > 604800000000 THEN 'stale'
+                  ELSE strftime(o.o_orderdate, '%Y-%m-%d') END
+               AS fresh_order_date
+      FROM events e
+      ASOF LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""",
     "q_join_asof" -> """
       SELECT e.event_id, e.user_id,
              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
