@@ -1131,4 +1131,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("CartesianProduct") || p.contains("Join"), p)
   }
+
+  test("q_join_asof_tolerance: union-window spine, no join operator") {
+    val p = plan("q_join_asof_tolerance")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+  }
+
+  test("q_stats_cuped: one user rollup feeds a single moment row") {
+    val p = plan("q_stats_cuped")
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+    val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pf.contains("event_type"), p)
+  }
 }
