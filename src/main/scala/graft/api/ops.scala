@@ -2400,10 +2400,20 @@ object ops {
       * expand inside a per-src array lambda (no edge self-join) and
       * the top-K is a TakeOrderedAndProject heap. Output:
       * (d1, d2, n_common, score_int) — divide score_int by 10⁶ for
-      * the real-valued score. Skew guard: cap or sample mega-degree
-      * srcs; their 1/ln(deg) weight is asymptotically negligible.
+      * the real-valued score.
+      *
+      * Skew guard — ENFORCED, not advisory: `maxDeg` drops srcs whose
+      * degree exceeds it before pair expansion. A mega-degree src
+      * contributes O(deg²) pairs at an asymptotically negligible
+      * 1/ln(deg) weight each — the classic quadratic skew bomb — so at
+      * extreme scale the cap trades a vanishing score term for a hard
+      * bound on per-src work. Exact when maxDeg ≥ the corpus max
+      * degree (the driver queries set it far above their data's max,
+      * so the guard is live in the plan but value-neutral).
       */
-    def adamicAdar(src: Column, dst: Column, topK: Int): DataFrame = {
+    def adamicAdar(src: Column, dst: Column, topK: Int,
+                   maxDeg: Int = Int.MaxValue): DataFrame = {
+      require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
       // the .distinct() is NOT redundant with collect_set: distinct
       // partial-aggregates MAP-SIDE, so duplicate (src, dst) edges
       // collapse before the shuffle; dropping it makes collect_set
@@ -2412,7 +2422,7 @@ object ops {
       val edges = df.select(src.as("src"), dst.as("dst")).distinct()
       val sets = edges.groupBy("src")
         .agg(array_sort(collect_set(col("dst"))).as("ss"))
-        .filter(size(col("ss")) >= 2)
+        .filter(size(col("ss")).between(2, maxDeg))
         .withColumn("w",
           floor(lit(1000000.0) / log(size(col("ss")).cast("double")))
             .cast("long"))
@@ -2426,6 +2436,39 @@ object ops {
         .agg(count(lit(1)).as("n_common"), sum("w").as("score_int"))
         .orderBy(col("score_int").desc, col("d1"), col("d2"))
         .limit(topK)
+    }
+
+    /** Co-occurrence pair counts over (basket, item) memberships: for
+      * every unordered item pair sharing a basket, how many baskets
+      * contain both. Output: (a, b, n_ab) with a < b. The shared
+      * kernel under the co-occurrence recommender and market-basket
+      * rules.
+      *
+      * Scale shape: one distinct partial-aggs duplicate memberships
+      * map-side, one collect to a per-basket sorted item set, pair
+      * expansion as a codegen'd array lambda (O(k²) per basket), then
+      * a partial-agg'd hash-agg over id pairs — every shuffle carries
+      * id pairs, never baskets, and NO fact self-join.
+      *
+      * Skew guard — ENFORCED, not advisory: `maxBasket` drops baskets
+      * larger than the ceiling before expansion. A mega-basket (a
+      * crawler session, a bot cart, a catalog-export "order") is the
+      * O(k²) skew bomb of this shape; real baskets are bounded (TPC-H:
+      * ≤7 items), so a generous ceiling is value-neutral on honest
+      * data while hard-bounding per-basket work at 100 TB.
+      */
+    def basketPairs(basket: Column, item: Column,
+                    maxBasket: Int = 1000): DataFrame = {
+      require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+      val baskets = df.select(basket.as("o"), item.as("p")).distinct()
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .filter(size(col("ps")).between(2, maxBasket))
+      baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+            struct(x.as("a"), y.as("b")))))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
     }
 
     /** Grid-bucketed spatial radius join: all (left, right) pairs

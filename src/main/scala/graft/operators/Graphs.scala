@@ -166,16 +166,20 @@ object Graphs extends QueryModule {
     * (bounded by per-customer supplier count, like market-basket),
     * never via an edge self-join; the pair aggregate partial-aggs, and
     * the top-20 compiles to TakeOrderedAndProject (per-partition heap
-    * + driver merge of 20 rows). Skew guard at extreme scale: cap or
-    * sample mega-degree customers — their 1/ln(deg) weight is already
-    * asymptotically negligible.
+    * + driver merge of 20 rows). Skew guard: `maxDeg = 1000` is
+    * ENFORCED inside [[graft.api.ops.GraftDataFrameOps.adamicAdar]]
+    * (max customer degree at these SFs is ~100, so the guard is live
+    * in the plan but value-neutral; a planted mega-hub is proven cut
+    * in PropertySpec) — mega-degree customers cost O(deg²) pairs at an
+    * asymptotically negligible 1/ln(deg) weight each.
     */
   val graphAdamicAdar: Q = (spark, dir) => {
     import graft.api.ops._
     val li = Tables(spark, dir, "lineitem")
     val ord = Tables(spark, dir, "orders")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .adamicAdar(col("o_custkey"), col("l_suppkey"), topK = 20)
+      .adamicAdar(col("o_custkey"), col("l_suppkey"), topK = 20,
+        maxDeg = 1000)
       .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
         Norm.r4tie(col("score_int").cast("double") / lit(1000000.0))
           .as("aa_score"))

@@ -453,28 +453,22 @@ object Similarity extends QueryModule {
     * baseline): parts sharing an order co-occur; each part's top-3
     * partners by co-order count (ties to the smaller partner id).
     *
-    * Scale shape = the triangle-count lesson: NO lineitem⋈lineitem
-    * shuffle self-join. One partial-agg'd distinct down to (order,
-    * part), one collect to a per-order sorted basket (TPC-H baskets
-    * are ≤7 items — bounded), pair expansion as a codegen'd array
-    * lambda (O(k²) per order, k bounded), then a hash-agg over pair
-    * counts and a WindowGroupLimit top-3 per item — every shuffle
-    * carries id pairs, never baskets. At 100 TB the only knob that
-    * matters is the basket bound; a pathological mega-basket would
-    * get the same maxDf-style cut jaccardPairs uses.
+    * Scale shape = the triangle-count lesson, hoisted into
+    * [[graft.api.ops.GraftDataFrameOps.basketPairs]]: NO
+    * lineitem⋈lineitem shuffle self-join — distinct memberships,
+    * bounded sorted baskets, codegen'd pair lambda, id-pair shuffles
+    * only — and the mega-basket skew bomb is cut by basketPairs'
+    * ENFORCED ceiling (1000 here: TPC-H baskets are ≤7 items, so the
+    * guard is live in the plan but value-neutral on this data; the
+    * PropertySpec mega-basket test proves the cut leaves honest
+    * baskets' pair counts untouched).
     */
   val recCooccur: Q = (spark, dir) => {
+    import graft.api.ops._
     val li = Tables(spark, dir, "lineitem")
-    val baskets = li.select(col("l_orderkey").as("o"),
-        col("l_partkey").as("p")).distinct()
-      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-    val pairs = baskets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("pr"))
-      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = li
+      .basketPairs(col("l_orderkey"), col("l_partkey"), maxBasket = 1000)
+      .withColumnRenamed("n_ab", "n")
     // Mirror each (a,b) count into both directions with ONE Generate
     // over the aggregated counts — a union of two selects would
     // re-execute the whole scan→basket→pair subtree twice
@@ -499,31 +493,29 @@ object Similarity extends QueryModule {
     *
     * Scale shape = [[recCooccur]] plus the rule algebra: NO fact
     * self-join — one checkpointed distinct (order, item) frame feeds
-    * the basket collect (bounded baskets, codegen'd pair lambda), the
-    * per-item basket counts, and the 1-row basket total; the
-    * pair-count shuffle carries id pairs only. The |items|-row count
-    * table broadcasts onto the rules twice (antecedent, consequent) —
-    * items are a dimension, orders of magnitude below the fact table;
-    * past broadcast scale both joins shuffle by item id (drop the
-    * hint). Support/confidence/lift are single-divide doubles,
+    * the basket collect (via
+    * [[graft.api.ops.GraftDataFrameOps.basketPairs]], whose ENFORCED
+    * 1000-item ceiling cuts the mega-basket skew bomb; value-neutral
+    * on ≤7-item TPC-H baskets — the re-distinct inside basketPairs
+    * over the already-unique checkpoint is a near-free id-pair
+    * shuffle, cheaper than re-scanning the fact table), the per-item
+    * basket counts, and the 1-row basket total; the pair-count shuffle
+    * carries id pairs only. The |items|-row count table broadcasts
+    * onto the rules twice (antecedent, consequent) — items are a
+    * dimension, orders of magnitude below the fact table; past
+    * broadcast scale both joins shuffle by item id (drop the hint).
+    * Support/confidence/lift are single-divide doubles,
     * tie-proof-rounded, and the top-20 executes as
     * TakeOrderedAndProject.
     */
   val marketBasket: Q = (spark, dir) => {
+    import graft.api.ops._
     val li = Tables(spark, dir, "lineitem")
     val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().localCheckpoint()
     val nB = op.select(countDistinct(col("o")).as("n_baskets"))
     val itemN = op.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val baskets = op.groupBy("o")
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-    val pairs = baskets
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("pr"))
-      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = op.basketPairs(col("o"), col("p"), maxBasket = 1000)
       .filter(col("n_ab") >= 2)
     val rules = pairs.select(explode(array(
         struct(col("a").as("antecedent"), col("b").as("consequent"),
@@ -621,7 +613,8 @@ object Similarity extends QueryModule {
       val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Int, Long, Double, Double)]
-      while (out.length < k && out.length < cs.length) {
+      var exhausted = false
+      while (!exhausted && out.length < k && out.length < cs.length) {
         var bestIdx = -1
         var bestScore = Double.NegativeInfinity
         var i = 0
@@ -646,10 +639,17 @@ object Similarity extends QueryModule {
           }
           i += 1
         }
-        used(bestIdx) = true
-        selVecs += cs(bestIdx)._3
-        out += ((qid, out.length + 1, cs(bestIdx)._1, cs(bestIdx)._2,
-          bestScore))
+        // bestIdx stays -1 when every remaining marginal score is NaN
+        // (a zero-norm embedding makes cosv 0/0 and `sc > bestScore`
+        // never fires) — stop selecting instead of indexing used(-1);
+        // degenerate vectors degrade to a shorter ranked list.
+        if (bestIdx < 0) exhausted = true
+        else {
+          used(bestIdx) = true
+          selVecs += cs(bestIdx)._3
+          out += ((qid, out.length + 1, cs(bestIdx)._1, cs(bestIdx)._2,
+            bestScore))
+        }
       }
       out
     }
@@ -708,11 +708,13 @@ object Similarity extends QueryModule {
   }
 
   /** Per-label embedding outliers — mislabeled-example screening: each
-    * label's centroid (per-dim mean, QUANTIZED to 6dp so downstream
-    * comparisons can't ride float-sum ulps), every member's squared
-    * distance to it (fixed-order per-dim fold, then quantized to an
-    * exact ⌊d·10⁶⌋ BIGINT), the label's mean distance from the integer
-    * sums, and the top-3 farthest members by (dist desc, vec_id).
+    * label's centroid (per-dim mean computed as an exact BIGINT sum of
+    * ⌊v·10⁶+½⌋-quantized inputs divided once — NO float summation, so
+    * the centroid is bit-identical on any engine and any partial-agg
+    * order), every member's squared distance to it (fixed-order
+    * per-dim fold, then quantized to an exact ⌊d·10⁶⌋ BIGINT), the
+    * label's mean distance from the integer sums, and the top-3
+    * farthest members by (dist desc, vec_id).
     *
     * Scale: the centroid is a per-(label, dim) partial-agg'd rollup
     * broadcast back; distances are a projection; the top-3 rides a
@@ -722,8 +724,11 @@ object Similarity extends QueryModule {
     val e = emb(spark, dir)
     val cen = e.select(col("label"), posexplode(col("emb")))
       .toDF("label", "pos", "v")
-      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-      .withColumn("mq", floor(col("m") * 1000000 + 0.5) / 1000000)
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mq", col("s").cast("double")
+        / col("cnt").cast("double") / 1000000.0)
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
         .as("cw"))
@@ -765,8 +770,11 @@ object Similarity extends QueryModule {
     val e = emb(spark, dir)
     val cen = e.select(col("label"), posexplode(col("emb")))
       .toDF("label", "pos", "v")
-      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-      .withColumn("mq", floor(col("m") * 1000000 + 0.5) / 1000000)
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mq", col("s").cast("double")
+        / col("cnt").cast("double") / 1000000.0)
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
         .as("cw"))
@@ -1044,7 +1052,9 @@ object Similarity extends QueryModule {
         FROM embeddings),
       cenp AS (
         SELECT label AS clabel, pos,
-               floor(avg(v) * 1000000 + 0.5) / 1000000 AS mq
+               CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000 AS mq
         FROM x GROUP BY label, pos),
       cen AS (
         SELECT clabel, list(mq ORDER BY pos) AS cen FROM cenp
@@ -1076,7 +1086,9 @@ object Similarity extends QueryModule {
         FROM embeddings),
       cenp AS (
         SELECT label, pos,
-               floor(avg(v) * 1000000 + 0.5) / 1000000 AS mq
+               CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000 AS mq
         FROM x GROUP BY label, pos),
       cen AS (
         SELECT label, list(mq ORDER BY pos) AS cen FROM cenp

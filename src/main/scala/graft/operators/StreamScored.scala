@@ -407,18 +407,24 @@ object StreamScored extends QueryModule {
 
   /** Online Holt smoothing scored (see [[Streams.holtSmoothing]]):
     * the drained Update-mode emissions, reduced to each type's LAST
-    * (max n_hours) view, must equal batch `q_ts_holt`'s recursive-CTE
-    * oracle bit-for-bit — the incremental hour-bucketing fold and the
-    * batch array fold are two formulations of the same exact-dyadic
+    * view, must equal batch `q_ts_holt`'s recursive-CTE oracle
+    * bit-for-bit — the incremental hour-bucketing fold and the batch
+    * array fold are two formulations of the same exact-dyadic
     * recurrence, proven equal through the real streaming engine.
+    * The last-emission pick keys on `n_events` (the cumulative event
+    * count — STRICTLY increasing per emission), not `n_hours`: a
+    * micro-batch whose rows all land inside the still-open hour
+    * re-emits the same n_hours with a different level/trend, so a
+    * multi-batch drain tie-broken on n_hours could keep the stale
+    * emission.
     */
   val streamHolt: Q = (spark, dir) => {
     val out = Streams.holtSmoothing(Streams.eventsFileStream(spark, dir))
     runToTable(out, OutputMode.Update(), "graft_stream_holt")
       .groupBy("event_type")
       .agg(max(col("n_hours")).as("n_hours"),
-        max_by(col("level"), col("n_hours")).as("lv"),
-        max_by(col("trend"), col("n_hours")).as("tr"))
+        max_by(col("level"), col("n_events")).as("lv"),
+        max_by(col("trend"), col("n_events")).as("tr"))
       .select(col("event_type"), col("n_hours"),
         Norm.r4tie(col("lv")).as("level"),
         Norm.r4dn(col("tr")).as("trend"),
@@ -474,20 +480,20 @@ object StreamScored extends QueryModule {
       folded AS (
         SELECT user_id, count(*) AS n_events,
                list_reduce(
-                 list_prepend(CAST(18000000000 * 1048576 AS BIGINT),
+                 list_prepend(CAST(18000000000 * 67108864 AS BIGINT),
                    list(CAST(dt AS BIGINT) ORDER BY ts, event_id)),
                  (a, x) -> CASE
-                   WHEN least(18000000000, a // 1048576 + x)
+                   WHEN least(18000000000, a // 67108864 + x)
                         >= 3600000000
-                   THEN (least(18000000000, a // 1048576 + x)
-                         - 3600000000) * 1048576 + a % 1048576 + 1
-                   ELSE least(18000000000, a // 1048576 + x) * 1048576
-                        + a % 1048576 END) AS acc
+                   THEN (least(18000000000, a // 67108864 + x)
+                         - 3600000000) * 67108864 + a % 67108864 + 1
+                   ELSE least(18000000000, a // 67108864 + x) * 67108864
+                        + a % 67108864 END) AS acc
         FROM gaps GROUP BY user_id)
       SELECT user_id, n_events,
-             CAST(acc % 1048576 AS BIGINT) AS n_allowed,
-             CAST(n_events - acc % 1048576 AS BIGINT) AS n_denied,
-             floor(CAST(acc % 1048576 AS DOUBLE)
+             CAST(acc % 67108864 AS BIGINT) AS n_allowed,
+             CAST(n_events - acc % 67108864 AS BIGINT) AS n_denied,
+             floor(CAST(acc % 67108864 AS DOUBLE)
                    / CAST(n_events AS DOUBLE) * 10000 + 0.5) / 10000
                AS allow_rate
       FROM folded ORDER BY user_id""",

@@ -1188,20 +1188,24 @@ object TimeWindows extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("dt")))).as("es"))
-      // acc = tokens_us * 2^20 + n_allowed; cap 5 tokens = 1.8e10 us,
-      // cost 1 token = 3.6e9 us
+      // acc = tokens_us * 2^26 + n_allowed; cap 5 tokens = 1.8e10 us,
+      // cost 1 token = 3.6e9 us. 1.8e10 · 2^26 ≈ 1.21e18 < 2^63, and
+      // the low field holds ~67M admitted events per user before
+      // overflow — a hard bound, but far above any per-user event
+      // count a production limiter audit would see (2^20 was the old
+      // width: a documented silent-corruption risk past 1M events).
       .withColumn("acc", expr("""
-        aggregate(es, 18000000000L * 1048576L,
-          (a, x) -> IF(least(18000000000L, a div 1048576 + x.dt)
+        aggregate(es, 18000000000L * 67108864L,
+          (a, x) -> IF(least(18000000000L, a div 67108864 + x.dt)
                        >= 3600000000,
-            (least(18000000000L, a div 1048576 + x.dt) - 3600000000)
-              * 1048576 + a % 1048576 + 1,
-            least(18000000000L, a div 1048576 + x.dt) * 1048576
-              + a % 1048576))"""))
+            (least(18000000000L, a div 67108864 + x.dt) - 3600000000)
+              * 67108864 + a % 67108864 + 1,
+            least(18000000000L, a div 67108864 + x.dt) * 67108864
+              + a % 67108864))"""))
     folded.select(col("user_id"), col("n_events"),
-        expr("acc % 1048576").as("n_allowed"),
-        (col("n_events") - expr("acc % 1048576")).as("n_denied"),
-        Norm.r4tie(expr("acc % 1048576").cast("double")
+        expr("acc % 67108864").as("n_allowed"),
+        (col("n_events") - expr("acc % 67108864")).as("n_denied"),
+        Norm.r4tie(expr("acc % 67108864").cast("double")
           / col("n_events").cast("double")).as("allow_rate"))
       .orderBy("user_id")
   }
@@ -1249,7 +1253,11 @@ object TimeWindows extends QueryModule {
     * ISO-week event counts and revenue cents, each with its previous
     * week's value (lag) and percent change (bp-exact: Δ·10⁴/prev on
     * integers, floor-divided, so the basis-point figure is itself an
-    * exact integer — no float percentages at all).
+    * exact integer — no float percentages at all). Weeks key on the
+    * FULL (ISO week-year, ISO week) pair — week number alone would
+    * collapse the same week number from different years into one cell
+    * and lag numerically rather than chronologically across a year
+    * boundary.
     *
     * Scale: one partial-agg'd pass to types × weeks; the lag window
     * re-shuffles only the bounded weekly table.
@@ -1257,10 +1265,11 @@ object TimeWindows extends QueryModule {
   val tsWow: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
     val weekly = e.groupBy(col("event_type"),
+        expr("extract(YEAROFWEEK FROM ts)").cast("int").as("wyear"),
         weekofyear(col("ts")).as("week"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
-    val w = Window.partitionBy("event_type").orderBy("week")
+    val w = Window.partitionBy("event_type").orderBy("wyear", "week")
     weekly
       .withColumn("prev_n", lag(col("n"), 1).over(w))
       .withColumn("prev_cents", lag(col("cents"), 1).over(w))
@@ -1268,7 +1277,8 @@ object TimeWindows extends QueryModule {
       // floor of an exact double quotient, NOT integer `div`: Spark's
       // div truncates toward zero while DuckDB's // floors, so they'd
       // disagree on every negative change
-      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+      .select(col("event_type"), col("wyear"), col("week"), col("n"),
+        col("prev_n"),
         floor(((col("n") - col("prev_n")) * 10000).cast("double")
           / col("prev_n").cast("double")).cast("long")
           .as("n_change_bp"),
@@ -1276,7 +1286,7 @@ object TimeWindows extends QueryModule {
         floor(((col("cents") - col("prev_cents")) * 10000).cast("double")
           / col("prev_cents").cast("double")).cast("long")
           .as("cents_change_bp"))
-      .orderBy("event_type", "week")
+      .orderBy("event_type", "wyear", "week")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1321,18 +1331,19 @@ object TimeWindows extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_ts_wow" -> """
       WITH weekly AS (
-        SELECT event_type, weekofyear(ts) AS week, count(*) AS n,
+        SELECT event_type, CAST(isoyear(ts) AS INT) AS wyear,
+               weekofyear(ts) AS week, count(*) AS n,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2),
+        FROM events GROUP BY 1, 2, 3),
       lagged AS (
-        SELECT event_type, week, n, cents,
-               lag(n) OVER (PARTITION BY event_type ORDER BY week)
-                 AS prev_n,
-               lag(cents) OVER (PARTITION BY event_type ORDER BY week)
-                 AS prev_cents
+        SELECT event_type, wyear, week, n, cents,
+               lag(n) OVER (PARTITION BY event_type
+                            ORDER BY wyear, week) AS prev_n,
+               lag(cents) OVER (PARTITION BY event_type
+                                ORDER BY wyear, week) AS prev_cents
         FROM weekly)
-      SELECT event_type, CAST(week AS INT) AS week, n, prev_n,
+      SELECT event_type, wyear, CAST(week AS INT) AS week, n, prev_n,
              CAST(floor(CAST((n - prev_n) * 10000 AS DOUBLE)
                         / CAST(prev_n AS DOUBLE)) AS BIGINT)
                AS n_change_bp,
@@ -1341,7 +1352,7 @@ object TimeWindows extends QueryModule {
                         / CAST(prev_cents AS DOUBLE)) AS BIGINT)
                AS cents_change_bp
       FROM lagged WHERE prev_n IS NOT NULL
-      ORDER BY event_type, week""",
+      ORDER BY event_type, wyear, week""",
     "q_ts_intervention" -> """
       WITH e AS (
         SELECT event_type,
@@ -1392,20 +1403,20 @@ object TimeWindows extends QueryModule {
       folded AS (
         SELECT user_id, count(*) AS n_events,
                list_reduce(
-                 list_prepend(CAST(18000000000 * 1048576 AS BIGINT),
+                 list_prepend(CAST(18000000000 * 67108864 AS BIGINT),
                    list(CAST(dt AS BIGINT) ORDER BY ts, event_id)),
                  (a, x) -> CASE
-                   WHEN least(18000000000, a // 1048576 + x)
+                   WHEN least(18000000000, a // 67108864 + x)
                         >= 3600000000
-                   THEN (least(18000000000, a // 1048576 + x)
-                         - 3600000000) * 1048576 + a % 1048576 + 1
-                   ELSE least(18000000000, a // 1048576 + x) * 1048576
-                        + a % 1048576 END) AS acc
+                   THEN (least(18000000000, a // 67108864 + x)
+                         - 3600000000) * 67108864 + a % 67108864 + 1
+                   ELSE least(18000000000, a // 67108864 + x) * 67108864
+                        + a % 67108864 END) AS acc
         FROM gaps GROUP BY user_id)
       SELECT user_id, n_events,
-             CAST(acc % 1048576 AS BIGINT) AS n_allowed,
-             CAST(n_events - acc % 1048576 AS BIGINT) AS n_denied,
-             floor(CAST(acc % 1048576 AS DOUBLE)
+             CAST(acc % 67108864 AS BIGINT) AS n_allowed,
+             CAST(n_events - acc % 67108864 AS BIGINT) AS n_denied,
+             floor(CAST(acc % 67108864 AS DOUBLE)
                    / CAST(n_events AS DOUBLE) * 10000 + 0.5) / 10000
                AS allow_rate
       FROM folded ORDER BY user_id""",

@@ -59,9 +59,13 @@ case class BucketState(lastTs: Long, tokensUs: Long, nEvents: Long,
 /** Holt level/trend state plus the still-open hour's running count —
   * `lastHour`/`cnt` hold the pending bucket so a later micro-batch can
   * keep filling it before it folds into (l, b). `init` is false until
-  * the first completed hour seeds the level. */
+  * the first completed hour seeds the level. `nEv` is the cumulative
+  * event count — STRICTLY increasing across emissions (every batch
+  * with rows for the key raises it), unlike `n` (hour count), which
+  * can repeat when a whole batch lands inside the still-open hour;
+  * downstream last-emission reductions key on `nEv`. */
 case class HoltState(lastHour: Long, cnt: Long, l: Double, b: Double,
-                     n: Long, init: Boolean)
+                     n: Long, init: Boolean, nEv: Long)
 
 /** Open-session tracker: event count + last-activity millis. */
 case class SessionTrack(nEvents: Long, lastTs: Long)
@@ -282,14 +286,18 @@ object Streams {
               (l1, 0.5 * (l1 - l) + 0.5 * b)
             }
           var st = state.getOption
-            .getOrElse(HoltState(Long.MinValue, 0L, 0.0, 0.0, 0L, false))
+            .getOrElse(HoltState(Long.MinValue, 0L, 0.0, 0.0, 0L,
+              init = false, nEv = 0L))
           rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
             val h = Math.floorDiv(r._2, 3600000000L)
-            if (h == st.lastHour) st = st.copy(cnt = st.cnt + 1)
-            else if (st.cnt == 0L) st = st.copy(lastHour = h, cnt = 1L)
+            if (h == st.lastHour)
+              st = st.copy(cnt = st.cnt + 1, nEv = st.nEv + 1)
+            else if (st.cnt == 0L)
+              st = st.copy(lastHour = h, cnt = 1L, nEv = st.nEv + 1)
             else {
               val (l1, b1) = fold(st.l, st.b, st.init, st.cnt.toDouble)
-              st = HoltState(h, 1L, l1, b1, st.n + 1, init = true)
+              st = HoltState(h, 1L, l1, b1, st.n + 1, init = true,
+                nEv = st.nEv + 1)
             }
           }
           state.update(st)
@@ -297,9 +305,9 @@ object Streams {
             if (st.cnt > 0L) fold(st.l, st.b, st.init, st.cnt.toDouble)
             else (st.l, st.b)
           val nf = st.n + (if (st.cnt > 0L) 1L else 0L)
-          Iterator((et, nf, lf, bf))
+          Iterator((et, nf, lf, bf, st.nEv))
       }
-      .toDF("event_type", "n_hours", "level", "trend")
+      .toDF("event_type", "n_hours", "level", "trend", "n_events")
   }
 
   /** s_rate_limit: ONLINE token-bucket quota enforcement per user —

@@ -589,4 +589,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("adamicAdar maxDeg cuts a planted mega-hub, leaves honest top-k intact") {
+    import spark.implicits._
+    import graft.api.ops._
+    val rnd = new scala.util.Random(7)
+    // honest bipartite graph: 40 srcs × ≤8 dsts
+    val honest = for (s <- 1 to 40; d <- rnd.shuffle((1 to 30).toList)
+      .take(2 + rnd.nextInt(7))) yield (s"c$s", s"d$d")
+    // mega-hub: one crawler-like src touching EVERY dst — O(deg²)
+    // pairs at negligible 1/ln(deg) weight, the quadratic skew bomb
+    val hub = for (d <- 1 to 30) yield ("c_hub", s"d$d")
+    val base = honest.toDF("src", "dst")
+    val withHub = (honest ++ hub).toDF("src", "dst")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val uncapped = base.adamicAdar(col("src"), col("dst"), topK = 15)
+      .collect().map(key)
+    val capped = withHub
+      .adamicAdar(col("src"), col("dst"), topK = 15, maxDeg = 10)
+      .collect().map(key)
+    // cap set below the hub's degree (30) and above every honest
+    // src's (≤8): the capped run over poisoned data must equal the
+    // uncapped run over clean data EXACTLY, scores included
+    assert(capped.toSeq === uncapped.toSeq)
+    intercept[IllegalArgumentException] {
+      base.adamicAdar(col("src"), col("dst"), topK = 5, maxDeg = 1)
+    }
+  }
+
+  test("basketPairs maxBasket cuts a planted mega-basket, honest counts intact") {
+    import spark.implicits._
+    import graft.api.ops._
+    val rnd = new scala.util.Random(11)
+    val honest = for (o <- 1 to 50; p <- rnd.shuffle((1 to 25).toList)
+      .take(2 + rnd.nextInt(5))) yield (o.toLong, p.toLong)
+    // a catalog-export "order" containing every item
+    val mega = for (p <- 1 to 25) yield (999L, p.toLong)
+    val base = honest.toDF("o", "p")
+    val withMega = (honest ++ mega).toDF("o", "p")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val clean = base.basketPairs(col("o"), col("p"), maxBasket = 10)
+      .collect().map(key).sortBy(identity)
+    val guarded = withMega.basketPairs(col("o"), col("p"), maxBasket = 10)
+      .collect().map(key).sortBy(identity)
+    assert(guarded.toSeq === clean.toSeq)
+    // uncapped over poisoned data: the mega-basket inflates counts
+    val unguarded = withMega
+      .basketPairs(col("o"), col("p"), maxBasket = 1000)
+      .collect().map(key).sortBy(identity)
+    assert(unguarded.toSeq !== clean.toSeq)
+    // duplicate memberships collapse before expansion (the distinct)
+    val dup = (honest ++ honest).toDF("o", "p")
+      .basketPairs(col("o"), col("p"), maxBasket = 10)
+      .collect().map(key).sortBy(identity)
+    assert(dup.toSeq === clean.toSeq)
+    intercept[IllegalArgumentException] {
+      base.basketPairs(col("o"), col("p"), maxBasket = 0)
+    }
+  }
 }

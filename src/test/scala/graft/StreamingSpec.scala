@@ -494,12 +494,45 @@ class StreamingSpec extends SparkSpec {
     val last = out.filter(col("event_type") === "click")
       .groupBy("event_type")
       .agg(max("n_hours").as("n"),
-        max_by(col("level"), col("n_hours")).as("l"),
-        max_by(col("trend"), col("n_hours")).as("b"))
+        max_by(col("level"), col("n_events")).as("l"),
+        max_by(col("trend"), col("n_events")).as("b"))
       .collect().head
     assert(last.getAs[Long]("n") === 3L)
     assert(last.getAs[Double]("l") === 3.125) // exact dyadic
     assert(last.getAs[Double]("b") === 0.1875)
+  }
+
+  test("s_holt same-hour second batch emits a strictly larger n_events") {
+    // Both batches land inside ONE hour: n_hours repeats (1) across
+    // the two emissions, so a max_by on n_hours would tie-break
+    // arbitrarily and could keep the STALE level. n_events (3 then 5)
+    // is strictly increasing and must pick the batch-2 view.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = run(Streams.holtSmoothing(in.toDF), "holt2", "update") { q =>
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0),
+        Ev(2, t("2024-01-01 10:10:00"), 1, "click", 0),
+        Ev(3, t("2024-01-01 10:20:00"), 1, "click", 0))
+      q.processAllAvailable()
+      in.addData(
+        Ev(4, t("2024-01-01 10:30:00"), 1, "click", 0),
+        Ev(5, t("2024-01-01 10:40:00"), 1, "click", 0))
+      q.processAllAvailable()
+    }
+    import org.apache.spark.sql.functions.{col, max, max_by}
+    val rows = out.filter(col("event_type") === "click")
+      .select("n_hours", "level", "n_events")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(rows.map(_._3).toSeq === Seq(3L, 5L)) // strictly increasing
+    assert(rows.map(_._1).toSeq === Seq(1L, 1L)) // n_hours TIES
+    val last = out.filter(col("event_type") === "click")
+      .groupBy("event_type")
+      .agg(max_by(col("level"), col("n_events")).as("l"))
+      .collect().head
+    assert(last.getAs[Double]("l") === 5.0) // batch-2 pending count
   }
 
   test("s_rate_limit bucket depletion survives the micro-batch boundary") {
