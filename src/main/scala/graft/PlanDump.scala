@@ -58,7 +58,7 @@ object PlanDump {
       "q_snapshot_diff" -> "snapshot diff: digests projected BEFORE the full-outer key join, so wide rows cross the shuffle once; per-class agg on top",
       "q_agg_kmv_intersect" -> "KMV set-intersection: bottom-k sketches partial-agg'd (<=k hashes/group cross the shuffle), pairwise estimator over broadcast-sized sketch rows",
       "q_window_streaks" -> "gaps-and-islands streaks: distinct to (user, day); ranking window and both roll-ups share ONE user-keyed exchange",
-      "q_graph_adamic_adar" -> "Adamic-Adar: distinct partial-aggs the edge list map-side, pairs in an array lambda (no self-join), heap top-20",
+      "q_graph_adamic_adar" -> "Adamic-Adar: checkpointed distinct edge list, codegen pair join with the maxDeg-capped weight side joined pre-expansion, partial agg before the only pair-keyed shuffle, heap top-20",
       "q_stats_bootstrap" -> "Poisson bootstrap: B=40 replicates ride one explode, groups x B partial-agg'd cells, positional CI",
       "q_sample_kcenter" -> "k-center coreset: k distributed passes, broadcast center matrix, fixed-order distance folds",
       "q_ts_rate_limit" -> "token-bucket replay: one user shuffle, packed-BIGINT fold, 8 bytes of state per user",

@@ -2396,42 +2396,57 @@ object ops {
     /** Adamic-Adar link prediction over a bipartite edge frame
       * (src → dst): top-K dst pairs by Σ 1/ln(deg(src)) over shared
       * srcs. Weights quantize to exact integers (⌊10⁶/ln deg⌋) BEFORE
-      * the pair aggregate, so scores sum order-independently; pairs
-      * expand inside a per-src array lambda (no edge self-join) and
-      * the top-K is a TakeOrderedAndProject heap. Output:
+      * the pair aggregate, so scores sum order-independently; the
+      * top-K is a TakeOrderedAndProject heap. Output:
       * (d1, d2, n_common, score_int) — divide score_int by 10⁶ for
       * the real-valued score.
       *
+      * Shape: pairs expand inside a WHOLE-STAGE-CODEGEN'D equi-join of
+      * the distinct edge list with itself on src (d1 < d2), weights
+      * riding the left side from a degree rollup. This replaced a
+      * collect_set + nested-transform array lambda: higher-order
+      * functions evaluate their lambdas interpreted per element and
+      * materialize an O(deg²) struct array per src, and the swap
+      * measured 5.3 s → 1.8 s min-of-3 at sf0.1. Shuffle ledger: the
+      * edge list hashes by src twice (join sides) + once for degrees
+      * vs once for collect_set — but the O(Σdeg²) pair stream never
+      * shuffles in either shape (partial aggregation precedes the only
+      * pair-keyed exchange), and codegen wins by 3× on the part that
+      * dominates.
+      *
       * Skew guard — ENFORCED, not advisory: `maxDeg` drops srcs whose
-      * degree exceeds it before pair expansion. A mega-degree src
-      * contributes O(deg²) pairs at an asymptotically negligible
-      * 1/ln(deg) weight each — the classic quadratic skew bomb — so at
-      * extreme scale the cap trades a vanishing score term for a hard
-      * bound on per-src work. Exact when maxDeg ≥ the corpus max
-      * degree (the driver queries set it far above their data's max,
-      * so the guard is live in the plan but value-neutral).
+      * degree exceeds it BEFORE pair expansion (the degree join keeps
+      * only 2 ≤ deg ≤ maxDeg srcs on the pair-generating side). A
+      * mega-degree src contributes O(deg²) pairs at an asymptotically
+      * negligible 1/ln(deg) weight each — the classic quadratic skew
+      * bomb — so at extreme scale the cap trades a vanishing score
+      * term for a hard bound on per-src join fan-out. Exact when
+      * maxDeg ≥ the corpus max degree (the driver queries set it far
+      * above their data's max, so the guard is live in the plan but
+      * value-neutral).
       */
     def adamicAdar(src: Column, dst: Column, topK: Int,
                    maxDeg: Int = Int.MaxValue): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-      // the .distinct() is NOT redundant with collect_set: distinct
-      // partial-aggregates MAP-SIDE, so duplicate (src, dst) edges
-      // collapse before the shuffle; dropping it makes collect_set
-      // shuffle every raw edge instance (measured 6.3 s → 7.5 s
-      // min-of-3 at sf0.1 without it)
+      // distinct first (duplicate edges partial-aggregate away
+      // MAP-SIDE), then checkpoint: the edge list feeds THREE
+      // consumers (degree rollup + both join sides) whose upstream
+      // filters differ enough that ReuseExchange misses — without the
+      // checkpoint the scan→join→distinct subtree runs three times
+      // (measured 1.8 s → 1.3 s min-of-3 at sf0.1 with it)
       val edges = df.select(src.as("src"), dst.as("dst")).distinct()
-      val sets = edges.groupBy("src")
-        .agg(array_sort(collect_set(col("dst"))).as("ss"))
-        .filter(size(col("ss")).between(2, maxDeg))
-        .withColumn("w",
-          floor(lit(1000000.0) / log(size(col("ss")).cast("double")))
-            .cast("long"))
-      sets
-        .select(col("w"),
-          explode(flatten(transform(col("ss"), (x, i) =>
-            transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-              y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("w"))
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d").between(2, maxDeg))
+        .select(col("src"),
+          floor(lit(1000000.0) / log(col("d").cast("double")))
+            .cast("long").as("w"))
+      val left = edges.join(deg, "src")
+        .select(col("src"), col("dst").as("d1"), col("w"))
+      val right = edges
+        .select(col("src").as("src_r"), col("dst").as("d2"))
+      left
+        .join(right, col("src") === col("src_r") && col("d1") < col("d2"))
         .groupBy("d1", "d2")
         .agg(count(lit(1)).as("n_common"), sum("w").as("score_int"))
         .orderBy(col("score_int").desc, col("d1"), col("d2"))

@@ -162,10 +162,12 @@ object Graphs extends QueryModule {
     * constant weights and the final rescale. Top-20 pairs by score
     * (integer ties broken by the pair ids).
     *
-    * Scale: pairs expand inside a codegen'd array lambda per customer
-    * (bounded by per-customer supplier count, like market-basket),
-    * never via an edge self-join; the pair aggregate partial-aggs, and
-    * the top-20 compiles to TakeOrderedAndProject (per-partition heap
+    * Scale: pairs expand inside a whole-stage-codegen'd equi-join of
+    * the checkpointed distinct edge list with itself on customer
+    * (3× faster than the array-lambda expansion it replaced — see the
+    * shuffle ledger on [[graft.api.ops.GraftDataFrameOps.adamicAdar]]);
+    * the pair aggregate partial-aggs before its only shuffle, and the
+    * top-20 compiles to TakeOrderedAndProject (per-partition heap
     * + driver merge of 20 rows). Skew guard: `maxDeg = 1000` is
     * ENFORCED inside [[graft.api.ops.GraftDataFrameOps.adamicAdar]]
     * (max customer degree at these SFs is ~100, so the guard is live

@@ -940,16 +940,21 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("o_orderdate") && !rs.contains("o_orderstatus"), rs)
   }
 
-  test("q_graph_adamic_adar: lambda pair expansion + heap top-20, no edge self-join") {
+  test("q_graph_adamic_adar: codegen pair join over checkpointed edges, heap top-20") {
     val p = plan("q_graph_adamic_adar")
     assert(p.contains("TakeOrderedAndProject(limit=20"), p)
-    assert(p.contains("collect_set"), p)
-    // exactly one join: the edge build (lineitem x broadcast orders);
-    // pairs come from the array lambda, not a second join
-    assert(countOcc(p, "BroadcastHashJoin") === 1, p)
-    assert(!p.contains("SortMergeJoin"), p)
-    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!rs.contains("l_quantity") && !rs.contains("l_extendedprice"), rs)
+    // no interpreted array-lambda expansion (the pre-r9 shape: 3x
+    // slower than the codegen'd join it was replaced by)
+    assert(!p.contains("collect_set"), p)
+    // pairs come from the SMJ of the checkpointed edge list with
+    // itself; the deg/weight join rides the left side BEFORE the pair
+    // join so maxDeg bounds fan-out pre-expansion
+    assert(countOcc(p, "SortMergeJoin") === 2, p)
+    assert(countOcc(p, "Scan ExistingRDD") === 3, p) // checkpoint x3
+    // partial aggregation precedes the only pair-keyed exchange: the
+    // O(sum deg^2) pair stream itself never shuffles
+    assert(p.contains("partial_count"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 4, p)
   }
 
   test("q_text_readability: pure projection — no shuffle, no agg, text pruned scan") {
