@@ -2567,7 +2567,7 @@ object ops {
       */
     def sealEnvelope(payload: Column, dek: Array[Byte],
                      kek: Array[Byte]): DataFrame = {
-      val value = aes_encrypt(payload, lit(dek), lit("ECB"))
+      val value = GraftFunctions.aes_ecb_encrypt(payload, lit(dek))
       val attrs = map(
         lit("wrapped_dek"),
         base64(GraftFunctions.wrap_dek(lit(kek), lit(dek))),
@@ -2586,7 +2586,7 @@ object ops {
       val rowDek = GraftFunctions.unwrap_dek(lit(kek),
         unbase64(element_at(col("attributes"), "wrapped_dek")))
       df.withColumn("payload",
-          aes_decrypt(col("value"), rowDek, lit("ECB")))
+          GraftFunctions.aes_ecb_decrypt(col("value"), rowDek))
         .withColumn("verified",
           base64(GraftFunctions.hmac_sha256(rowDek, col("payload")))
             === element_at(col("attributes"), "sig"))

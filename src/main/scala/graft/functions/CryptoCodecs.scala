@@ -1,6 +1,6 @@
 package graft.functions
 
-import javax.crypto.Mac
+import javax.crypto.{Cipher, Mac}
 import javax.crypto.spec.SecretKeySpec
 
 /** JVM crypto kernels invoked from both interpreted eval and generated
@@ -28,5 +28,38 @@ object CryptoCodecs {
     }
     mac.init(new SecretKeySpec(key, "HmacSHA256"))
     mac.doFinal(data)
+  }
+
+  /** Thread-local AES/ECB/PKCS5Padding Cipher pair. Spark's built-in
+    * aes_encrypt/aes_decrypt call Cipher.getInstance PER ROW, and the
+    * JCE provider lookup both costs ~20 µs and takes a provider lock —
+    * measured on the envelope pipeline: ~25 µs/row single-threaded and
+    * ANTI-scaling under parallelism (repartition(16) made the same
+    * 100k-row pipeline SLOWER). Reusing the Cipher per thread keeps
+    * the hot path lock-free; Cipher.init with a fresh key is a cheap
+    * key schedule (sub-µs). Bit-compatible with the built-ins' "ECB"
+    * mode: same transformation string, deterministic ciphertext.
+    */
+  private val encCiphers: ThreadLocal[Cipher] = new ThreadLocal[Cipher]
+  private val decCiphers: ThreadLocal[Cipher] = new ThreadLocal[Cipher]
+
+  def aesEcbEncrypt(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    var c = encCiphers.get()
+    if (c == null) {
+      c = Cipher.getInstance("AES/ECB/PKCS5Padding")
+      encCiphers.set(c)
+    }
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  def aesEcbDecrypt(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    var c = decCiphers.get()
+    if (c == null) {
+      c = Cipher.getInstance("AES/ECB/PKCS5Padding")
+      decCiphers.set(c)
+    }
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
+    c.doFinal(data)
   }
 }

@@ -42,13 +42,30 @@ object GraftFunctions {
   def bloom_might_contain(key: Column, serialized: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(key), serialized))
 
+  /** Deterministic AES/ECB/PKCS5Padding — bit-compatible with the
+    * built-in `aes_encrypt(data, key, 'ECB')` but with a thread-local
+    * Cipher instead of a per-row locked provider lookup (the built-in
+    * measured ~25 µs/row and anti-scaled under parallelism on the
+    * envelope pipeline).
+    */
+  def aes_ecb_encrypt(data: Column, key: Column): Column =
+    Bridge.column(
+      AesEcbEncrypt(Bridge.expression(data), Bridge.expression(key)))
+
+  /** Inverse of [[aes_ecb_encrypt]]; bit-compatible with
+    * `aes_decrypt(data, key, 'ECB')`.
+    */
+  def aes_ecb_decrypt(data: Column, key: Column): Column =
+    Bridge.column(
+      AesEcbDecrypt(Bridge.expression(data), Bridge.expression(key)))
+
   /** KMS-style key wrap, local + deterministic: AES-ECB(kek, dek). */
   def wrap_dek(kek: Column, dek: Column): Column =
-    aes_encrypt(dek, kek, lit("ECB"))
+    aes_ecb_encrypt(dek, kek)
 
   /** Inverse of wrap_dek. */
   def unwrap_dek(kek: Column, wrapped: Column): Column =
-    aes_decrypt(wrapped, kek, lit("ECB"))
+    aes_ecb_decrypt(wrapped, kek)
 
   /** SQL-name registration so `spark.sql("... hmac_sha256(k, d) ...")`
     * works; injectable via SparkSession.builder.withExtensions or
@@ -73,6 +90,10 @@ object GraftFunctions {
   private val allFunctions: Seq[FunctionEntry] = Seq(
     entry("hmac_sha256", classOf[HmacSha256],
       c => HmacSha256(c(0), c(1))),
+    entry("aes_ecb_encrypt", classOf[AesEcbEncrypt],
+      c => AesEcbEncrypt(c(0), c(1))),
+    entry("aes_ecb_decrypt", classOf[AesEcbDecrypt],
+      c => AesEcbDecrypt(c(0), c(1))),
     entry("dot_arrays", classOf[DotArrays],
       c => DotArrays(c(0), c(1))),
     entry("cosine_sim", classOf[CosineSim],

@@ -32,9 +32,9 @@ object Crypto extends QueryModule {
   val cryptoRoundtrip: Q = (spark, dir) => {
     val d = Tables(spark, dir, "documents")
     d.select(col("doc_id"),
-        aes_decrypt(
-          aes_encrypt(col("text").cast("binary"), dek, lit("ECB")),
-          dek, lit("ECB")).cast("string").as("text"))
+        aes_ecb_decrypt(
+          aes_ecb_encrypt(col("text").cast("binary"), dek),
+          dek).cast("string").as("text"))
       .orderBy("doc_id")
   }
 
@@ -62,10 +62,10 @@ object Crypto extends QueryModule {
       .withColumn("row_dek",
         unhex(substring(sha2(col("doc_id").cast("string"), 256), 1, 32)))
     d.select(col("doc_id"),
-        aes_decrypt(
-          aes_encrypt(col("text").cast("binary"), col("row_dek"), lit("ECB")),
-          unwrap_dek(kek, wrap_dek(kek, col("row_dek"))),
-          lit("ECB")).cast("string").as("text"))
+        aes_ecb_decrypt(
+          aes_ecb_encrypt(col("text").cast("binary"), col("row_dek")),
+          unwrap_dek(kek, wrap_dek(kek, col("row_dek"))))
+          .cast("string").as("text"))
       .orderBy("doc_id")
   }
 
@@ -109,10 +109,10 @@ object Crypto extends QueryModule {
       .withColumn("batch_dek",
         unhex(substring(sha2(concat(lit("dek"), col("dek_id")), 256), 1, 32)))
     d.select(col("doc_id"), col("dek_id"),
-        aes_decrypt(
-          aes_encrypt(col("text").cast("binary"), col("batch_dek"), lit("ECB")),
-          unwrap_dek(kek, wrap_dek(kek, col("batch_dek"))),
-          lit("ECB")).cast("string").as("text"))
+        aes_ecb_decrypt(
+          aes_ecb_encrypt(col("text").cast("binary"), col("batch_dek")),
+          unwrap_dek(kek, wrap_dek(kek, col("batch_dek"))))
+          .cast("string").as("text"))
       .orderBy("doc_id")
   }
 
@@ -162,7 +162,7 @@ object Crypto extends QueryModule {
       .select(
         col("doc_id"),
         col("doc_id").cast("string").cast("binary").as("key"),
-        aes_encrypt(col("pt"), dek, lit("ECB")).as("value"),
+        aes_ecb_encrypt(col("pt"), dek).as("value"),
         lit("graft.docs").as("topic"),
         pmod(col("doc_id"), lit(32)).cast("int").as("partition"),
         col("doc_id").as("offset"),

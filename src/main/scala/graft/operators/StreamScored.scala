@@ -42,14 +42,55 @@ object StreamScored extends QueryModule {
     * partition count must track STATE VOLUME (keys × bytes), not core
     * count: at this SF, 32 partitions spend more time administering
     * 128 near-empty stores than joining (measured 2.2× on the drained
-    * join, 5.5 s → 2.5 s at 8). Size it up with state, not executors —
-    * it is baked into the checkpoint at first run, so production
-    * re-sizing means a new checkpoint.
+    * join, 5.5 s → 2.5 s at 8; a further family-wide sweep measured 4
+    * below both 8 and 2 — 19.4 s vs 21.0/19.7 — so 4 is the floor for
+    * THIS state volume). Size it up with state, not executors — it is
+    * baked into the checkpoint at first run, so production re-sizing
+    * means a new checkpoint.
     */
-  private val streamStateParts = "8"
+  private val streamStateParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
+  /** Memory-backed scratch root for drain checkpoints, when the host
+    * offers one. A one-shot AvailableNow drain's checkpoint (offset
+    * WAL, commit log, state-store delta files) has NO durability
+    * value — the query is born, drained, and discarded in one call —
+    * yet on the default java.io.tmpdir every micro-batch pays disk
+    * fsyncs for it. tmpfs turns that fixed cost into memory writes. A
+    * production deployment that needs resume-on-crash sets a REAL
+    * checkpoint dir on durable storage; this path is only for the
+    * ephemeral drains this harness runs.
+    */
+  private lazy val ckptRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-drain-ckpt")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** @param finalize whether the drain still needs NO-DATA
+    *   micro-batches after the last data batch. They exist to advance
+    *   the watermark with no new input — firing state timeouts/timers,
+    *   flushing outer-join null-extended rows, finalizing append-mode
+    *   windows. A drain whose every output row is emitted IN the data
+    *   batch (Complete-mode aggregates, inner joins, Update-mode
+    *   flatMapGroupsWithState with NoTimeout, watermarked dedup)
+    *   only pays for them — measured 0.6 s of a 1.9 s inner-join
+    *   drain — so those queries pass `finalize = false`. Queries whose
+    *   results are watermark-DRIVEN (outer joins, timer-based
+    *   transformWithState) must keep the default `true`; getting this
+    *   flag wrong is caught by the oracle gate, not silently.
+    */
   private def runToTable(out: DataFrame, mode: OutputMode,
-                         name: String): DataFrame = {
+                         name: String,
+                         finalize: Boolean = true): DataFrame = {
     val spark = out.sparkSession
     // A leaked active query with this name (e.g. a prior failed run
     // that never terminated) would make start() throw on the duplicate
@@ -57,25 +98,33 @@ object StreamScored extends QueryModule {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val confs = Seq(
       "spark.sql.streaming.forceDeleteTempCheckpointLocation" -> "true",
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        finalize.toString,
       "spark.sql.shuffle.partitions" -> streamStateParts)
     val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // Fresh UUID subdir per drain: reusing a per-name dir would RESUME
+    // from the prior run's committed offsets and emit nothing.
+    val ckpt = ckptRoot.map(r =>
+      s"$r/$name-${java.util.UUID.randomUUID()}")
     try {
-      val q = out.writeStream
+      val w0 = out.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
+      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c))
         .start()
       q.awaitTermination()
     } finally {
-      // Restore rather than leak the session-wide conf mutations (the
-      // batch half of every scored query must keep the session's own
-      // parallelism).
       prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
+      // Restore rather than leak the session-wide conf mutations (the
+      // batch half of every scored query must keep the session's own
+      // parallelism), and reap the ephemeral checkpoint.
+      ckpt.foreach(c => deleteRec(new java.io.File(c)))
     }
     spark.table(name)
   }
@@ -96,7 +145,8 @@ object StreamScored extends QueryModule {
     val messages = Streams.encryptMessages(src, dek, kek)
     val counts = Streams.decryptPipeline(messages, kek,
       "id LONG, event_type STRING")
-    runToTable(counts, OutputMode.Complete(), "graft_stream_decrypt")
+    runToTable(counts, OutputMode.Complete(), "graft_stream_decrypt",
+      finalize = false)
       .select(Norm.tstr(col("wstart")).as("wstart"), col("n_messages"))
       .orderBy("wstart")
   }
@@ -108,7 +158,8 @@ object StreamScored extends QueryModule {
   val streamWatermark: Q = (spark, dir) => {
     val counts =
       Streams.watermarkedCounts(Streams.eventsFileStream(spark, dir))
-    runToTable(counts, OutputMode.Complete(), "graft_stream_watermark")
+    runToTable(counts, OutputMode.Complete(), "graft_stream_watermark",
+      finalize = false)
       .select(Norm.tstr(col("wstart")).as("wstart"), col("event_type"),
         col("n"), Norm.r4(col("sum_value")).as("sum_value"))
       .orderBy("wstart", "event_type")
@@ -130,7 +181,8 @@ object StreamScored extends QueryModule {
     // plan is unchanged.
     val deduped = Streams.streamingDedup(once.unionByName(replay))
       .select("event_id", "event_type")
-    runToTable(deduped, OutputMode.Append(), "graft_stream_dedup")
+    runToTable(deduped, OutputMode.Append(), "graft_stream_dedup",
+      finalize = false)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"))
@@ -147,7 +199,8 @@ object StreamScored extends QueryModule {
       Streams.eventsFileStream(spark, dir),
       Streams.eventsFileStream(spark, dir))
       .select("click_id", "purchase_id", "c_user")
-    runToTable(joined, OutputMode.Append(), "graft_stream_join")
+    runToTable(joined, OutputMode.Append(), "graft_stream_join",
+      finalize = false)
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks_matched"),
         countDistinct(col("c_user")).as("n_users"))
@@ -207,7 +260,7 @@ object StreamScored extends QueryModule {
     */
   private def drainUserCounts(counts: DataFrame,
                               name: String): DataFrame =
-    runToTable(counts, OutputMode.Update(), name)
+    runToTable(counts, OutputMode.Update(), name, finalize = false)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max_by(col("sum_value"), col("n_events")).as("cents"))
@@ -248,7 +301,8 @@ object StreamScored extends QueryModule {
     */
   val streamPattern: Q = (spark, dir) => {
     val out = Streams.patternAutomaton(Streams.eventsFileStream(spark, dir))
-    runToTable(out, OutputMode.Update(), "graft_stream_pattern")
+    runToTable(out, OutputMode.Update(), "graft_stream_pattern",
+      finalize = false)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max_by(col("n_conversions"), col("n_events")).as("n_conversions"),
@@ -295,7 +349,8 @@ object StreamScored extends QueryModule {
     */
   val streamSession: Q = (spark, dir) => {
     val sessions = Streams.sessionizedCounts(eventsInCents(spark, dir))
-    runToTable(sessions, OutputMode.Complete(), "graft_stream_session")
+    runToTable(sessions, OutputMode.Complete(), "graft_stream_session",
+      finalize = false)
       .groupBy("user_id", "session_start")
       .agg(max(col("session_end")).as("session_end"),
         max(col("n_events")).as("n_events"),
@@ -319,7 +374,8 @@ object StreamScored extends QueryModule {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("long")).as("sum_cents"))
-    runToTable(enriched, OutputMode.Complete(), "graft_stream_enrich")
+    runToTable(enriched, OutputMode.Complete(), "graft_stream_enrich",
+      finalize = false)
       .orderBy("n_name")
   }
 
@@ -334,7 +390,8 @@ object StreamScored extends QueryModule {
   val streamTopk: Q = (spark, dir) => {
     val counts =
       Streams.watermarkedCounts(Streams.eventsFileStream(spark, dir))
-    val t = runToTable(counts, OutputMode.Complete(), "graft_stream_topk")
+    val t = runToTable(counts, OutputMode.Complete(), "graft_stream_topk",
+      finalize = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
     t.withColumn("rk", row_number().over(w))
@@ -399,7 +456,8 @@ object StreamScored extends QueryModule {
     */
   val streamAnomaly: Q = (spark, dir) => {
     val out = Streams.anomalyZScores(Streams.eventsFileStream(spark, dir))
-    runToTable(out, OutputMode.Append(), "graft_stream_anomaly")
+    runToTable(out, OutputMode.Append(), "graft_stream_anomaly",
+      finalize = false)
       .select(col("event_id"), col("user_id"), col("cents"),
         Norm.r4(col("z")).as("z"))
       .orderBy("event_id")
@@ -420,7 +478,8 @@ object StreamScored extends QueryModule {
     */
   val streamHolt: Q = (spark, dir) => {
     val out = Streams.holtSmoothing(Streams.eventsFileStream(spark, dir))
-    runToTable(out, OutputMode.Update(), "graft_stream_holt")
+    runToTable(out, OutputMode.Update(), "graft_stream_holt",
+      finalize = false)
       .groupBy("event_type")
       .agg(max(col("n_hours")).as("n_hours"),
         max_by(col("level"), col("n_events")).as("lv"),
@@ -439,7 +498,8 @@ object StreamScored extends QueryModule {
     */
   val streamRateLimit: Q = (spark, dir) => {
     val out = Streams.rateLimitAudit(Streams.eventsFileStream(spark, dir))
-    runToTable(out, OutputMode.Update(), "graft_stream_rate_limit")
+    runToTable(out, OutputMode.Update(), "graft_stream_rate_limit",
+      finalize = false)
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"),
         max_by(col("n_allowed"), col("n_events")).as("n_allowed"))

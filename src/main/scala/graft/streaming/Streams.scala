@@ -174,9 +174,20 @@ object Streams {
     * Spark infers, then normalize `ts` the same way as the batch path
     * ([[graft.Tables.normalizeTs]]).
     */
+  /** Footer-schema cache: every drained query builds its own file
+    * stream, and an uncached schema lookup costs a parquet footer read
+    * + session setup per drain — pure fixed overhead across the
+    * ~18-query streaming family. Keyed by dir; testdata regeneration
+    * between JVM runs invalidates naturally (new process, empty map).
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      org.apache.spark.sql.types.StructType]
+
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val fileSchema = schemaCache.getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/events.parquet").schema)
     // The file source wants a directory; the sf dir holds one parquet
     // file per table, so glob-filter to just the events file.
     graft.Tables.normalizeTs(

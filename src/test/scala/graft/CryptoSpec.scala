@@ -26,6 +26,48 @@ class CryptoSpec extends SparkSpec {
       "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
   }
 
+  test("aes_ecb_encrypt/decrypt are bit-compatible with the built-in ECB mode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random payload lengths straddle the PKCS5 block boundary (0..48)
+    val rows = (1 to 40).map { i =>
+      (i, rnd.nextString(rnd.nextInt(49)),
+        rnd.alphanumeric.take(16).mkString)
+    }
+    val df = rows.toDF("id", "payload", "key")
+      .select(col("id"),
+        GraftFunctions.aes_ecb_encrypt(col("payload").cast("binary"),
+          col("key").cast("binary")).as("ours"),
+        aes_encrypt(col("payload").cast("binary"),
+          col("key").cast("binary"), lit("ECB")).as("builtin"))
+    df.collect().foreach {
+      case Row(id: Int, ours: Array[Byte], builtin: Array[Byte]) =>
+        assert(ours === builtin, s"row $id ciphertext mismatch")
+    }
+    // roundtrip through OUR decrypt and through the built-in decrypt
+    val rt = rows.toDF("id", "payload", "key")
+      .select(col("payload"),
+        GraftFunctions.aes_ecb_decrypt(
+          GraftFunctions.aes_ecb_encrypt(col("payload").cast("binary"),
+            col("key").cast("binary")),
+          col("key").cast("binary")).cast("string").as("back"),
+        aes_decrypt(
+          GraftFunctions.aes_ecb_encrypt(col("payload").cast("binary"),
+            col("key").cast("binary")),
+          col("key").cast("binary"), lit("ECB"))
+          .cast("string").as("back_builtin"))
+    rt.collect().foreach {
+      case Row(p: String, back: String, backB: String) =>
+        assert(back === p); assert(backB === p)
+    }
+    // null in, null out (BinaryExpression null-safe contract)
+    val n = Seq((Option.empty[Array[Byte]], "0123456789abcdef"))
+      .toDF("payload", "key")
+      .select(GraftFunctions.aes_ecb_encrypt(col("payload"),
+        col("key").cast("binary")).as("ct")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("HmacSha256 expression agrees with kernel, via codegen plan") {
     import spark.implicits._
     val df = Seq(("k1", "hello"), ("k2", "world")).toDF("k", "v")
