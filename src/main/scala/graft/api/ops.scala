@@ -73,6 +73,17 @@ object ops {
     rprojectSigns(k, dim, seed)
       .map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
 
+  /** The matrix of [[lshPlanes]] as a DuckDB DOUBLE[][] literal —
+    * the same Scala call generates both the Spark plan's typedLit and
+    * the oracle's literal, so the two sides can't drift (the
+    * rprojectSignsSql discipline). Scala's Double.toString is the
+    * shortest round-trip decimal, so DuckDB parses back the identical
+    * IEEE double.
+    */
+  def lshPlanesSql(numPlanes: Int, dim: Int, seed: Long = 42L): String =
+    lshPlanes(numPlanes, dim, seed)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
+
   /** Sign-prefix block id for embedding near-dup blocking: the sign
     * pattern of the first `bits` coordinates (near-identical vectors
     * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`
@@ -1035,6 +1046,18 @@ object ops {
       * codegen'd hash-agg of `numHashes` min() columns over the
       * exploded token sets; candidates carry only ids through the band
       * shuffle. Output: (doc_id, is_dup).
+      *
+      * Hash family — ENGINE-PORTABLE by construction (the r8→r9
+      * upgrade that bought this operator an exact DuckDB oracle
+      * instead of a bounds-only spec): one md5 per token folded to a
+      * 60-bit int (the md5Bucket discipline), reduced mod the Mersenne
+      * prime p = 2³¹−1, then `numHashes` affine mixes
+      * hₖ = (aₖ·h + bₖ) mod p with constants derived from k by fixed
+      * integer formulas — every step replayable in ANSI SQL, products
+      * bounded by p² < 2⁶³. ONE string hash per token (the 128 mixes
+      * are integer ops) also beats the 128-×-xxhash64-per-token scheme
+      * it replaced. Band keys are md5 digests of the comma-joined
+      * signature slice.
       */
     def minhashDedupFlags(id: Column, tokset: Column,
                           threshold: Double = 0.9,
@@ -1042,16 +1065,23 @@ object ops {
                           bands: Int = 8): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val rows = numHashes / bands
+      val P = 2147483647L // 2^31 - 1, prime
+      def aK(k: Int): Long = (k.toLong * 2654435761L) % (P - 1) + 1
+      def bK(k: Int): Long = (k.toLong * 40503L * 65537L + 17L) % P
       val base = df.select(id.as("did"), tokset.as("ts"))
       val shingled = base.select(col("did"), explode(col("ts")).as("sh"))
+        .withColumn("h31",
+          conv(substring(md5(col("sh")), 1, 15), 16, 10)
+            .cast("long") % P)
       val minCols = (0 until numHashes).map(k =>
-        min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+        min((col("h31") * aK(k) + bK(k)) % P).as(s"m$k"))
       val sigs = shingled.groupBy("did").agg(minCols.head, minCols.tail: _*)
       val banded = sigs.select(col("did"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band_id"),
-            xxhash64((b * rows until (b + 1) * rows)
-              .map(k => col(s"m$k")): _*).as("band_hash"))): _*)).as("band"))
+            md5(concat_ws(",", (b * rows until (b + 1) * rows)
+              .map(k => col(s"m$k").cast("string")): _*))
+              .as("band_hash"))): _*)).as("band"))
         .select(col("did"), col("band.band_id"), col("band.band_hash"))
       val a = banded.select(col("band_id"), col("band_hash"),
         col("did").as("d1"))
@@ -1077,13 +1107,26 @@ object ops {
     /** 64-bit SimHash per row from a token-set column (bit-majority
       * vote, computed as one codegen'd hash-agg of 64 conditional
       * sums). Output: (doc_id, simhash).
+      *
+      * Token hash — ENGINE-PORTABLE by construction (the r9 upgrade
+      * that bought simhash an exact DuckDB oracle): the 64 bits come
+      * from two 32-bit halves of md5(token) (hex digits 1–8 and 9–16
+      * parsed as ints — Catalyst CSE computes the md5 once), bits
+      * 0–31 from the low half, 32–63 from the high; every step is
+      * ANSI-SQL-replayable, unlike xxhash64.
       */
     def simhash64(id: Column, tokset: Column): DataFrame = {
       val tok = df.select(id.as("doc_id"), explode(tokset).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val bitCols = (0 until 64).map(b =>
-        sum((shiftright(col("h"), b).bitwiseAND(lit(1L))).cast("long"))
-          .as(s"c$b"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("t")), 1, 8), 16, 10)
+            .cast("long").as("h1"),
+          conv(substring(md5(col("t")), 9, 8), 16, 10)
+            .cast("long").as("h2"))
+      val bitCols = (0 until 64).map { b =>
+        val src = if (b < 32) shiftright(col("h2"), b)
+          else shiftright(col("h1"), b - 32)
+        sum(src.bitwiseAND(lit(1L)).cast("long")).as(s"c$b")
+      }
       val counted = tok.groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitCols: _*)
       val sim = (0 until 64).map(b =>

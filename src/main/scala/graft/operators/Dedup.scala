@@ -58,9 +58,14 @@ object Dedup extends QueryModule {
     * vocabulary), far above real corpora: P(candidate) ≈ 1-(1-s^16)^8
     * → 0.4% at the background vs ~85% at s=0.9. Signing 3-token
     * shingles instead would drop recall to ~0 — the testdata's
-    * near-dups share vocabulary, not word order. No oracle (xxhash64
-    * isn't reproducible in DuckDB); QualitySpec checks precision=1 and
-    * recall ≥0.9 vs brute force.
+    * near-dups share vocabulary, not word order.
+    *
+    * EXACT oracle since r9: the md5+affine hash family (see
+    * [[graft.api.ops.GraftDataFrameOps.minhashDedupFlags]]) is
+    * replayed step-for-step in DuckDB — signatures, band digests,
+    * candidate join and Jaccard verify all hash-match. QualitySpec
+    * additionally keeps the semantic bound (precision=1, recall ≥0.9
+    * vs brute force), which the oracle alone wouldn't prove.
     */
   val dedupMinhash: Q = (spark, dir) =>
     docsWithTokens(spark, dir)
@@ -72,8 +77,13 @@ object Dedup extends QueryModule {
     * rotate-block candidates — pigeonhole guarantees EXACT recall at
     * ≤ 3 differing bits (maxHamming < tables). The sketch (2 longs/doc)
     * is localCheckpoint'd so the self-join reads it instead of
-    * recomputing the 64-column vote agg on both sides. No oracle
-    * (xxhash64); QualitySpec asserts recall = brute force exactly.
+    * recomputing the 64-column vote agg on both sides.
+    *
+    * EXACT oracle since r9: the md5-halves token hash (see
+    * [[graft.api.ops.GraftDataFrameOps.simhash64]]) is replayed in
+    * DuckDB — bit votes, sketch, rotate-block candidates and hamming
+    * all hash-match. QualitySpec keeps the recall-equals-brute-force
+    * semantic check.
     */
   val dedupSimhash: Q = (spark, dir) =>
     docsWithTokens(spark, dir)
@@ -259,6 +269,85 @@ object Dedup extends QueryModule {
       ORDER BY doc.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_simhash" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+          AS t
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS h2
+        FROM toks),
+      bits AS (SELECT b FROM generate_series(0, 63) AS g(b)),
+      votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN b < 32 THEN (h2 >> b) & 1
+                        ELSE (h1 >> (b - 32)) & 1 END) AS c,
+               count(*) AS n
+        FROM h CROSS JOIN bits GROUP BY doc_id, b),
+      sketch AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c * 2 > n
+                             THEN CASE WHEN b = 63
+                                       THEN -9223372036854775808
+                                       ELSE CAST(1 AS BIGINT) << b END
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id),
+      sliced AS (
+        SELECT doc_id, simhash, t AS tbl,
+               (simhash >> (t * 16)) & 65535 AS slice
+        FROM sketch CROSS JOIN generate_series(0, 3) AS g(t)),
+      cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sliced a JOIN sliced b
+          ON a.tbl = b.tbl AND a.slice = b.slice
+             AND a.doc_id < b.doc_id)
+      SELECT DISTINCT d1, d2, CAST(hamming AS INT) AS hamming
+      FROM cand WHERE hamming <= 3
+      ORDER BY d1, d2""",
+    "q_dedup_minhash" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+          AS sh
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h31
+        FROM toks),
+      ks AS (
+        SELECT k,
+               (k * 2654435761) % 2147483646 + 1 AS a,
+               (k * 40503 * 65537 + 17) % 2147483647 AS b
+        FROM generate_series(0, 127) AS g(k)),
+      sig AS (
+        SELECT doc_id, k, min((h31 * a + b) % 2147483647) AS m
+        FROM h CROSS JOIN ks GROUP BY doc_id, k),
+      band AS (
+        SELECT doc_id, k // 16 AS band_id,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY k)) AS bh
+        FROM sig GROUP BY doc_id, k // 16),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM band x JOIN band y
+          ON x.band_id = y.band_id AND x.bh = y.bh
+             AND x.doc_id < y.doc_id),
+      d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents),
+      dup AS (
+        SELECT DISTINCT c.d2 AS doc_id
+        FROM cand c
+        JOIN d a ON a.doc_id = c.d1
+        JOIN d b ON b.doc_id = c.d2
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9)
+      SELECT doc.doc_id,
+             coalesce(doc.doc_id IN (SELECT doc_id FROM dup), FALSE)
+               AS is_dup
+      FROM documents doc ORDER BY doc.doc_id""",
     "q_dedup_cross_batch" -> """
       WITH p AS (
         SELECT doc_id, lang, source,

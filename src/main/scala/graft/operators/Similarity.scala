@@ -156,7 +156,15 @@ object Similarity extends QueryModule {
     * (≈ log2(n / targetBucketSize)); the seeded planes are
     * prefix-nested, so buckets at more planes strictly refine buckets
     * at fewer (QualitySpec pins refinement + planted-clone recall).
-    * No oracle — QualitySpec asserts each query's top hit is itself.
+    *
+    * EXACT oracle since r9 (for the 8-plane scored entry): the plane
+    * matrix is emitted into the DuckDB SQL as a literal by the SAME
+    * Scala call that builds the Spark typedLit
+    * ([[graft.api.ops.lshPlanesSql]]), and both engines fold the
+    * plane dots in identical left-to-right IEEE order, so bucket ids
+    * and rounded cosines hash-match bit-for-bit. QualitySpec keeps
+    * the semantic checks (refinement, planted-clone recall) the
+    * oracle alone wouldn't prove.
     */
   def annLsh(spark: org.apache.spark.sql.SparkSession, dir: String,
              numPlanes: Int): DataFrame = {
@@ -822,6 +830,51 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_lsh" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      pl AS (
+        SELECT k, (CAST(${graft.api.ops.lshPlanesSql(8, 64)}
+          AS DOUBLE[][]))[k] AS p
+        FROM generate_series(1, 8) AS g(k)),
+      dots AS (
+        SELECT e.vec_id, pl.k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> e.v[i] * pl.p[i])),
+                 (s, x) -> s + x) AS d
+        FROM e CROSS JOIN pl),
+      buck AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << (8 - k) ELSE 0 END)
+                 AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      eb AS (SELECT e.vec_id, e.v, b.bucket
+             FROM e JOIN buck b USING (vec_id)),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket
+            FROM eb WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT q.qid, eb.vec_id,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> eb.v[i] * q.qv[i])),
+                   (s, x) -> s + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        i -> eb.v[i] * eb.v[i])),
+                      (s, x) -> s + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, 65),
+                          i -> q.qv[i] * q.qv[i])),
+                        (s, x) -> s + x))), 4) AS cos_sim
+        FROM eb JOIN q ON eb.bucket = q.bucket),
+      ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3
+      ORDER BY qid, rank""",
     "q_embed_whiten" -> """
       WITH x AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
