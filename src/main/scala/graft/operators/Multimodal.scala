@@ -8,17 +8,29 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, a decode/feature-extract
   * stage, and frame sampling.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (see [[MediaDecode.decodeStub]]);
-  * the Spark-side plumbing — binary column synthesis, metadata struct,
-  * typed mapPartitions with batch-at-a-time iteration, explode-based
-  * frame sampling — is real and oracle-tested. Swapping the stub for a
-  * JNI/codec call changes no plan shape.
+  * Since r9 the decode and resize kernels are REAL pure-JVM image
+  * code, not stubs: [[Bmp.encode]] builds a valid 24-bpp uncompressed
+  * BMP (file header, BITMAPINFOHEADER, bottom-up rows, 4-byte stride
+  * padding) deterministically from each document's bytes, and
+  * [[Bmp.decode]] genuinely parses it back — magic, offsets, signed
+  * height, padding. The oracle replays the GENERATION rule from the
+  * text, so a hash match proves the decoder exactly inverts the
+  * container layout (the roundtrip trick the crypto family uses); the
+  * position-weighted checksum makes row order and un-flipping
+  * observable, which mean/min/max alone would not. Compressed codecs
+  * (JPEG/PNG/audio) stay out of scope — the container ships none —
+  * but they'd slot into the same mapPartitions kernel unchanged.
+  *
+  * `q_multimodal_features` / `q_multimodal_frames` intentionally stay
+  * on the RAW opaque payload (byte-level metadata and frame slicing
+  * need no decode — that's their point).
   *
   * Scale notes: media bytes never shuffle — every query is a per-row
-  * map over the scan (frame sampling explodes ≤4 rows before any agg).
-  * mapPartitions iterates lazily, so one partition holds one batch of
-  * decoded features, not the whole partition's media, in memory.
+  * map over the scan (frame sampling explodes ≤4 rows before any agg),
+  * and the BMP encode→decode fuses into one stage, so pixel buffers
+  * live only inside a task. mapPartitions iterates lazily, so one
+  * partition holds one decoded image at a time, not the partition's
+  * media.
   */
 object Multimodal extends QueryModule {
 
@@ -60,23 +72,31 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_id")
   }
 
-  /** Decode + feature extraction through typed mapPartitions — the
-    * imperative per-partition escape hatch a real codec needs.
-    * Features are deterministic byte statistics so the DuckDB oracle
-    * can recompute them from the text.
+  /** REAL image decode + feature extraction through typed
+    * mapPartitions: each document's bytes are encoded into a valid
+    * 24-bpp BMP ([[Bmp.build]] — tiny dims derived from n_chars,
+    * pixels cycled from the text bytes), then [[Bmp.decode]] parses
+    * the container back and computes pixel features: dims, mean
+    * channel value, channel min/max, and a position-weighted checksum
+    * over the TOP-DOWN row-major pixel stream — BMP stores rows
+    * bottom-up with padded strides, so the checksum only matches the
+    * oracle's generation-order replay if the parser un-flips and
+    * de-pads correctly.
     */
   val multimodalDecode: Q = (spark, dir) => {
     MediaDecode.decodeFeatures(media(spark, dir))
-      .select(col("doc_id"), col("n_bytes_scanned"),
-        Norm.r4(col("brightness")).as("brightness"),
-        col("min_byte"), col("max_byte"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"),
+        Norm.r4tie(col("mean_rgb")).as("mean_rgb"),
+        col("min_byte"), col("max_byte"), col("checksum"))
       .orderBy("doc_id")
   }
 
-  /** Resize through the same typed mapPartitions path as decode — the
-    * STUB kernel stride-samples every 2nd payload byte (a real scaler
-    * slots in unchanged); output is the new size + a checksum the
-    * oracle can recompute.
+  /** REAL nearest-neighbor 2× downscale through the same kernel path:
+    * decode the BMP, keep pixels at even (x, y), RE-ENCODE the result
+    * as a BMP and decode it again for the emitted stats — so the
+    * checksum proves the full decode→scale→encode→decode loop, not
+    * just the sampling arithmetic.
     */
   val multimodalResize: Q = (spark, dir) => {
     MediaDecode.resizeHalf(media(spark, dir))
@@ -110,103 +130,238 @@ object Multimodal extends QueryModule {
             FROM documents)
       ORDER BY doc_id, frame_id""",
     "q_multimodal_resize" -> """
-      WITH b AS (
-        SELECT doc_id, text,
-               unnest(generate_series(1, length(text), 2)) AS pos
-        FROM documents)
-      SELECT doc_id,
-             CAST(count(*) AS INT) AS n_bytes_out,
-             CAST(sum(unicode(substring(text, CAST(pos AS INT), 1)))
-               % 1000000007 AS BIGINT) AS checksum
-      FROM b
-      GROUP BY doc_id
-      ORDER BY doc_id""",
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               (length(text) % 8) + 4 AS w,
+               CAST((length(text) * 7) % 6 AS INT) + 3 AS h
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, text, L, w, h,
+               (w + 1) // 2 AS w2, (h + 1) // 2 AS h2
+        FROM dims),
+      ch AS (
+        SELECT doc_id, L, w2, h2, k2,
+               unicode(substring(text,
+                 CAST((((k2 // 3 // w2 * 2) * w + (k2 // 3 % w2) * 2) * 3
+                       + k2 % 3) % L AS INT) + 1, 1)) AS v
+        FROM d2,
+          LATERAL unnest(generate_series(0, 3 * w2 * h2 - 1)) AS g(k2))
+      SELECT doc_id, CAST(w2 AS INT) AS width_out,
+             CAST(h2 AS INT) AS height_out,
+             CAST(54 + ((w2 * 3 + 3) // 4 * 4) * h2 AS INT) AS n_bytes_bmp,
+             CAST(sum((k2 + 1) * v) % 1000000007 AS BIGINT) AS checksum
+      FROM ch GROUP BY doc_id, w2, h2 ORDER BY doc_id""",
     "q_multimodal_decode" -> """
-      WITH b AS (
-        SELECT doc_id, text,
-               unnest(generate_series(1, least(32, length(text)))) AS pos
-        FROM documents)
-      SELECT doc_id,
-             CAST(count(*) AS INT) AS n_bytes_scanned,
-             round(avg(unicode(substring(text, CAST(pos AS INT), 1))), 4)
-               AS brightness,
-             CAST(min(unicode(substring(text, CAST(pos AS INT), 1))) AS INT)
-               AS min_byte,
-             CAST(max(unicode(substring(text, CAST(pos AS INT), 1))) AS INT)
-               AS max_byte
-      FROM b
-      GROUP BY doc_id
-      ORDER BY doc_id""",
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               (length(text) % 8) + 4 AS w,
+               CAST((length(text) * 7) % 6 AS INT) + 3 AS h
+        FROM documents),
+      ch AS (
+        SELECT doc_id, L, w, h, k,
+               unicode(substring(text, CAST(k % L AS INT) + 1, 1)) AS v
+        FROM dims,
+          LATERAL unnest(generate_series(0, 3 * w * h - 1)) AS g(k)),
+      agg AS (
+        SELECT doc_id, w, h,
+               CAST(w * h AS INT) AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS s, count(*) AS n3,
+               CAST(min(v) AS INT) AS min_byte,
+               CAST(max(v) AS INT) AS max_byte,
+               CAST(sum((k + 1) * v) % 1000000007 AS BIGINT) AS checksum
+        FROM ch GROUP BY doc_id, w, h)
+      SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             n_pixels,
+             floor(CAST(s AS DOUBLE) / n3 * 10000 + 0.5) / 10000
+               AS mean_rgb,
+             min_byte, max_byte, checksum
+      FROM agg ORDER BY doc_id""",
   )
 }
 
-/** The decode stage. In production this would bind an image/audio
-  * codec; here the kernel is a DETERMINISTIC STUB over the raw bytes
-  * (byte statistics of the first 32 bytes), keeping the partition
-  * iteration, row shape, and encoder plumbing identical to the real
-  * thing.
+/** Minimal REAL 24-bpp uncompressed BMP codec — pure JVM, no codec
+  * libraries. Encode writes the standard 14-byte file header +
+  * 40-byte BITMAPINFOHEADER + bottom-up pixel rows padded to 4-byte
+  * strides; decode parses all of that back (magic, pixel-data offset,
+  * signed height for bottom-up vs top-down, stride padding) and
+  * yields the pixel channels in TOP-DOWN row-major order. Any BMP
+  * viewer opens the encoded bytes; any 24-bpp uncompressed BMP
+  * decodes — the pair is a real codec, merely a small one.
+  */
+object Bmp {
+
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def getInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Encode `channels` (top-down row-major, 3 values/pixel, 0–255)
+    * into a 24-bpp bottom-up BMP.
+    */
+  def encode(w: Int, h: Int, channels: Array[Int]): Array[Byte] = {
+    require(channels.length == 3 * w * h, "channel count != 3*w*h")
+    val stride = ((w * 3) + 3) / 4 * 4
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    out(0) = 'B'; out(1) = 'M'
+    putInt(out, 2, size)
+    putInt(out, 10, 54) // pixel-data offset
+    putInt(out, 14, 40) // BITMAPINFOHEADER
+    putInt(out, 18, w)
+    putInt(out, 22, h) // positive => bottom-up
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    // compression 0, sizes/resolutions 0 — already zeroed
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val c = (y * w + x) * 3
+        // BMP stores BGR; channels are (c0, c1, c2) = (B, G, R)
+        out(rowOff + x * 3) = channels(c).toByte
+        out(rowOff + x * 3 + 1) = channels(c + 1).toByte
+        out(rowOff + x * 3 + 2) = channels(c + 2).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bpp uncompressed BMP → (w, h, channels top-down
+    * row-major). Throws on anything that isn't one — a corrupt
+    * container must fail loudly, not yield wrong features.
+    */
+  def decode(bmp: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bmp.length >= 54 && bmp(0) == 'B' && bmp(1) == 'M',
+      "not a BMP")
+    val off = getInt(bmp, 10)
+    val w = getInt(bmp, 18)
+    val hRaw = getInt(bmp, 22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require((bmp(28) & 0xff) == 24, "not 24-bpp")
+    require(getInt(bmp, 30) == 0, "compressed BMP unsupported")
+    val stride = ((w * 3) + 3) / 4 * 4
+    require(bmp.length >= off + stride * h, "truncated pixel data")
+    val out = new Array[Int](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val rowOff = off + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val c = (y * w + x) * 3
+        out(c) = bmp(rowOff + x * 3) & 0xff
+        out(c + 1) = bmp(rowOff + x * 3 + 1) & 0xff
+        out(c + 2) = bmp(rowOff + x * 3 + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Deterministic image synthesis from a document payload: dims from
+    * the byte length (w ∈ [4, 11], h ∈ [3, 8]), channel k = payload
+    * byte (k mod len) — the rule the DuckDB oracle replays.
+    */
+  def build(payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length
+    require(len > 0, "empty payload")
+    val w = (len % 8) + 4
+    val h = ((len.toLong * 7) % 6).toInt + 3
+    val channels = Array.tabulate(3 * w * h)(k => payload(k % len) & 0xff)
+    encode(w, h, channels)
+  }
+}
+
+/** The decode/resize kernels over [[Bmp]] through typed mapPartitions
+  * — the imperative per-partition escape hatch a real codec needs.
   */
 object MediaDecode {
   import org.apache.spark.sql.{Encoder, Encoders, Row}
   import org.apache.spark.sql.types._
 
+  private val MOD = 1000000007L
+
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes_scanned", IntegerType, nullable = false),
-    StructField("brightness", DoubleType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", IntegerType, nullable = false),
+    StructField("mean_rgb", DoubleType, nullable = false),
     StructField("min_byte", IntegerType, nullable = false),
-    StructField("max_byte", IntegerType, nullable = false)))
+    StructField("max_byte", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
 
-  /** STUB decode kernel: byte stats over the first 32 payload bytes.
-    * A real decoder (JPEG/PNG/audio PCM) slots in here unchanged.
-    * Returns the raw (unrounded) mean — rounding is applied engine-side
-    * so its half-up semantics match the oracle's.
-    */
-  private def decodeStub(payload: Array[Byte]): (Int, Double, Int, Int) = {
-    val n = math.min(32, payload.length)
-    var i = 0; var sum = 0L; var mn = 255; var mx = 0
-    while (i < n) {
-      val b = payload(i) & 0xff
-      sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+  private def stats(w: Int, h: Int, channels: Array[Int])
+      : (Int, Double, Int, Int, Long) = {
+    var i = 0; var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
+    while (i < channels.length) {
+      val v = channels(i)
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      ck = (ck + (i + 1).toLong * v) % MOD
       i += 1
     }
-    (n, sum.toDouble / n, mn, mx)
+    (w * h, sum.toDouble / channels.length, mn, mx, ck)
   }
 
+  /** Encode each payload as a BMP, parse it back, emit pixel stats.
+    * Raw (unrounded) mean — tie-proof rounding is applied engine-side
+    * (Norm.r4tie) so it matches the oracle's floor form.
+    */
   def decodeFeatures(mediaDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val enc: Encoder[Row] = Encoders.row(outSchema)
     mediaDf.select("doc_id", "media").mapPartitions { it =>
       it.map { r =>
-        val (n, bright, mn, mx) = decodeStub(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), n, bright, mn, mx)
+        val bmp = Bmp.build(r.getAs[Array[Byte]]("media"))
+        val (w, h, channels) = Bmp.decode(bmp)
+        val (np, mean, mn, mx, ck) = stats(w, h, channels)
+        Row(r.getLong(0), w, h, np, mean, mn, mx, ck)
       }
     }(enc)
   }
 
   private val resizeSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes_out", IntegerType, nullable = false),
+    StructField("width_out", IntegerType, nullable = false),
+    StructField("height_out", IntegerType, nullable = false),
+    StructField("n_bytes_bmp", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
-  /** STUB resize kernel: stride-sample every 2nd byte (a real bilinear
-    * scaler replaces this body; partition iteration unchanged).
+  /** Nearest-neighbor 2× downscale: decode → keep even-(x, y) pixels
+    * → re-encode → decode AGAIN and checksum, so the emitted numbers
+    * prove the full codec loop.
     */
-  private def resizeStub(payload: Array[Byte]): (Int, Long) = {
-    var i = 0; var n = 0; var sum = 0L
-    while (i < payload.length) {
-      sum += payload(i) & 0xff; n += 1; i += 2
-    }
-    (n, sum % 1000000007L)
-  }
-
   def resizeHalf(mediaDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val enc: Encoder[Row] = Encoders.row(resizeSchema)
     mediaDf.select("doc_id", "media").mapPartitions { it =>
       it.map { r =>
-        val (n, sum) = resizeStub(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), n, sum)
+        val (w, h, channels) =
+          Bmp.decode(Bmp.build(r.getAs[Array[Byte]]("media")))
+        val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+        val scaled = Array.tabulate(3 * w2 * h2) { k =>
+          val c = k % 3; val p = k / 3
+          val x = (p % w2) * 2; val y = (p / w2) * 2
+          channels((y * w + x) * 3 + c)
+        }
+        val reEncoded = Bmp.encode(w2, h2, scaled)
+        val (w3, h3, back) = Bmp.decode(reEncoded)
+        var i = 0; var ck = 0L
+        while (i < back.length) {
+          ck = (ck + (i + 1).toLong * back(i)) % MOD; i += 1
+        }
+        Row(r.getLong(0), w3, h3, reEncoded.length, ck)
       }
     }(enc)
   }

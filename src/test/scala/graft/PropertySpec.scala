@@ -618,6 +618,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Bmp codec: encode/decode roundtrip, top-down variant, corrupt input") {
+    import graft.operators.Bmp
+    val rnd = new scala.util.Random(3)
+    // widths 4..11 cover every stride-padding residue (w*3 mod 4)
+    for (w <- 4 to 11; h <- Seq(3, 8)) {
+      val channels = Array.fill(3 * w * h)(rnd.nextInt(256))
+      val bmp = Bmp.encode(w, h, channels)
+      assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+      assert(bmp.length === 54 + ((w * 3 + 3) / 4 * 4) * h)
+      val (w2, h2, back) = Bmp.decode(bmp)
+      assert((w2, h2) === ((w, h)), s"dims w=$w h=$h")
+      assert(back.toSeq === channels.toSeq, s"pixels w=$w h=$h")
+    }
+    // a TOP-DOWN BMP (negative height) decodes to the same image:
+    // flip the encoder's bottom-up rows and negate the height field
+    val channels = Array.tabulate(3 * 5 * 4)(identity).map(_ % 256)
+    val bu = Bmp.encode(5, 4, channels)
+    val stride = (5 * 3 + 3) / 4 * 4
+    val td = bu.clone()
+    val negH = -4
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte
+    td(25) = ((negH >> 24) & 0xff).toByte
+    for (y <- 0 until 4; i <- 0 until stride)
+      td(54 + y * stride + i) = bu(54 + (3 - y) * stride + i)
+    val (_, _, fromTd) = Bmp.decode(td)
+    assert(fromTd.toSeq === channels.toSeq, "top-down decode")
+    // corrupt containers fail loudly, never yield wrong features
+    intercept[IllegalArgumentException] {
+      Bmp.decode("not a bitmap at all".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Bmp.decode(bu.take(60)) // truncated pixel data
+    }
+  }
+
   test("basketPairs maxBasket cuts a planted mega-basket, honest counts intact") {
     import spark.implicits._
     import graft.api.ops._
