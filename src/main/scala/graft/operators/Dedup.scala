@@ -220,8 +220,44 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** The FULL rolling-crawl incremental-dedup story (the operator a
+    * 100 TB recurring ingest actually runs), extending
+    * [[dedupCrossBatch]]'s single filter into the two-phase pipeline:
+    *
+    *  1. batch N (docs < 250) dedups internally; what persists between
+    *     batches is ONLY its canonical fingerprint manifest — never
+    *     text, never non-canonical rows;
+    *  2. batch N+1 (docs ≥ 250) drops every doc whose fingerprint hits
+    *     the manifest (Bloom pre-probe at the scan + exact anti-join
+    *     on survivors, via [[graft.api.ops.GraftDataFrameOps
+    *     .incrementalNew]]), then dedups internally — emitting one row
+    *     per NEWLY-RETAINED canonical with its absorbed-member count.
+    *
+    * No batch-N canonical can re-emit by construction (its fingerprint
+    * is in the manifest), and the DuckDB twin replays BOTH phases, so
+    * the hash match proves it rather than asserting it. At scale the
+    * manifest is the only cross-batch state: O(canonicals) fingerprint
+    * strings, mergeable across days, exactly what a crawl cursor
+    * persists.
+    */
+  val dedupIncremental: Q = (spark, dir) => {
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val all = Tables(spark, dir, "documents").withColumn("fp", fp)
+    val manifest = all.filter(col("doc_id") < 250).select("fp").distinct()
+    val fresh = all.filter(col("doc_id") >= 250)
+      .incrementalNew(manifest, col("fp"), col("fp"))
+    fresh.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        count(lit(1)).as("n_members"))
+      .select("doc_id", "lang", "source", "n_members")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_cross_batch" -> dedupCrossBatch,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_containment" -> dedupContainment,
@@ -269,6 +305,22 @@ object Dedup extends QueryModule {
       ORDER BY doc.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" -> """
+      WITH p AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                 AS fp
+        FROM documents),
+      manifest AS (SELECT DISTINCT fp FROM p WHERE doc_id < 250),
+      fresh AS (
+        SELECT * FROM p
+        WHERE doc_id >= 250
+          AND fp NOT IN (SELECT fp FROM manifest))
+      SELECT min(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(source, doc_id) AS source,
+             count(*) AS n_members
+      FROM fresh GROUP BY fp ORDER BY doc_id""",
     "q_dedup_simhash" -> """
       WITH toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
