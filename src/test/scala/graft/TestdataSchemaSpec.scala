@@ -93,6 +93,69 @@ class TestdataSchemaSpec extends SparkSpec {
       == usWanted)
   }
 
+  test("loaded column types are pinned for every table") {
+    // The r7 lesson, finished: ts units are guarded above, but a
+    // regeneration could also flip embeddings to list<double>, doc_id
+    // to int32, or prices to decimal — each breaking encoders, fold
+    // arithmetic, or oracle dtype-strict compares far from here. Pin
+    // the LOADED Spark type of every column the queries do arithmetic
+    // on, by table, so the next silent flip fails one named test.
+    def types(t: String): Map[String, DataType] =
+      Tables(spark, sfDir, t).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+    val emb = types("embeddings")
+    assert(emb("vec_id") == LongType, emb("vec_id"))
+    assert(emb("embedding") == ArrayType(FloatType, containsNull = true)
+      || emb("embedding") == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding loaded as ${emb("embedding")} — the vector " +
+        "kernels and float→double promotion discipline assume list<float>")
+    assert(emb("label") == IntegerType, emb("label"))
+    val doc = types("documents")
+    assert(doc("doc_id") == LongType, doc("doc_id"))
+    Seq("text", "lang", "source").foreach(c =>
+      assert(doc(c) == StringType, s"documents.$c: ${doc(c)}"))
+    assert(doc("n_chars") == LongType, doc("n_chars"))
+    val li = types("lineitem")
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach(c =>
+      assert(li(c) == LongType, s"lineitem.$c: ${li(c)}"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach(c =>
+      assert(li(c) == DoubleType, s"lineitem.$c: ${li(c)}"))
+    // date cols load NTZ (footer timestamp[us], no tz annotation) —
+    // either timestamp flavor is fine, a LongType/DateType flip is not
+    assert(Set[DataType](TimestampType, TimestampNTZType)
+      .contains(li("l_shipdate")), li("l_shipdate"))
+    val ord = types("orders")
+    assert(ord("o_totalprice") == DoubleType, ord("o_totalprice"))
+    assert(Set[DataType](TimestampType, TimestampNTZType)
+      .contains(ord("o_orderdate")), ord("o_orderdate"))
+    val ev = types("events")
+    assert(ev("event_id") == LongType && ev("user_id") == LongType, ev)
+    assert(ev("value") == DoubleType, ev("value"))
+  }
+
+  test("embeddings are 64-dim and documents are non-empty ASCII") {
+    // Load-bearing value contracts: the vector ops fix dim = 64 in
+    // plan literals (planes, projection matrices, range(1,65) oracle
+    // folds), and the md5/byte-arithmetic oracles (minhash, simhash,
+    // multimodal BMP) treat string POSITIONS as BYTE positions — true
+    // only while text stays ASCII. A regeneration that emits unicode
+    // text or a different dim must fail here, by name.
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(size(col("embedding")).as("d"))
+      .agg(min("d"), max("d")).head()
+    assert(e.getInt(0) == 64 && e.getInt(1) == 64,
+      s"embedding dims ${e.getInt(0)}..${e.getInt(1)} != 64")
+    val d = Tables(spark, sfDir, "documents")
+      .select(length(col("text")).as("len"), col("text"))
+      .agg(min("len").as("lo"),
+        max(array_max(transform(split(col("text"), ""),
+          c => ascii(c)))).as("maxcp")).head()
+    assert(d.getInt(0) >= 1, "empty document text")
+    assert(d.getInt(1) < 128,
+      s"non-ASCII code point ${d.getInt(1)} in documents.text — byte/char " +
+        "position equivalence (minhash/simhash/BMP oracles) broken")
+  }
+
   test("streaming source schema agrees with the batch loader") {
     // eventsFileStream peeks the batch-inferred footer schema; its
     // normalized output columns must match Tables.events exactly, or
