@@ -145,8 +145,25 @@ object StreamScored extends QueryModule {
     val messages = Streams.encryptMessages(src, dek, kek)
     val counts = Streams.decryptPipeline(messages, kek,
       "id LONG, event_type STRING")
-    runToTable(counts, OutputMode.Complete(), "graft_stream_decrypt",
-      finalize = false)
+    // The fused publish→consume stage (to_json + seal + unwrap +
+    // decrypt + HMAC verify + parse) generates a method so large that
+    // whole-stage codegen COSTS time instead of saving it — measured
+    // 1.16 s with codegen vs 0.71 s interpreted on the batch twin at
+    // sf0.1 (the generated mega-method re-compiles per execution and
+    // blows past JIT limits; the marginal per-row cost is only
+    // ~0.8 µs either way). Interpreted expression eval is the honest
+    // winner for this one plan; every other query keeps codegen.
+    val key = "spark.sql.codegen.wholeStage"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val drained =
+      try runToTable(counts, OutputMode.Complete(), "graft_stream_decrypt",
+        finalize = false)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    drained
       .select(Norm.tstr(col("wstart")).as("wstart"), col("n_messages"))
       .orderBy("wstart")
   }
