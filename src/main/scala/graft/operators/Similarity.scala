@@ -132,6 +132,145 @@ object Similarity extends QueryModule {
       .orderBy("src", "rank")
   }
 
+  /** Lloyd's k-means over the embedding table, k = 4, 2 iterations —
+    * the clustering step under IVF index builds, data-mixture
+    * balancing, and diversity pruning. Everything is engineered for
+    * exact cross-engine replay:
+    *
+    *  - init: the k vectors with smallest (md5(vec_id), vec_id) —
+    *    content-stable, no RNG state;
+    *  - assignment: squared distance as a fixed-order per-dim fold,
+    *    quantized to ⌊d²·10⁶⌋ BIGINT before the argmin (ties → lowest
+    *    cluster index) — no float comparison can flip cross-engine;
+    *  - update: per-(cluster, dim) centroids from exact BIGINT sums of
+    *    ⌊v·10⁶+½⌋-quantized inputs divided once — the same
+    *    no-float-summation discipline as the label centroids, so the
+    *    next round's distances start from bit-identical doubles.
+    *
+    * Scale shape: the classic distributed Lloyd — per iteration one
+    * partial-agg'd (cluster, dim) rollup (k·dim cells cross the
+    * shuffle, never vectors), centroids collected to the driver
+    * (O(k·dim) — the standard Lloyd driver state) and re-broadcast as
+    * plan literals. Iteration count is fixed (2), not convergence-
+    * probed, so the oracle can unroll it. Fails loudly if a cluster
+    * empties (k ≪ n here; a production run would re-seed).
+    */
+  def kmeansLloyd(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  k: Int, iters: Int): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+      .localCheckpoint() // feeds init + every assignment pass
+    def d2i(v: Column, cLit: Column): Column =
+      floor(aggregate(zip_with(v, cLit, (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _) * 1000000).cast("long")
+    // argmin over an array of (d2i, idx) structs — array_min orders by
+    // the struct fields, so ties break to the lowest cluster index
+    def assigned(centroids: Seq[Seq[Double]]): DataFrame = {
+      val cl = typedLit(centroids)
+      val scored = (0 until centroids.size).map(i =>
+        struct(d2i(col("emb"), cl.getItem(i)).as("d"),
+          lit(i).as("i")))
+      e.withColumn("cluster",
+        array_min(array(scored: _*)).getField("i"))
+    }
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+    def centroidsOf(u: DataFrame, k: Int): Seq[Seq[Double]] = {
+      val rows = u.collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("pos"),
+          r.getAs[Long]("s"), r.getAs[Long]("n")))
+      val byC = rows.groupBy(_._1)
+      require(byC.size == k,
+        s"k-means cluster emptied: ${byC.size} of $k clusters populated")
+      (0 until k).map(c => byC(c).sortBy(_._2)
+        .map(t => t._3.toDouble / t._4 / 1000000.0).toSeq)
+    }
+    val init: Seq[Seq[Double]] = e
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).collect()
+      .map(_.getSeq[Double](1).toVector).toVector
+    var cents = init
+    var asg: DataFrame = null
+    for (_ <- 1 to iters) {
+      asg = assigned(cents)
+      cents = centroidsOf(update(asg), k)
+    }
+    // final emission straight from the distributed rollup (the driver
+    // round-trip above only feeds the next iteration's literals)
+    update(asg)
+      .select(col("cluster"), col("n").as("n_members"),
+        (col("pos") + 1).cast("int").as("pos"),
+        Norm.r4dn(col("s").cast("double") / col("n") / 1000000.0)
+          .as("cval"))
+      .orderBy("cluster", "pos")
+  }
+
+  /** Scored entry: k = 4, 2 Lloyd iterations. */
+  val embedKmeans: Q = (spark, dir) => kmeansLloyd(spark, dir, 4, 2)
+
+  /** Top principal direction of the embedding cloud by two power
+    * iterations over the EXACT-INTEGER Gram matrix — the PCA step
+    * under whitening, drift monitors, and spectral diagnostics,
+    * engineered so a distributed run and a SQL replay agree to the
+    * bit:
+    *
+    *  - inputs quantize to qᵢ = ⌊v·10³+½⌋ BIGINTs, so the 64×64 Gram
+    *    G = Σ_rows q qᵀ is an exact integer matrix (|q| ≤ ~10³,
+    *    products ≤ 10⁶, × n rows stays far under 2⁶³) — the ONLY
+    *    data-volume-dependent pass, one partial-agg'd (i, j) rollup;
+    *  - iteration 1 from the all-ones start is a pure integer row sum
+    *    w¹ = G·1 (BIGINT); iteration 2 w² = G·w¹ runs in
+    *    DECIMAL(38,0) (≤ ~10³⁴) — both EXACT, no float order anywhere;
+    *  - the only floats are the final normalization (‖w²‖ via an
+    *    ORDERED fold over the 64 loadings — the statsCramersV
+    *    discipline) and the Rayleigh quotient λ ≈ (w¹·w²)/(w¹·w¹)
+    *    from exact decimal dots — identical IEEE ops both engines.
+    *
+    * Scale: the Gram pass shuffles 4 096 integer cells per partition
+    * (dim² ≪ data); everything after operates on a 64-row frame. The
+    * all-ones start is deterministic and, per Perron-Frobenius-style
+    * arguments, nearly never orthogonal to the top eigenvector of a
+    * covariance-like matrix.
+    */
+  val embedPcaPower: Q = (spark, dir) => {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "i", "v")
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast("double") * 1000 + 0.5).cast("long").as("q"))
+    val a = q.select(col("vec_id"), col("i"), col("q").as("qa"))
+    val b = q.select(col("vec_id").as("vid_b"), col("i").as("j"),
+      col("q").as("qb"))
+    val gram = a.join(b, col("vec_id") === col("vid_b"))
+      .groupBy("i", "j").agg(sum(col("qa") * col("qb")).as("g"))
+    val w1 = gram.groupBy(col("i").as("wi"))
+      .agg(sum("g").as("w1"))
+    val w2 = gram.join(broadcast(w1), col("j") === col("wi"))
+      .groupBy("i")
+      .agg(sum(col("g").cast("decimal(38,0)")
+        * col("w1").cast("decimal(38,0)")).as("w2dec"))
+      .join(broadcast(w1), col("i") === col("wi"))
+      .select(col("i"), col("w1"), col("w2dec"))
+    val folded = w2.groupBy().agg(
+      // ordered fold: ‖w²‖² as a left fold over pos-sorted doubles
+      aggregate(array_sort(collect_list(struct(col("i"),
+          col("w2dec").cast("double").as("wd")))), lit(0.0),
+        (acc, e) => acc + e.getField("wd") * e.getField("wd"))
+        .as("n2"),
+      sum(col("w1").cast("decimal(38,0)")
+        * col("w2dec")).cast("double").as("dot12"),
+      sum(col("w1").cast("decimal(38,0)")
+        * col("w1").cast("decimal(38,0)")).cast("double").as("dot11"))
+    w2.crossJoin(broadcast(folded))
+      .select((col("i") + 1).cast("int").as("pos"),
+        Norm.r4dn(col("w2dec").cast("double") / sqrt(col("n2")))
+          .as("loading"),
+        Norm.r4dn(col("dot12") / col("dot11")).as("lambda"))
+      .orderBy("pos")
+  }
+
   /** Elementwise mean embedding per label via the typed Aggregator,
     * posexploded to (label, pos, mean_val) long format so the oracle
     * compares scalars, not list encodings.
@@ -823,6 +962,8 @@ object Similarity extends QueryModule {
     "q_sim_hard_negatives" -> simHardNegatives,
     "q_sim_knn_graph" -> simKnnGraph,
     "q_centroid_per_label" -> centroidPerLabel,
+    "q_embed_kmeans" -> embedKmeans,
+    "q_embed_pca_power" -> embedPcaPower,
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
     "q_sim_ann_ivf" -> simAnnIvf,
@@ -830,6 +971,94 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embed_pca_power" -> """
+      WITH q AS (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                 AS BIGINT) AS q
+        FROM embeddings,
+          LATERAL unnest(generate_series(1, 64)) AS g(i)),
+      gram AS (
+        SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+        FROM q a JOIN q b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i),
+      w1 AS (SELECT i AS wi, CAST(sum(g) AS BIGINT) AS w1
+             FROM gram GROUP BY i),
+      w2 AS (
+        SELECT gram.i,
+               CAST(sum(CAST(g AS HUGEINT) * w1) AS HUGEINT) AS w2dec
+        FROM gram JOIN w1 ON gram.j = w1.wi
+        GROUP BY gram.i),
+      w2w AS (SELECT w2.i, w1.w1, w2.w2dec
+              FROM w2 JOIN w1 ON w2.i = w1.wi),
+      folded AS (
+        SELECT
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(CAST(w2dec AS DOUBLE) ORDER BY i),
+              x -> x * x)),
+            (s, x) -> s + x) AS n2,
+          CAST(sum(CAST(w1 AS HUGEINT) * w2dec) AS DOUBLE) AS dot12,
+          CAST(sum(CAST(w1 AS HUGEINT) * CAST(w1 AS HUGEINT)) AS DOUBLE)
+            AS dot11
+        FROM w2w)
+      SELECT CAST(w2w.i AS INT) AS pos,
+             floor(CAST(w2dec AS DOUBLE) / sqrt(n2) * 10000) / 10000
+               AS loading,
+             floor(dot12 / dot11 * 10000) / 10000 AS lambda
+      FROM w2w CROSS JOIN folded ORDER BY pos""",
+    "q_embed_kmeans" -> """
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      init AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                 vec_id) - 1 AS c, v
+        FROM emb
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                  vec_id) <= 4),
+      a1 AS (
+        SELECT e.vec_id, e.v, i.c,
+               CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   d -> (e.v[d] - i.v[d]) * (e.v[d] - i.v[d]))),
+                 (s, x) -> s + x) * 1000000) AS BIGINT) AS d2i
+        FROM emb e CROSS JOIN init i),
+      asg1 AS (
+        SELECT vec_id, v, c FROM a1
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2i, c) = 1),
+      u1 AS (
+        SELECT c, pos,
+               CAST(sum(CAST(floor(v[pos] * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS s,
+               count(*) AS n
+        FROM asg1, LATERAL unnest(generate_series(1, 64)) AS g(pos)
+        GROUP BY c, pos),
+      c1 AS (
+        SELECT c, list(CAST(s AS DOUBLE) / n / 1000000 ORDER BY pos) AS v
+        FROM u1 GROUP BY c),
+      a2 AS (
+        SELECT e.vec_id, e.v, i.c,
+               CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   d -> (e.v[d] - i.v[d]) * (e.v[d] - i.v[d]))),
+                 (s, x) -> s + x) * 1000000) AS BIGINT) AS d2i
+        FROM emb e CROSS JOIN c1 i),
+      asg2 AS (
+        SELECT vec_id, v, c FROM a2
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2i, c) = 1),
+      u2 AS (
+        SELECT c, pos,
+               CAST(sum(CAST(floor(v[pos] * 1000000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS s,
+               count(*) AS n
+        FROM asg2, LATERAL unnest(generate_series(1, 64)) AS g(pos)
+        GROUP BY c, pos)
+      SELECT CAST(c AS INT) AS cluster, n AS n_members,
+             CAST(pos AS INT) AS pos,
+             floor(CAST(s AS DOUBLE) / n / 1000000 * 10000) / 10000
+               AS cval
+      FROM u2 ORDER BY cluster, pos""",
     "q_sim_ann_lsh" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

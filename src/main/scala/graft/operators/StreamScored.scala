@@ -310,6 +310,33 @@ object StreamScored extends QueryModule {
         "graft_stream_stateful_tws")
     }
 
+  /** Event-time TIMER sessionization scored (see
+    * [[Streams.sessionTimeouts]] / SessionTimeoutProcessor): the
+    * transformWithState timer surface — register a close timer at
+    * lastActivity + 30 min, re-arm on activity, emit-once + evict when
+    * the watermark crosses it — through the real engine and under the
+    * DuckDB oracle. The AvailableNow drain delivers all events in one
+    * data batch (so each user's state holds its full event count), and
+    * the FINAL NO-DATA BATCHES advance the watermark to the global max
+    * event time, firing exactly the timers whose deadline lies at or
+    * before it: a user's session closes iff lastTs + 30 min ≤ max(ts).
+    * The post-drain reduction keeps each user's final view; `closed`
+    * is therefore a pure function of the data the oracle recomputes.
+    * `finalize = true` is load-bearing — without no-data batches no
+    * timer ever fires.
+    */
+  val streamSessionTimeout: Q = (spark, dir) => {
+    val out = Streams.withRocksDbStateStore(spark) {
+      runToTable(
+        Streams.sessionTimeouts(Streams.eventsFileStream(spark, dir)),
+        OutputMode.Append(), "graft_stream_session_timeout")
+    }
+    out.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("closed")).as("closed"))
+      .orderBy("user_id")
+  }
+
   /** Streaming CEP scored: the per-user conversion/error-burst counts
     * from [[Streams.patternAutomaton]]'s incremental DFA, drained and
     * checked against the SAME DuckDB regex oracle as the batch
@@ -543,10 +570,19 @@ object StreamScored extends QueryModule {
     "q_stream_join_full" -> streamJoinFull,
     "q_stream_stateful" -> streamStateful,
     "q_stream_stateful_tws" -> streamStatefulTws,
+    "q_stream_session_timeout" -> streamSessionTimeout,
     "q_stream_pattern" -> streamPattern,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_session_timeout" -> """
+      WITH u AS (
+        SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+        FROM events GROUP BY user_id),
+      w AS (SELECT max(ts) AS wm FROM events)
+      SELECT user_id, n_events,
+             (last_ts + INTERVAL 30 MINUTE) <= wm AS closed
+      FROM u CROSS JOIN w ORDER BY user_id""",
     "q_stream_rate_limit" -> """
       WITH gaps AS (
         SELECT user_id, ts, event_id,

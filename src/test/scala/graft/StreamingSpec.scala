@@ -298,6 +298,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("s_session_timeout: a deadline EXACTLY at the watermark fires (<= boundary)") {
+    // Pins the engine's timer-expiry boundary so the scored oracle's
+    // `last + gap <= max(ts)` comparison is a documented fact, not an
+    // assumption: user 7's deadline (10:00 + 30 min) lands exactly ON
+    // the final watermark (user 8's 10:30 event, delay 0) — it must
+    // close; user 8's own 11:00 deadline is past the watermark — open.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val out = Streams.withRocksDbStateStore(spark) {
+      run(Streams.sessionTimeouts(in.toDF), "sesstie", "append") { q =>
+        in.addData(
+          Ev(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+          Ev(2, t("2024-01-01 10:30:00"), 8, "view", 1.0))
+        q.processAllAvailable()
+      }
+    }
+    val closed = out.filter("closed").collect()
+    assert(closed.map(_.getAs[Long]("user_id")).toSeq === Seq(7L),
+      s"tie-at-watermark must close: ${closed.mkString(",")}")
+  }
+
   test("s_session_timeout: event-time timer closes idle sessions, evicts state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
