@@ -103,11 +103,38 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode through the [[Wav]] PCM codec — RIFF container
+    * roundtrip proven by the oracle's generation-rule replay (RMS,
+    * peak, zero crossings, position-weighted checksum).
+    */
+  val multimodalAudio: Q = (spark, dir) => {
+    MediaDecode.audioFeatures(media(spark, dir))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        Norm.r4tie(col("rms")).as("rms"),
+        col("peak"), col("n_zero_cross"), col("checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL video-container walk + per-frame decode + frame sampling
+    * (stride 2) through the [[Bmp]] codec — each frame's extent read
+    * from its own header, not the synthesis rule, so a hash match
+    * proves the container parse end-to-end.
+    */
+  val multimodalVideo: Q = (spark, dir) => {
+    MediaDecode.videoFrameFeatures(media(spark, dir))
+      .select(col("doc_id"), col("frame_id"), col("width"),
+        col("height"),
+        Norm.r4tie(col("mean_rgb")).as("mean_rgb"), col("checksum"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_frames" -> multimodalFrames,
     "q_multimodal_decode" -> multimodalDecode,
     "q_multimodal_resize" -> multimodalResize,
+    "q_multimodal_audio" -> multimodalAudio,
+    "q_multimodal_video" -> multimodalVideo,
   )
 
   val oracle: Map[String, String] = Map(
@@ -129,6 +156,54 @@ object Multimodal extends QueryModule {
                      AS fid
             FROM documents)
       ORDER BY doc_id, frame_id""",
+    "q_multimodal_audio" -> """
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               200 + (length(text) * 3) % 100 AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, L, n, k,
+               (unicode(substring(text, CAST(k % L AS INT) + 1, 1))
+                - 64) * 256 AS v
+        FROM dims, LATERAL unnest(generate_series(0, n - 1)) AS g(k)),
+      zc AS (
+        SELECT doc_id, k, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+        FROM s)
+      SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+             CAST(max(k) + 1 AS INT) AS n_samples,
+             floor(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE)
+                        / (max(k) + 1)) * 10000 + 0.5) / 10000 AS rms,
+             CAST(max(abs(v)) AS INT) AS peak,
+             CAST(sum(CASE WHEN pv IS NOT NULL
+                           AND CAST(v AS BIGINT) * pv < 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_cross,
+             CAST(sum((k + 1) * CAST(v AS BIGINT)) AS BIGINT) AS checksum
+      FROM zc GROUP BY doc_id ORDER BY doc_id""",
+    "q_multimodal_video" -> """
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               (length(text) % 8) + 4 AS w,
+               CAST((length(text) * 7) % 6 AS INT) + 3 AS h,
+               2 + (length(text) % 4) AS nf
+        FROM documents),
+      fr AS (
+        SELECT doc_id, text, L, w, h, f
+        FROM dims, LATERAL unnest(generate_series(0, nf - 1)) AS g(f)
+        WHERE f % 2 = 0),
+      ch AS (
+        SELECT doc_id, w, h, f, k,
+               unicode(substring(text,
+                 CAST((k + 7 * f) % L AS INT) + 1, 1)) AS v
+        FROM fr,
+          LATERAL unnest(generate_series(0, 3 * w * h - 1)) AS g(k))
+      SELECT doc_id, CAST(f AS INT) AS frame_id,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             floor(CAST(sum(v) AS DOUBLE) / count(*) * 10000 + 0.5)
+               / 10000 AS mean_rgb,
+             CAST(sum((k + 1) * v) % 1000000007 AS BIGINT) AS checksum
+      FROM ch GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_id""",
     "q_multimodal_resize" -> """
       WITH dims AS (
         SELECT doc_id, text, length(text) AS L,
@@ -283,6 +358,106 @@ object Bmp {
   }
 }
 
+/** Minimal REAL 16-bit mono PCM WAV codec — pure JVM. Encode writes a
+  * standard RIFF container (RIFF/WAVE header, `fmt ` chunk with PCM
+  * format tag, `data` chunk); decode walks the chunk list (skipping
+  * unknown chunks, as the RIFF spec requires), validates the format
+  * tag / bit depth / channel count, and yields the signed 16-bit
+  * samples. Any audio tool opens the encoded bytes.
+  */
+object Wav {
+
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def putShort(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def getInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def getShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putInt(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putInt(out, 16, 16) // fmt chunk size
+    putShort(out, 20, 1) // PCM
+    putShort(out, 22, 1) // mono
+    putInt(out, 24, sampleRate)
+    putInt(out, 28, sampleRate * 2) // byte rate
+    putShort(out, 32, 2) // block align
+    putShort(out, 34, 16) // bits/sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putInt(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putShort(out, 44 + i * 2, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  /** Decode a 16-bit mono PCM WAV → (sampleRate, samples). Walks the
+    * chunk list per the RIFF spec, so containers with extra chunks
+    * (LIST, fact, …) still decode; throws on anything that is not
+    * 16-bit mono PCM.
+    */
+  def decode(wav: Array[Byte]): (Int, Array[Short]) = {
+    require(wav.length >= 44 && wav(0) == 'R' && wav(1) == 'I' &&
+      wav(2) == 'F' && wav(3) == 'F' && wav(8) == 'W' &&
+      wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E', "not a WAV")
+    var off = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= wav.length) {
+      val id = new String(wav, off, 4, "US-ASCII")
+      val len = getInt(wav, off + 4)
+      if (id == "fmt ") {
+        require(getShort(wav, off + 8) == 1, "not PCM")
+        require(getShort(wav, off + 10) == 1, "not mono")
+        rate = getInt(wav, off + 12)
+        require(getShort(wav, off + 22) == 16, "not 16-bit")
+      } else if (id == "data") {
+        require(rate > 0, "data chunk before fmt")
+        require(off + 8 + len <= wav.length, "truncated data chunk")
+        samples = new Array[Short](len / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = getShort(wav, off + 8 + i * 2).toShort; i += 1
+        }
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(samples != null, "no data chunk")
+    (rate, samples)
+  }
+
+  /** Deterministic audio synthesis from a document payload: sample k
+    * = (byte(k mod len) − 64)·256 (signed 16-bit), count 200 + 3·len
+    * mod 100, rate 8000 — the rule the DuckDB oracle replays.
+    */
+  def build(payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length
+    require(len > 0, "empty payload")
+    val n = 200 + (len * 3) % 100
+    val samples = Array.tabulate(n)(k =>
+      (((payload(k % len) & 0xff) - 64) * 256).toShort)
+    encode(8000, samples)
+  }
+}
+
 /** The decode/resize kernels over [[Bmp]] through typed mapPartitions
   * — the imperative per-partition escape hatch a real codec needs.
   */
@@ -337,6 +512,113 @@ object MediaDecode {
     StructField("height_out", IntegerType, nullable = false),
     StructField("n_bytes_bmp", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("n_zero_cross", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Encode each payload as a PCM WAV, parse the RIFF container back,
+    * emit audio features: RMS energy, peak amplitude, zero-crossing
+    * count (the audio-quality screen: silence ≈ zero RMS, clipping ≈
+    * peak at full scale, noise ≈ high crossing rate) and a
+    * position-weighted checksum proving sample order. Raw RMS —
+    * rounding applied engine-side.
+    */
+  def audioFeatures(mediaDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(audioSchema)
+    mediaDf.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val (rate, s) = Wav.decode(Wav.build(r.getAs[Array[Byte]]("media")))
+        var i = 0; var ss = 0L; var peak = 0; var zc = 0L; var ck = 0L
+        while (i < s.length) {
+          val v = s(i).toInt
+          ss += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v.toLong * s(i - 1) < 0) zc += 1
+          ck += (i + 1).toLong * v
+          i += 1
+        }
+        Row(r.getLong(0), rate, s.length,
+          math.sqrt(ss.toDouble / s.length), peak, zc, ck)
+      }
+    }(enc)
+  }
+
+  private val videoSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_rgb", DoubleType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Synthesize a multi-frame "video" (GVID magic + frame count +
+    * concatenated BMPs, frame f's pixels shifted 7·f into the
+    * payload), parse the container by walking each embedded BMP's own
+    * file-size field, decode every SAMPLED frame (stride 2 — the
+    * frame-sampling stage of a real video pipeline) through the
+    * [[Bmp]] codec, and emit per-frame pixel features.
+    */
+  def videoFrameFeatures(mediaDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(videoSchema)
+    mediaDf.select("doc_id", "media").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val len = payload.length
+        val w = (len % 8) + 4
+        val h = ((len.toLong * 7) % 6).toInt + 3
+        val nFrames = 2 + (len % 4)
+        // container: 'GVID' + LE frame count + frames
+        val frames = (0 until nFrames).map { f =>
+          Bmp.encode(w, h, Array.tabulate(3 * w * h)(k =>
+            payload((k + 7 * f) % len) & 0xff))
+        }
+        val video = Array[Byte]('G', 'V', 'I', 'D',
+          (nFrames & 0xff).toByte, ((nFrames >> 8) & 0xff).toByte,
+          ((nFrames >> 16) & 0xff).toByte,
+          ((nFrames >> 24) & 0xff).toByte) ++ frames.flatten
+        // REAL container walk: each frame's length comes from its own
+        // BMP file-size header field, not from the synthesis rule
+        require(video(0) == 'G' && video(1) == 'V' &&
+          video(2) == 'I' && video(3) == 'D', "not a GVID container")
+        val n = (video(4) & 0xff) | ((video(5) & 0xff) << 8) |
+          ((video(6) & 0xff) << 16) | ((video(7) & 0xff) << 24)
+        var off = 8
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var f = 0
+        while (f < n) {
+          require(video(off) == 'B' && video(off + 1) == 'M',
+            s"frame $f is not a BMP")
+          val sz = (video(off + 2) & 0xff) |
+            ((video(off + 3) & 0xff) << 8) |
+            ((video(off + 4) & 0xff) << 16) |
+            ((video(off + 5) & 0xff) << 24)
+          if (f % 2 == 0) { // frame sampling: every 2nd frame
+            val (fw, fh, channels) =
+              Bmp.decode(java.util.Arrays.copyOfRange(video, off, off + sz))
+            var i = 0; var sum = 0L; var ck = 0L
+            while (i < channels.length) {
+              sum += channels(i)
+              ck = (ck + (i + 1).toLong * channels(i)) % MOD
+              i += 1
+            }
+            out += Row(r.getLong(0), f, fw, fh,
+              sum.toDouble / channels.length, ck)
+          }
+          off += sz
+          f += 1
+        }
+        out
+      }
+    }(enc)
+  }
 
   /** Nearest-neighbor 2× downscale: decode → keep even-(x, y) pixels
     * → re-encode → decode AGAIN and checksum, so the emitted numbers

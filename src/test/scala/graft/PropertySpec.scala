@@ -654,6 +654,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Wav codec: encode/decode roundtrip, chunk-walk, corrupt input") {
+    import graft.operators.Wav
+    val rnd = new scala.util.Random(5)
+    for (n <- Seq(1, 7, 200, 299)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val wav = Wav.encode(8000, samples)
+      assert(wav.length === 44 + n * 2)
+      val (rate, back) = Wav.decode(wav)
+      assert(rate === 8000)
+      assert(back.toSeq === samples.toSeq, s"n=$n")
+    }
+    // a container with an extra unknown chunk BEFORE data still
+    // decodes (the RIFF chunk walk must skip, not reject)
+    val samples = Array[Short](100, -200, 300)
+    val base = Wav.encode(44100, samples)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 1, 2, 3, 4)
+    val withChunk = base.take(36) ++ extra ++ base.drop(36)
+    // fix RIFF size field
+    val sz = withChunk.length - 8
+    withChunk(4) = (sz & 0xff).toByte
+    withChunk(5) = ((sz >> 8) & 0xff).toByte
+    val (r2, b2) = Wav.decode(withChunk)
+    assert(r2 === 44100 && b2.toSeq === samples.toSeq)
+    intercept[IllegalArgumentException] {
+      Wav.decode("RIFFxxxxWAVEbroken".getBytes("US-ASCII"))
+    }
+  }
+
   test("basketPairs maxBasket cuts a planted mega-basket, honest counts intact") {
     import spark.implicits._
     import graft.api.ops._
