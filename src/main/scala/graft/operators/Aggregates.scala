@@ -628,6 +628,93 @@ object Aggregates extends QueryModule {
     * Scale: one partial-agg'd pass to TWO rows, then pure arithmetic
     * — the significance call is a broadcast-trivial 1-row frame.
     */
+  /** One-way ANOVA across event types on integer cents — "do the
+    * groups share a mean?": F = (SSB/(k−1)) / (SSW/(n−k)) from exact
+    * per-group BIGINT sufficient statistics (n_g, Σx, Σx²). The only
+    * float sum is Σ_g S_g²/n_g over the k ≈ 6 group terms, which
+    * folds in SORTED group order (the statsCramersV discipline), so
+    * both engines add the identical doubles in the identical order.
+    * η² = SSB/SST rides along as the effect size.
+    *
+    * Scale: one partial-agg'd pass to k rows, then a 1-row ordered
+    * fold — nothing downstream of the scan depends on data volume.
+    */
+  val statsAnova: Q = (spark, dir) => {
+    val g = Tables(spark, dir, "events")
+      .select(col("event_type").as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum(col("c") * col("c")).as("qg"))
+    val folded = g.groupBy().agg(
+      count(lit(1)).as("k"),
+      sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+      aggregate(array_sort(collect_list(struct(col("t"),
+          (col("sg").cast("double") * col("sg") / col("ng"))
+            .as("term")))),
+        lit(0.0), (acc, e) => acc + e.getField("term")).as("sb_raw"))
+    folded.select(col("k"), col("n"),
+        Norm.r4tie((col("sb_raw")
+          - col("s").cast("double") * col("s") / col("n")).as("ssb"))
+          .as("ss_between"),
+        Norm.r4tie(col("q").cast("double") - col("sb_raw"))
+          .as("ss_within"),
+        Norm.r4dn(((col("sb_raw")
+            - col("s").cast("double") * col("s") / col("n"))
+            / (col("k") - 1))
+          / ((col("q").cast("double") - col("sb_raw"))
+            / (col("n") - col("k")))).as("f_stat"),
+        Norm.r4dn((col("sb_raw")
+            - col("s").cast("double") * col("s") / col("n"))
+          / (col("q").cast("double")
+            - col("s").cast("double") * col("s") / col("n")))
+          .as("eta_sq"))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    * values — the nonparametric A/B alternative when means mislead:
+    * midranks handled EXACTLY by working in doubled-rank space
+    * (midrank·2 = 2·cum + cnt + 1 is an integer for every tie group),
+    * so the rank sum, U statistics, and the tie-corrected normal
+    * approximation all derive from BIGINT sufficient statistics; the
+    * z closed form is one identical expression tree in both engines.
+    *
+    * Scale: one partial-agg'd pass to the distinct-value table, one
+    * bounded rank window over it, a 1-row finish — raw rows never
+    * sort globally.
+    */
+  val statsMannWhitney: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val byVal = e.groupBy("c")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("t") === "click", 1L).otherwise(0L)).as("cnt1"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("cum", sum("cnt").over(w) - col("cnt"))
+      .withColumn("mr2", lit(2) * col("cum") + col("cnt") + 1)
+    val folded = ranked.groupBy().agg(
+      sum("cnt1").as("n1"), sum(col("cnt") - col("cnt1")).as("n2"),
+      sum(col("cnt1") * col("mr2")).as("r1x2"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    // u1 = (r1x2 − n1(n1+1)) / 2: integer numerator halved once —
+    // exact dyadic, no float accumulation anywhere upstream
+    val u1 = (col("r1x2") - col("n1") * (col("n1") + 1))
+      .cast("double") / 2
+    val u2 = col("n1").cast("double") * col("n2") - u1
+    val nn = (col("n1") + col("n2")).cast("double")
+    val z = (u1 - col("n1").cast("double") * col("n2") / 2) /
+      sqrt(col("n1").cast("double") * col("n2") / 12
+        * ((nn + 1) - col("tie3").cast("double") / (nn * (nn - 1))))
+    folded.select(col("n1"), col("n2"),
+      Norm.r4tie(u1).as("u1"), Norm.r4tie(u2).as("u2"),
+      Norm.r4dn(z).as("z"),
+      (abs(z) > 1.96).as("significant"))
+  }
+
   val abTest: Q = (spark, dir) => {
     val p = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -1400,6 +1487,8 @@ object Aggregates extends QueryModule {
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_mode" -> aggMode,
     "q_abtest" -> abTest,
+    "q_stats_anova" -> statsAnova,
+    "q_stats_mannwhitney" -> statsMannWhitney,
     "q_stats_mad" -> statsMad,
     "q_stats_ks" -> statsKs,
     "q_stats_chi2" -> statsChi2,
@@ -1432,6 +1521,80 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_anova" -> """
+      WITH g AS (
+        SELECT event_type AS t, count(*) AS ng,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sg,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS qg
+        FROM events GROUP BY event_type),
+      f AS (
+        SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(qg) AS BIGINT) AS q,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(sg AS DOUBLE) * sg / ng ORDER BY t)),
+                 (a, x) -> a + x) AS sb_raw
+        FROM g)
+      SELECT k, n,
+             floor((sb_raw - CAST(s AS DOUBLE) * s / n) * 10000 + 0.5)
+               / 10000 AS ss_between,
+             floor((CAST(q AS DOUBLE) - sb_raw) * 10000 + 0.5) / 10000
+               AS ss_within,
+             floor(((sb_raw - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                   / ((CAST(q AS DOUBLE) - sb_raw) / (n - k)) * 10000)
+               / 10000 AS f_stat,
+             floor((sb_raw - CAST(s AS DOUBLE) * s / n)
+                   / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                   * 10000) / 10000 AS eta_sq
+      FROM f""",
+    "q_stats_mannwhitney" -> """
+      WITH e AS (
+        SELECT event_type AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      bv AS (
+        SELECT c, count(*) AS cnt,
+               CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cnt1
+        FROM e GROUP BY c),
+      rk AS (
+        SELECT c, cnt, cnt1,
+               CAST(sum(cnt) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cnt AS BIGINT) AS cum
+        FROM bv),
+      f AS (
+        SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+               CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+               CAST(sum(cnt1 * (2 * cum + cnt + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        FROM rk)
+      SELECT n1, n2,
+             floor(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                   * 10000 + 0.5) / 10000 AS u1,
+             floor((CAST(n1 AS DOUBLE) * n2
+                    - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+                   * 10000 + 0.5) / 10000 AS u2,
+             floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                    - CAST(n1 AS DOUBLE) * n2 / 2)
+                   / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                          * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                             - CAST(tie3 AS DOUBLE)
+                               / (CAST(n1 + n2 AS DOUBLE)
+                                  * (CAST(n1 + n2 AS DOUBLE) - 1))))
+                   * 10000) / 10000 AS z,
+             abs((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (CAST(n1 + n2 AS DOUBLE) - 1)))))
+               > 1.96 AS significant
+      FROM f""",
     "q_stats_cuped" -> """
       WITH u AS (
         SELECT user_id,
