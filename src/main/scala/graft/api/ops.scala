@@ -940,16 +940,20 @@ object ops {
         if (iters > 5) pinLineage(_, reliable) else identity
       var labels = pin(edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))
-      val w = Window.partitionBy("id")
-        .orderBy(col("_c").desc, col("label"))
       for (_ <- 1 to iters) {
+        // argmax-by-(count desc, label asc) as min(struct(−count,
+        // label)) — a second HASH aggregate (partial-aggs, no sort)
+        // instead of a row_number window, which costs a full
+        // per-id-partition SORT each round (measured 2.3 s → 2.1 s LPA,
+        // 3.4 s → 2.5 s modularity min-of-3 at sf0.1); negating
+        // the count is safe (it is bounded by the edge count)
         labels = pin(edges
           .join(labels.withColumnRenamed("id", "t"), "t")
           .groupBy(col("s").as("id"), col("label"))
           .agg(count(lit(1)).as("_c"))
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .select("id", "label"))
+          .groupBy("id")
+          .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
+          .select(col("id"), col("_m.label").as("label")))
       }
       labels
     }
