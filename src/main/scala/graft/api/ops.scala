@@ -506,6 +506,64 @@ object ops {
       merges.orderBy("merge_round")
     }
 
+    /** APPLY learned BPE merges — the encode side completing
+      * [[bpeMergeTable]]'s train side: learn `numMerges` greedy rules
+      * over the word-frequency dict, apply EVERY rule to every word
+      * (the train path skips applying the last one — it only needs
+      * the rule list), and emit per-`id` tokenization stats:
+      * word/char/token counts and the chars-per-token compression
+      * ratio — the fertility audit a tokenizer change ships with.
+      *
+      * Scale shape: merges learn and apply on the DICT (unique words,
+      * vocabulary-bounded — never corpus rows); the final word →
+      * token-count map broadcasts onto the exploded corpus for one
+      * partial-agg'd per-doc rollup. Same pinned-lineage rounds as the
+      * train side.
+      */
+    def bpeEncodeCounts(id: Column, tokens: Column, numMerges: Int,
+                        reliable: Boolean = false): DataFrame = {
+      require(numMerges >= 1 && numMerges <= 64,
+        s"numMerges must be in [1, 64], got $numMerges")
+      val words = df.select(id.as("doc_id"), explode(tokens).as("word"))
+        .filter(col("word").isNotNull && col("word") =!= "")
+      var dict = pinLineage(words
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"),
+          filter(split(col("word"), ""), s => s =!= "").as("syms"),
+          col("freq")), reliable)
+      for (_ <- 1 to numMerges) {
+        val idx = when(size(col("syms")) >= 2,
+          sequence(lit(1), size(col("syms")) - 1))
+          .otherwise(array().cast("array<int>"))
+        val top = dict
+          .select(col("freq"), explode(transform(idx, i =>
+            struct(element_at(col("syms"), i).as("p1"),
+              element_at(col("syms"), i + 1).as("p2")))).as("pr"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .agg(sum("freq").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+          .limit(1)
+        dict = pinLineage(dict
+          .crossJoin(broadcast(top.select(col("p1").as("_p1"),
+            col("p2").as("_p2"))))
+          .select(col("word"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                try_element_at(acc, lit(-1)) === col("_p1") &&
+                  x === col("_p2"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("_p1"), col("_p2")))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("freq")), reliable)
+      }
+      val enc = dict.select(col("word"), size(col("syms")).as("n_sym"))
+      words.join(broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"),
+          sum(col("n_sym").cast("long")).as("n_tokens"))
+    }
+
     def tokenChunks(id: Column, tokens: Column, chunkSize: Int,
                     stride: Int): DataFrame = {
       require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")

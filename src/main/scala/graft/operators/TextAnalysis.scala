@@ -672,6 +672,67 @@ object TextAnalysis extends QueryModule {
     * list accumulator applies exactly the merge rule of the Spark
     * `aggregate` lambda (depth = word length).
     */
+  /** BPE ENCODE applied to the corpus (see
+    * [[graft.api.ops.GraftDataFrameOps.bpeEncodeCounts]]): learn 4
+    * merges, apply all 4 to every word, per-doc tokenization stats +
+    * chars-per-token fertility.
+    */
+  val textBpeEncode: Q = (spark, dir) => {
+    import graft.api.ops._
+    docs(spark, dir)
+      .bpeEncodeCounts(col("doc_id"), split(col("text"), " "),
+        numMerges = 4)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        Norm.r4tie(col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[textBpeEncode]], generated for `k` rounds from
+    * the same parameter as the Spark side (the [[bpeOracle]]
+    * discipline): the learning recursion threads the WORD through
+    * every round so the final dict still maps word → symbol count,
+    * then re-joins the corpus for the per-doc rollup.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val head = """WITH RECURSIVE
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+      d0 AS (SELECT word, string_split(word, '') AS syms,
+                    CAST(count(*) AS BIGINT) AS freq
+             FROM tok WHERE word <> '' GROUP BY word)"""
+    val rounds = (1 to k).map { r =>
+      val p = r - 1
+      s"""
+      pc$r AS (SELECT syms[i] AS p1, syms[i+1] AS p2, sum(freq) AS cnt
+               FROM d$p, unnest(range(1, len(syms))) AS t(i)
+               GROUP BY 1, 2),
+      top$r AS (SELECT p1, p2 FROM pc$r
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      a$r AS (
+        SELECT d.word, d.syms, d.freq, 1 AS i, [d.syms[1]] AS acc
+        FROM d$p d
+        UNION ALL
+        SELECT a.word, a.syms, a.freq, a.i + 1,
+          CASE WHEN a.acc[-1] = t.p1 AND a.syms[a.i+1] = t.p2
+            THEN list_append(a.acc[1:len(a.acc)-1], t.p1 || t.p2)
+            ELSE list_append(a.acc, a.syms[a.i+1]) END
+        FROM a$r a, top$r t WHERE a.i < len(a.syms)),
+      d$r AS (SELECT word, acc AS syms, freq FROM a$r
+              WHERE i = len(syms))"""
+    }.mkString(",")
+    s"""$head,$rounds,
+      enc AS (SELECT word, len(syms) AS n_sym FROM d$k)
+      SELECT t.doc_id, count(*) AS n_words,
+             CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+             CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+             floor(CAST(sum(length(t.word)) AS DOUBLE) / sum(e.n_sym)
+                   * 10000 + 0.5) / 10000 AS chars_per_token
+      FROM tok t JOIN enc e ON t.word = e.word
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
+  }
+
   private def bpeOracle(k: Int): String = {
     val head = """WITH RECURSIVE
       tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -1185,6 +1246,7 @@ object TextAnalysis extends QueryModule {
     "q_privacy_kanon" -> kAnon,
     "q_sample_reservoir" -> sampleReservoir,
     "q_text_bpe_merges" -> textBpeMerges,
+    "q_text_bpe_encode" -> textBpeEncode,
     "q_text_quality_cut" -> textQualityCut,
     "q_text_bm25" -> textBm25,
     "q_pipeline_corpus" -> pipelineCorpus,
@@ -1556,6 +1618,7 @@ object TextAnalysis extends QueryModule {
       UNION ALL SELECT lang, source, bucket, n FROM supp
       ORDER BY lang, source, bucket""",
     "q_text_bpe_merges" -> bpeOracle(4),
+    "q_text_bpe_encode" -> bpeEncodeOracle(4),
     "q_text_quality_cut" -> """
       WITH cuts AS (
         SELECT lang,
