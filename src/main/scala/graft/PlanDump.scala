@@ -68,7 +68,12 @@ object PlanDump {
       "q_seq_pattern" -> "row-pattern matching: ONE user shuffle to the encoded sequence, regexes run once per user post-agg, zero joins",
       "q_ts_decay" -> "recency decay: 1-row max broadcast (BNLJ), exact-integer partial-agg'd user hash-agg — the only exchange",
       "q_sim_knn_graph" -> "exact kNN graph: anchor batch BROADCAST onto one corpus pass (BNLJ), per-anchor top-k window is the only hash exchange",
-      "q_text_hashing_trick" -> "feature hashing: explode reduced map-side into (doc, bucket) partials; norm agg + join reuse doc_id partitioning")
+      "q_text_hashing_trick" -> "feature hashing: explode reduced map-side into (doc, bucket) partials; norm agg + join reuse doc_id partitioning",
+      "q_graph_lpa" -> "LPA: per round one edge join + two HASH aggs (argmax as min(struct(-count,label)) — no rank-window sort)",
+      "q_embed_kmeans" -> "Lloyd k-means: per iteration one (cluster, dim) partial-agg rollup; k*dim cells shuffle, vectors never do",
+      "q_embed_pca_power" -> "PCA power iteration: one (i, j) integer Gram rollup, then 64-row frame math",
+      "q_text_bpe_encode" -> "BPE encode: merges learn+apply on the vocab-bounded dict; word->count map broadcast onto the corpus",
+      "q_multimodal_video" -> "video decode: container walk + per-frame BMP decode fused in one map stage, media never shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, AQE initial plans)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")
