@@ -150,6 +150,15 @@ object ops {
     }
   }
 
+  /** The matrix of [[ivfAnchors]] as a DuckDB DOUBLE[][] literal —
+    * same generating call as the Spark typedLit (the lshPlanesSql
+    * discipline), shortest-roundtrip decimals, so the replay parses
+    * identical IEEE doubles.
+    */
+  def ivfAnchorsSql(k: Int, dim: Int, seed: Long = 7L): String =
+    ivfAnchors(k, dim, seed)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
+
   /** Seeded random PQ codebooks (m subspaces × k unit codes × subdim)
     * — the untrained-baseline quantizer, exactly parallel to
     * [[ivfAnchors]]. Train per-subspace with the caller-side Lloyd

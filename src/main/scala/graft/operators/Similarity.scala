@@ -336,6 +336,11 @@ object Similarity extends QueryModule {
     * still lives in exactly one bucket — probing is query-side only,
     * no index duplication. QualitySpec pins recall(multi) ≥
     * recall(single) per query vs brute-force ground truth.
+    *
+    * EXACT oracle since r9 (for the 8-plane/2-probe scored entry):
+    * plane literal via [[graft.api.ops.lshPlanesSql]]; margins,
+    * confidence-sorted bit flips, probe-bucket union and in-bucket
+    * cosine top-3 all replayed with identical fold order.
     */
   def annLshMultiProbe(spark: org.apache.spark.sql.SparkSession,
                        dir: String, numPlanes: Int,
@@ -388,7 +393,14 @@ object Similarity extends QueryModule {
     * independent knobs, exactly like planes vs probes in
     * multi-probe LSH. Anchors here are the untrained baseline
     * quantizer; a Lloyd-trained one plugs into the same two calls
-    * (see ivfAnchors doc). No oracle — QualitySpec pins cell
+    * (see ivfAnchors doc).
+    *
+    * EXACT oracle since r9 (for the 16-cell/2-probe scored entry):
+    * the anchor matrix is emitted into the DuckDB SQL by the same
+    * Scala call that builds the Spark typedLit
+    * ([[graft.api.ops.ivfAnchorsSql]]); cell assignment, probe
+    * ranking and the in-cell cosine top-3 all replay with identical
+    * fold order and hash-match. QualitySpec keeps cell
     * exhaustiveness, the self-hit, and nProbe-monotone recall vs
     * brute force.
     */
@@ -579,10 +591,15 @@ object Similarity extends QueryModule {
 
   /** PQ encode + ADC top-3 (m=4 subspaces × k=16 codes over dim 64):
     * the codes table is built and searched in ONE plan; queries are
-    * every 50th vector. No-oracle-by-design (the 1024-double codebook
-    * literal has no sane SQL twin) — QualitySpec gates self-hit and
-    * recall vs brute-force cosine. See
-    * [[graft.api.ops.GraftDataFrameOps.pqEncode]] /
+    * every 50th vector.
+    *
+    * EXACT oracle since r9: the 4×16×16 codebook literal is emitted
+    * into the DuckDB SQL by the same Scala call that builds the Spark
+    * typedLits (the lshPlanesSql discipline), and every fold — subnorm,
+    * code distance, LUT dot, the 4-term ADC sum — replays in the
+    * identical left-to-right order, so codes, ADC scores and ranks
+    * hash-match. QualitySpec keeps the self-hit/recall semantic gate.
+    * See [[graft.api.ops.GraftDataFrameOps.pqEncode]] /
     * [[graft.api.ops.GraftDataFrameOps.pqAdcTopK]].
     */
   val simPq: Q = (spark, dir) => {
@@ -970,7 +987,185 @@ object Similarity extends QueryModule {
     "q_multimodal_join" -> multimodalJoin,
   )
 
+  /** The m×k×subdim codebooks of [[graft.api.ops.pqCodebooks]] as a
+    * DuckDB DOUBLE[][][] literal — same generating call as the Spark
+    * side.
+    */
+  private def pqCodebooksSql(m: Int, k: Int, subdim: Int): String =
+    graft.api.ops.pqCodebooks(m, k, subdim)
+      .map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ",\n        ", "]"))
+      .mkString("[", ",\n        ", "]")
+
   val oracle: Map[String, String] = Map(
+    "q_sim_pq" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      cb AS (
+        SELECT j, c, (CAST(${pqCodebooksSql(4, 16, 16)}
+          AS DOUBLE[][][]))[j][c] AS code
+        FROM generate_series(1, 4) AS gj(j),
+             generate_series(1, 16) AS gc(c)),
+      cbn AS (
+        SELECT j, c, code,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(code, x -> x * x)), (s, x) -> s + x)
+                 AS cn
+        FROM cb),
+      sub AS (
+        SELECT vec_id, j,
+               list_transform(range(1, 17), d -> v[(j - 1) * 16 + d])
+                 AS s
+        FROM e, generate_series(1, 4) AS gj(j)),
+      sd AS (
+        SELECT vec_id, j, s,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(s, x -> x * x)), (a, x) -> a + x)
+                 AS sdd
+        FROM sub),
+      dist AS (
+        SELECT sd.vec_id, sd.j, cbn.c,
+               sdd - 2.0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 17),
+                   d -> sd.s[d] * cbn.code[d])),
+                 (a, x) -> a + x) + cbn.cn AS d2
+        FROM sd JOIN cbn ON sd.j = cbn.j),
+      codes AS (
+        SELECT vec_id, j, c - 1 AS c FROM dist
+        QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d2, c) = 1),
+      qsub AS (
+        SELECT vec_id AS qid, j,
+               list_transform(range(1, 17), d -> v[(j - 1) * 16 + d])
+                 AS q
+        FROM e, generate_series(1, 4) AS gj(j)
+        WHERE vec_id % 50 = 0),
+      lut AS (
+        SELECT qsub.qid, qsub.j, cbn.c - 1 AS c,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 17),
+                   d -> qsub.q[d] * cbn.code[d])),
+                 (a, x) -> a + x) AS l
+        FROM qsub JOIN cbn ON qsub.j = cbn.j),
+      adc AS (
+        SELECT l.qid, co.vec_id,
+               floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(l.l ORDER BY l.j)), (a, x) -> a + x)
+                 * 10000 + 0.5) / 10000 AS adc
+        FROM codes co JOIN lut l ON co.j = l.j AND co.c = l.c
+        GROUP BY l.qid, co.vec_id)
+      SELECT qid, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, vec_id) AS INT) AS rank
+      FROM adc
+      QUALIFY rank <= 3
+      ORDER BY qid, rank""",
+    "q_sim_ann_multiprobe" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      pl AS (
+        SELECT k, (CAST(${graft.api.ops.lshPlanesSql(8, 64)}
+          AS DOUBLE[][]))[k] AS p
+        FROM generate_series(1, 8) AS g(k)),
+      dots AS (
+        SELECT e.vec_id, pl.k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> e.v[i] * pl.p[i])),
+                 (s, x) -> s + x) AS d
+        FROM e CROSS JOIN pl),
+      buck AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << (8 - k) ELSE 0 END)
+                 AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+      eb AS (SELECT e.vec_id, e.v, b.bucket
+             FROM e JOIN buck b USING (vec_id)),
+      flips AS (
+        SELECT vec_id, k FROM dots WHERE vec_id % 50 = 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY abs(d), k) <= 2),
+      qprobes AS (
+        SELECT eb.vec_id AS qid, eb.v AS qv, eb.bucket FROM eb
+        WHERE eb.vec_id % 50 = 0
+        UNION ALL
+        SELECT eb.vec_id, eb.v,
+               xor(eb.bucket, CAST(1 << (8 - f.k) AS BIGINT))
+        FROM eb JOIN flips f ON eb.vec_id = f.vec_id),
+      scored AS (
+        SELECT q.qid, eb.vec_id,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> eb.v[i] * q.qv[i])),
+                   (s, x) -> s + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        i -> eb.v[i] * eb.v[i])),
+                      (s, x) -> s + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, 65),
+                          i -> q.qv[i] * q.qv[i])),
+                        (s, x) -> s + x))), 4) AS cos_sim
+        FROM eb JOIN qprobes q ON eb.bucket = q.bucket)
+      SELECT qid, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+      QUALIFY rank <= 3
+      ORDER BY qid, rank""",
+    "q_sim_ann_ivf" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      an AS (
+        SELECT i - 1 AS cell,
+               (CAST(${graft.api.ops.ivfAnchorsSql(16, 64)}
+                 AS DOUBLE[][]))[i] AS a
+        FROM generate_series(1, 16) AS g(i)),
+      sims AS (
+        SELECT e.vec_id, e.v, an.cell,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), d -> e.v[d] * an.a[d])),
+                 (s, x) -> s + x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65), d -> e.v[d] * e.v[d])),
+                    (s, x) -> s + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        d -> an.a[d] * an.a[d])),
+                      (s, x) -> s + x))) AS sim
+        FROM e CROSS JOIN an),
+      assigned AS (
+        SELECT vec_id, v, cell FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) = 1),
+      probes AS (
+        SELECT s.vec_id AS qid, s.v AS qv, s.cell
+        FROM sims s WHERE s.vec_id % 50 = 0
+        QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                   ORDER BY s.sim DESC, s.cell) <= 2),
+      scored AS (
+        SELECT p.qid, a.vec_id,
+               round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), d -> a.v[d] * p.qv[d])),
+                   (s, x) -> s + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, 65),
+                        d -> a.v[d] * a.v[d])),
+                      (s, x) -> s + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, 65),
+                          d -> p.qv[d] * p.qv[d])),
+                        (s, x) -> s + x))), 4) AS cos_sim
+        FROM assigned a JOIN probes p ON a.cell = p.cell)
+      SELECT qid, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+      QUALIFY rank <= 3
+      ORDER BY qid, rank""",
     "q_embed_pca_power" -> """
       WITH q AS (
         SELECT vec_id, i,
