@@ -742,7 +742,12 @@ object Similarity extends QueryModule {
     * the marginal score break toward the lower vec_id, and all
     * arithmetic is a fixed-order Scala fold. λ = 0.7, k = 10.
     *
-    * No SQL oracle (greedy argmax is not relational); QualitySpec
+    * EXACT oracle since r9: the fixed 10-pick greedy unrolls into
+    * CTE rounds ([[mmrOracle]]) — candidates and pairwise cosines
+    * precomputed (materialized, or CTE inlining re-scans the parquet
+    * exponentially), each round anti-joins picks and arg-maxes with
+    * the loop's tie rule — so greedy argmax IS relational once the
+    * iteration count is a constant. QualitySpec keeps the semantic
     * pins: first pick = top-1, selection ⊆ candidates, and MMR's
     * mean pairwise cosine ≤ plain top-k's (diversity actually won).
     */
@@ -987,6 +992,78 @@ object Similarity extends QueryModule {
     "q_multimodal_join" -> multimodalJoin,
   )
 
+  /** DuckDB twin of [[simMmr]], generated by unrolling the fixed
+    * `k`-pick greedy loop into CTE rounds (the kmeans/BPE-oracle
+    * discipline): candidates and their pairwise cosines precompute
+    * once; each round anti-joins out the picks so far, scores
+    * remaining candidates λ·rel − (1−λ)·maxSimToSelected (max is
+    * order-independent; λ and 1−λ are the same IEEE expressions both
+    * engines evaluate), and arg-maxes with the Scala loop's tie rule
+    * (score desc, then the (rel desc, vec_id) scan order).
+    */
+  private def mmrOracle(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65), i -> $a[i] * $b[i])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), i -> $a[i] * $a[i])),
+              (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65), i -> $b[i] * $b[i])),
+                (s, x) -> s + x)))"""
+    val head = s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      cand AS MATERIALIZED (
+        SELECT q.qid, e.vec_id, ${cos("e.v", "q.qv")} AS rel, e.v
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+        QUALIFY row_number() OVER (PARTITION BY q.qid
+                                   ORDER BY rel DESC, e.vec_id) <= 50),
+      ps AS MATERIALIZED (
+        SELECT a.qid, a.vec_id AS av, b.vec_id AS bv,
+               ${cos("a.v", "b.v")} AS sim
+        FROM cand a JOIN cand b
+          ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      sel1 AS MATERIALIZED (
+        SELECT qid, 1 AS rank, vec_id, rel, 0.7 * rel AS score
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY 0.7 * rel DESC, rel DESC, vec_id) = 1)"""
+    val rounds = (2 to k).map { r =>
+      val prevAll = (1 until r).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""
+      prev$r AS MATERIALIZED ($prevAll),
+      scored$r AS (
+        SELECT c.qid, c.vec_id, c.rel,
+               0.7 * c.rel - (1 - 0.7) * max(p.sim) AS score
+        FROM cand c
+        LEFT JOIN prev$r x
+          ON x.qid = c.qid AND x.vec_id = c.vec_id
+        JOIN prev$r s ON s.qid = c.qid
+        JOIN ps p ON p.qid = c.qid AND p.av = c.vec_id
+                  AND p.bv = s.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY c.qid, c.vec_id, c.rel),
+      sel$r AS MATERIALIZED (
+        SELECT qid, $r AS rank, vec_id, rel, score
+        FROM scored$r
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY score DESC, rel DESC, vec_id) = 1)"""
+    }.mkString(",")
+    val unions = (1 to k).map(r => s"SELECT * FROM sel$r")
+      .mkString(" UNION ALL ")
+    s"""$head,$rounds,
+      allsel AS ($unions)
+      SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+             round(rel, 4) AS relevance,
+             floor(score * 10000) / 10000 AS mmr_score
+      FROM allsel ORDER BY qid, rank"""
+  }
+
   /** The m×k×subdim codebooks of [[graft.api.ops.pqCodebooks]] as a
     * DuckDB DOUBLE[][][] literal — same generating call as the Spark
     * side.
@@ -998,6 +1075,7 @@ object Similarity extends QueryModule {
       .mkString("[", ",\n        ", "]")
 
   val oracle: Map[String, String] = Map(
+    "q_sim_mmr" -> mmrOracle(10),
     "q_sim_pq" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
