@@ -1184,7 +1184,10 @@ object ops {
       * from two 32-bit halves of md5(token) (hex digits 1–8 and 9–16
       * parsed as ints — Catalyst CSE computes the md5 once), bits
       * 0–31 from the low half, 32–63 from the high; every step is
-      * ANSI-SQL-replayable, unlike xxhash64.
+      * ANSI-SQL-replayable, unlike xxhash64. Cost of the exactness:
+      * md5 is slower than xxhash64 (measured +0.4 s min-of-3 on the
+      * scored query at sf0.1) — the price of a hash-match oracle over
+      * a bounds-only spec, and still one string hash per token.
       */
     def simhash64(id: Column, tokset: Column): DataFrame = {
       val tok = df.select(id.as("doc_id"), explode(tokset).as("t"))
