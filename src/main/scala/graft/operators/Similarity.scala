@@ -243,8 +243,14 @@ object Similarity extends QueryModule {
     val a = q.select(col("vec_id"), col("i"), col("q").as("qa"))
     val b = q.select(col("vec_id").as("vid_b"), col("i").as("j"),
       col("q").as("qb"))
+    // checkpoint: the Gram is the ONLY data-volume-dependent pass and
+    // it feeds BOTH iterations (w¹ = G·1 and w² = G·w¹) — without the
+    // pin the scan→join→rollup subtree runs twice (caught by the plan
+    // dump: two full Generate+join branches). 4 096 integer cells, so
+    // the checkpoint itself is free.
     val gram = a.join(b, col("vec_id") === col("vid_b"))
       .groupBy("i", "j").agg(sum(col("qa") * col("qb")).as("g"))
+      .localCheckpoint()
     val w1 = gram.groupBy(col("i").as("wi"))
       .agg(sum("g").as("w1"))
     val w2 = gram.join(broadcast(w1), col("j") === col("wi"))

@@ -940,6 +940,36 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("o_orderdate") && !rs.contains("o_orderstatus"), rs)
   }
 
+  test("q_embed_kmeans: final rollup reads the checkpointed assignment, k*dim cells shuffle") {
+    val p = plan("q_embed_kmeans")
+    // the emitted frame is ONE partial-agg'd (cluster, pos) rollup
+    // over the checkpointed assignment — vectors never shuffle
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_embed_pca_power: Gram checkpointed once, 64-row frame math after") {
+    val p = plan("q_embed_pca_power")
+    // the Gram (the only data-volume pass) must NOT recompute for the
+    // two iterations: no FileScan below the iteration joins — both
+    // read the checkpoint
+    assert(!p.contains("FileScan"), p)
+    assert(countOcc(p, "Scan ExistingRDD") >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_text_bpe_encode: dict broadcast onto the corpus, one doc rollup") {
+    val p = plan("q_text_bpe_encode")
+    // the word -> token-count map is vocabulary-sized -> broadcast;
+    // the corpus side is one Generate + partial-agg'd doc rollup
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_graph_adamic_adar: codegen pair join over checkpointed edges, heap top-20") {
     val p = plan("q_graph_adamic_adar")
     assert(p.contains("TakeOrderedAndProject(limit=20"), p)
