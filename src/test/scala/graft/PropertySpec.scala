@@ -618,6 +618,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash flags and kmeans rollups are invariant under repartitioning") {
+    // The exact-arithmetic claims (md5+affine signatures, BIGINT
+    // centroid sums) imply results cannot depend on how the input is
+    // partitioned — the property that makes the DuckDB oracles valid
+    // on a cluster of ANY size. Prove it: 1 partition vs 13.
+    import spark.implicits._
+    import graft.api.ops._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 60).map { i =>
+      val base = Seq.fill(8 + rnd.nextInt(8))(s"w${rnd.nextInt(30)}")
+      (i.toLong, base.distinct)
+    }
+    val df1 = docs.toDF("doc_id", "tokset").repartition(1)
+    val df13 = docs.toDF("doc_id", "tokset").repartition(13)
+    def flags(d: org.apache.spark.sql.DataFrame) =
+      d.minhashDedupFlags(col("doc_id"), col("tokset"),
+        threshold = 0.8, numHashes = 32, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+        .sortBy(_._1).toSeq
+    assert(flags(df1) === flags(df13))
+  }
+
   test("Bmp codec: encode/decode roundtrip, top-down variant, corrupt input") {
     import graft.operators.Bmp
     val rnd = new scala.util.Random(3)
