@@ -424,7 +424,13 @@ object Wav {
     while (off + 8 <= wav.length) {
       val id = new String(wav, off, 4, "US-ASCII")
       val len = getInt(wav, off + 4)
+      // A corrupt/hostile length field must fail loudly, not wedge the
+      // task: len < 0 would stop `off` advancing (infinite loop), and
+      // an oversized len would read past the buffer in the fmt branch.
+      require(len >= 0 && off + 8 + len <= wav.length,
+        s"corrupt RIFF chunk '$id': len=$len at off=$off of ${wav.length}")
       if (id == "fmt ") {
+        require(len >= 16, s"fmt chunk too short: $len")
         require(getShort(wav, off + 8) == 1, "not PCM")
         require(getShort(wav, off + 10) == 1, "not mono")
         rate = getInt(wav, off + 12)

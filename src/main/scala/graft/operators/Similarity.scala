@@ -253,22 +253,34 @@ object Similarity extends QueryModule {
       .localCheckpoint()
     val w1 = gram.groupBy(col("i").as("wi"))
       .agg(sum("g").as("w1"))
+    // decimal(38,0) products overflow to NULL under non-ANSI mode
+    // while the DuckDB oracle computes in HUGEINT — on longer-tailed
+    // data that would degrade to a silent hash mismatch. Convert any
+    // overflow NULL into a loud task failure instead: every input to
+    // these sums is non-null by construction, so NULL here can ONLY
+    // mean overflow.
+    def orOverflow(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"decimal(38,0) overflow in embedPcaPower ($what) — shrink the " +
+          "quantization scale")))
     val w2 = gram.join(broadcast(w1), col("j") === col("wi"))
       .groupBy("i")
       .agg(sum(col("g").cast("decimal(38,0)")
-        * col("w1").cast("decimal(38,0)")).as("w2dec"))
+        * col("w1").cast("decimal(38,0)")).as("w2raw"))
       .join(broadcast(w1), col("i") === col("wi"))
-      .select(col("i"), col("w1"), col("w2dec"))
+      .select(col("i"), col("w1"),
+        orOverflow(col("w2raw"), "w2 = G*w1").as("w2dec"))
     val folded = w2.groupBy().agg(
       // ordered fold: ‖w²‖² as a left fold over pos-sorted doubles
       aggregate(array_sort(collect_list(struct(col("i"),
           col("w2dec").cast("double").as("wd")))), lit(0.0),
         (acc, e) => acc + e.getField("wd") * e.getField("wd"))
         .as("n2"),
-      sum(col("w1").cast("decimal(38,0)")
-        * col("w2dec")).cast("double").as("dot12"),
-      sum(col("w1").cast("decimal(38,0)")
-        * col("w1").cast("decimal(38,0)")).cast("double").as("dot11"))
+      orOverflow(sum(col("w1").cast("decimal(38,0)")
+        * col("w2dec")), "dot12").cast("double").as("dot12"),
+      orOverflow(sum(col("w1").cast("decimal(38,0)")
+        * col("w1").cast("decimal(38,0)")), "dot11")
+        .cast("double").as("dot11"))
     w2.crossJoin(broadcast(folded))
       .select((col("i") + 1).cast("int").as("pos"),
         Norm.r4dn(col("w2dec").cast("double") / sqrt(col("n2")))

@@ -64,9 +64,15 @@ object StreamScored extends QueryModule {
   private lazy val ckptRoot: Option[String] = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft-drain-ckpt")
-      d.mkdirs()
-      Some(d.getAbsolutePath)
+      // Per-user dir name: on a multi-user host another uid may own a
+      // shared path; and mkdirs() can race/fail, so fall back to the
+      // default temp location unless the dir verifiably exists AND is
+      // writable by us (r9 ADVICE finding).
+      val user = sys.props.getOrElse("user.name", "anon")
+      val d = new java.io.File(shm, s"graft-drain-ckpt-$user")
+      if ((d.isDirectory || d.mkdirs()) && d.canWrite)
+        Some(d.getAbsolutePath)
+      else None
     } else None
   }
 
