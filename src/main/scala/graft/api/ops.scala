@@ -2306,6 +2306,58 @@ object ops {
 
     // ──────────────────────── skew tools ────────────────────────
 
+    /** Global row_number over a TOTAL order (`sortCols` must include a
+      * unique tiebreaker) WITHOUT the single-partition window that
+      * `row_number().over(Window.orderBy(...))` compiles to — the
+      * classic scale-killer: one reducer sorts the entire table.
+      *
+      * Plan: `repartitionByRange(numParts, sortCols)` so partition i
+      * holds a contiguous rank range, sort within partitions, then
+      * `monotonically_increasing_id()` (pid in the upper 31 bits, a
+      * CONSECUTIVE 0-based counter in the lower 33 — assigned after
+      * the sort, and Catalyst never reorders a nondeterministic
+      * projection below its Sort) yields each row's partition-local
+      * rank for free inside codegen. The global rank is local rank +
+      * the sum of preceding partitions' row counts.
+      *
+      * Those counts are the ONE deliberate driver-side value — a
+      * ≤`numParts`-row collect, the same footprint the range
+      * partitioner already holds for its boundaries (the bloomSemiJoin
+      * exception discipline; everything else stays in-plan). The
+      * offsets return as a broadcast map literal, so no join and no
+      * extra shuffle: one range exchange total, fully parallel, vs the
+      * built-in's serial single-partition sort.
+      *
+      * Partition boundaries come from sampling and are NOT part of the
+      * result contract: ranks are determined by the total order alone
+      * (offsets are computed from ACTUAL counts), so any boundary
+      * placement yields identical output. The checkpoint pins one
+      * materialization so the count pass and the output read the same
+      * id assignment.
+      */
+    def globalRowNumber(sortCols: Seq[Column], out: String,
+                        numParts: Int = 0): DataFrame = {
+      val n = if (numParts > 0) numParts
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val localMask = (1L << 33) - 1
+      val parted = df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("_gr_mono", monotonically_increasing_id())
+        .localCheckpoint()
+      val counts = parted
+        .groupBy(shiftright(col("_gr_mono"), 33).as("_pid"))
+        .agg(count(lit(1)).as("_cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets: Map[Long, Long] = counts.map { case (pid, c) =>
+        val entry = (pid, acc); acc += c; entry
+      }.toMap
+      parted.withColumn(out,
+          element_at(typedLit(offsets), shiftright(col("_gr_mono"), 33))
+            + col("_gr_mono").bitwiseAND(lit(localMask)) + lit(1L))
+        .drop("_gr_mono")
+    }
+
     /** Inner equi-join robust to heavy key skew, for when AQE's skew
       * split can't help (e.g. the skew is in the build side of a
       * non-broadcastable join): the probe rows are salted uniformly

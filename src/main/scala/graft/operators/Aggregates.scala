@@ -1263,10 +1263,12 @@ object Aggregates extends QueryModule {
     * clicks↔spend and views↔purchases.
     *
     * Scale: one partial-agg'd user rollup; each rank is one
-    * global-ish sort of the USER table (not events) — at extreme user
-    * counts use range-partitioned rank, the formula is unchanged.
+    * range-partitioned parallel sort of the USER table (not events)
+    * via [[graft.api.ops.GraftDataFrameOps.globalRowNumber]] — no
+    * single-partition window anywhere in the plan.
     */
   val aggSpearman: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = Tables(spark, dir, "events")
     val m = e.groupBy("user_id").agg(
       sum(when(col("event_type") === "click", 1L).otherwise(0L))
@@ -1278,13 +1280,12 @@ object Aggregates extends QueryModule {
       sum(when(col("event_type") === "purchase",
         floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
         .as("spend"))
-    def rk(c: String) = row_number().over(
-      Window.orderBy(col(c), col("user_id")))
     val ranked = m
-      .withColumn("r_clicks", rk("clicks"))
-      .withColumn("r_views", rk("views"))
-      .withColumn("r_purchases", rk("purchases"))
-      .withColumn("r_spend", rk("spend"))
+      .globalRowNumber(Seq(col("clicks"), col("user_id")), "r_clicks")
+      .globalRowNumber(Seq(col("views"), col("user_id")), "r_views")
+      .globalRowNumber(Seq(col("purchases"), col("user_id")),
+        "r_purchases")
+      .globalRowNumber(Seq(col("spend"), col("user_id")), "r_spend")
     ranked.agg(count(lit(1)).as("n"),
         sum(expr("CAST(r_clicks - r_spend AS BIGINT) " +
           "* CAST(r_clicks - r_spend AS BIGINT)")).as("d2_cs"),

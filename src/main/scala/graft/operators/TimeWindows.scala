@@ -1090,10 +1090,15 @@ object TimeWindows extends QueryModule {
     * float drift).
     *
     * Scale: two user-keyed min-rollups and one join — all partial-
-    * agg'd; the rank pass sorts the CONVERTED-USER table (bounded by
-    * users, not events).
+    * agg'd; the rank pass is a range-partitioned parallel sort of the
+    * CONVERTED-USER table (bounded by users, not events) via
+    * [[graft.api.ops.GraftDataFrameOps.globalRowNumber]] — no
+    * single-partition window; the signup count and the rank-table
+    * count are 1-row broadcast crossJoins, not driver actions, so the
+    * whole query is one job.
     */
   val tsTimeToConvert: Q = (spark, dir) => {
+    import graft.api.ops._
     val e = Tables(spark, dir, "events")
     val su = e.filter(col("event_type") === "signup")
       .groupBy("user_id")
@@ -1105,22 +1110,23 @@ object TimeWindows extends QueryModule {
       .groupBy("user_id")
       .agg((min(expr("unix_micros(ts)"))
         - min(expr("unix_micros(su.ts)"))).as("gap_us"))
-    val wAll = Window.partitionBy()
     val ranked = pu
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("gap_us"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val nSign = su.count()
+      .globalRowNumber(Seq(col("gap_us"), col("user_id")), "rn")
+    // ranked is checkpointed by globalRowNumber, so the 1-row count
+    // branch re-reads the pinned rank table, not the events scan.
+    val nConv = ranked.groupBy().agg(count(lit(1)).as("n"))
+    val nSign = su.groupBy().agg(count(lit(1)).as("n_signups"))
     def at(idx: Column) = min(when(col("rn") === idx, col("gap_us")))
-    ranked.groupBy().agg(
+    ranked.crossJoin(broadcast(nConv)).groupBy().agg(
         max(col("n")).as("n_converted"),
         at(greatest(expr("(n + 3) div 4"), lit(1))).as("p25_us"),
         at(expr("(n + 1) div 2")).as("p50_us"),
         at(least(expr("(3 * (n + 1)) div 4"), col("n"))).as("p75_us"),
         at(least(expr("(9 * (n + 1)) div 10"), col("n"))).as("p90_us"))
-      .select(lit(nSign).as("n_signups"), col("n_converted"),
-        Norm.r4tie(col("n_converted").cast("double") / lit(nSign.toDouble))
-          .as("cvr"),
+      .crossJoin(broadcast(nSign))
+      .select(col("n_signups"), col("n_converted"),
+        Norm.r4tie(col("n_converted").cast("double")
+          / col("n_signups").cast("double")).as("cvr"),
         Norm.r4tie(col("p25_us").cast("double") / 1000000.0).as("p25_s"),
         Norm.r4tie(col("p50_us").cast("double") / 1000000.0).as("p50_s"),
         Norm.r4tie(col("p75_us").cast("double") / 1000000.0).as("p75_s"),

@@ -915,4 +915,35 @@ class ApiSpec extends SparkSpec {
     assert(out.getAs[Long]("total") === 4L)
     assert(out.getAs[Double]("gini") === 2.0 * 9 / (3.0 * 4.0) - 4.0 / 3.0)
   }
+
+  test("globalRowNumber matches a global sort rank on a foreign schema") {
+    import spark.implicits._
+    // 200 rows, keys deliberately unsorted and duplicated (score has
+    // ties; the sid tiebreaker makes the order total).
+    val rows = (0 until 200).map(i => (i.toLong, (i * 37 % 50).toLong))
+    val df = rows.toDF("sid", "score").repartition(7)
+    val out = df.globalRowNumber(Seq(col("score"), col("sid")), "rnk",
+        numParts = 5)
+      .select("sid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((sid, _), i) => sid -> (i + 1L) }.toMap
+    assert(out === expected)
+  }
+
+  test("globalRowNumber is invariant to numParts and stays parallel") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => ((i * 13 % 97).toLong, i.toLong))
+      .toDF("k", "sid")
+    def ranks(parts: Int) =
+      df.globalRowNumber(Seq(col("k"), col("sid")), "rnk", parts)
+        .select("sid", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ranks(1) === ranks(4))
+    assert(ranks(4) === ranks(32))
+    // The rank table must remain range-partitioned — NOT collapsed to
+    // one partition the way Window.orderBy would leave it.
+    val parted = df.globalRowNumber(Seq(col("k"), col("sid")), "rnk", 8)
+    assert(parted.rdd.getNumPartitions === 8)
+  }
 }

@@ -1070,12 +1070,12 @@ class PlanSpec extends SparkSpec {
   test("q_agg_spearman: ranks ride the user rollup, never raw events") {
     val p = plan("q_agg_spearman")
     assert(!p.contains("Join"), p)
-    // events shuffle once to users; the four rank windows re-shuffle
-    // only the user table
+    // events shuffle once into the user rollup inside the pinned rank
+    // stage (whose lineage the checkpoint truncates — hence no
+    // FileScan in the final plan); the moment agg reads only the
+    // checkpointed user-sized rank table.
     assert(countOcc(p, "HashAggregate") >= 2, p)
-    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(rs.contains(
-      "struct<user_id:bigint,event_type:string,value:double>"), rs)
+    assert(countOcc(p, "FileScan") === 0, p)
   }
 
   test("q_ts_crosscorr: lag join is over the hourly aggregates") {
@@ -1180,5 +1180,30 @@ class PlanSpec extends SparkSpec {
     assert(countOcc(p, "HashAggregate") >= 4, p)
     val pf = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pf.contains("event_type"), p)
+  }
+
+  test("q_agg_spearman ranks with NO window — range-partitioned rank") {
+    // Four global ranks, zero Window operators: each rank is a
+    // repartitionByRange + partition-local counter + broadcast offset
+    // map (globalRowNumber), so no single reducer ever sorts the
+    // whole user table.
+    // (the final 1-row moment agg still reduces via its partial-agg
+    // SinglePartition exchange — #partitions rows, not data; the
+    // range exchange itself lives inside the checkpointed rank stage,
+    // whose lineage the plan string truncates to Scan ExistingRDD —
+    // ApiSpec's "stays multi-partition" test pins that side)
+    val p = plan("q_agg_spearman")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q_ts_time_to_convert: no window, no driver count — one job") {
+    // The quartile rank rides globalRowNumber (no Window at all) and
+    // both scalar counts (signups, converted) enter the plan as 1-row
+    // broadcast crossJoins instead of driver .count() actions.
+    val p = plan("q_ts_time_to_convert")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(countOcc(p, "BroadcastNestedLoopJoin") >= 2, p)
   }
 }
