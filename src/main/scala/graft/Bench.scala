@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY (dev-only; the driver leaves it unset →
+    // all queries) restricts the run to a comma-separated name list —
+    // the scale-rehearsal protocol benches the expensive tail at sf1
+    // without paying for 270 queries per iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     // Untimed warm-up pass: JVM/codegen JIT, parquet footer caches, and
     // broadcast paths all pay first-use costs that would otherwise land
     // on whichever query happens to run first (observed: +4 s on a
     // 0.4 s query). The timed pass below measures steady state.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // SPARK_GRAFT_BENCH_RUNS > 1 (dev-only; the driver leaves it unset
@@ -29,7 +39,7 @@ object Bench {
     // to the total (round 7's artifact hid 33 crashes as ~0.1 s
     // "timings"): record it, and surface the list in the JSON line.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
