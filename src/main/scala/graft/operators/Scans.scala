@@ -393,7 +393,62 @@ object Scans extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Time travel over a versioned transaction log
+    * ([[graft.sources.TxnLog]]) — the lakehouse metadata layer:
+    * commits are ordered JSON files of add/remove-file actions, and
+    * `VERSION AS OF n` is a replay of log prefix 0..n. History here:
+    * v0 initial load (even orderkeys) → v1 append (odd orderkeys) →
+    * v2 copy-on-write DELETE of v0's low-price rows (replacement
+    * files logged as remove(d0)+add(d2) in one atomic commit — old
+    * versions keep reading the unreferenced files). The scored result
+    * aggregates ALL THREE versions from one log, so the oracle
+    * verifies each version's file-set replay: a leaked removed file,
+    * a missed add, or cross-version contamination all shift some
+    * version's counts. Writer conflicts (two commits racing for one
+    * version slot) surface via exclusive log-file create —
+    * BucketingSpec drives that path.
+    *
+    * Scale: time travel is O(versions) driver-side metadata replay +
+    * a parquet read of exactly the live files — no data copy, no full
+    * scan; the v2 rewrite touches only the files holding deleted rows.
+    */
+  val lakeTimetravel: Q = (spark, dir) => {
+    import graft.sources.TxnLog
+    val base = tmpPath(spark, "lake_timetravel")
+    // reruns inside one session rebuild the full history from scratch
+    deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$base/d0")
+    val v0 = TxnLog.commit(spark, base, -1,
+      TxnLog.partFiles(spark, base, "d0"))
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.parquet(s"$base/d1")
+    val v1 = TxnLog.commit(spark, base, v0,
+      TxnLog.partFiles(spark, base, "d1"))
+    // copy-on-write delete: keep only the expensive rows of the v0
+    // batch; d0 stays on disk for the benefit of versions 0 and 1
+    TxnLog.readAsOf(spark, base, v0)
+      .filter(col("o_totalprice") >= 100000.0)
+      .write.parquet(s"$base/d2")
+    val v2 = TxnLog.commit(spark, base, v1,
+      adds = TxnLog.partFiles(spark, base, "d2"),
+      removes = TxnLog.partFiles(spark, base, "d0"))
+    def snap(v: Int) = TxnLog.readAsOf(spark, base, v)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Norm.r4(sum(col("o_totalprice"))).as("sum_price"))
+      .withColumn("version", lit(v))
+    snap(v0).unionByName(snap(v1)).unionByName(snap(v2))
+      .select(col("version"), col("o_orderpriority"), col("n"),
+        col("sum_price"))
+      .orderBy("version", "o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lake_timetravel" -> lakeTimetravel,
     "q_lake_compact" -> lakeCompact,
     "q_lake_incremental" -> lakeIncremental,
     "q_source_quarantine" -> sourceQuarantine,
@@ -413,6 +468,23 @@ object Scans extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lake_timetravel" -> """
+      SELECT 0 AS version, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 4) AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 1, o_orderpriority, count(*),
+             round(sum(o_totalprice), 4)
+      FROM orders
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, count(*),
+             round(sum(o_totalprice), 4)
+      FROM orders
+      WHERE o_orderkey % 2 <> 0 OR o_totalprice >= 100000.0
+      GROUP BY o_orderpriority
+      ORDER BY version, o_orderpriority""",
     "q_lake_compact" -> """
       SELECT doc_id, lang, source, n_chars
       FROM documents

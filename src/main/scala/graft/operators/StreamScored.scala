@@ -135,6 +135,60 @@ object StreamScored extends QueryModule {
     spark.table(name)
   }
 
+  /** Drain an Append-mode unbounded frame into a PARQUET file sink
+    * and read the result back through the sink's own `_spark_metadata`
+    * commit log. For drains whose output is O(data) — stream-stream
+    * join matches, per-row dedup survivors — the memory sink would
+    * make the DRIVER's footprint O(result); the file sink keeps every
+    * executor writing its own partition files and the driver holding
+    * only file metadata, which is the production shape. The sink's
+    * transaction log is also what makes the read-back exactly-once:
+    * only files recorded by a committed batch are visible.
+    *
+    * `path`/`ckpt` default to fresh per-call dirs under the app's
+    * tmp sink root (reaped by the shutdown hook) and the tmpfs drain
+    * root respectively — pass BOTH explicitly to drain into a durable
+    * sink/checkpoint pair that a later call can RESUME (the
+    * crash-resume path q_stream_resume scores).
+    */
+  private def runToParquet(out: DataFrame, name: String,
+                           finalize: Boolean = true,
+                           path: String = null,
+                           ckpt: String = null): DataFrame = {
+    val spark = out.sparkSession
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val sinkPath = Option(path).getOrElse(
+      Scans.tmpPath(spark, s"$name-${java.util.UUID.randomUUID()}"))
+    val ckptPath = Option(ckpt).orElse(ckptRoot.map(r =>
+      s"$r/$name-${java.util.UUID.randomUUID()}")).getOrElse(
+      Scans.tmpPath(spark, s"$name-ckpt-${java.util.UUID.randomUUID()}"))
+    val ephemeralCkpt = ckpt == null
+    val confs = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        finalize.toString,
+      "spark.sql.shuffle.partitions" -> streamStateParts)
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = out.writeStream
+        .format("parquet")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .option("path", sinkPath)
+        .option("checkpointLocation", ckptPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      if (ephemeralCkpt) deleteRec(new java.io.File(ckptPath))
+    }
+    spark.read.parquet(sinkPath)
+  }
+
   /** The reference pipeline end-to-end on the streaming engine
     * (§2.A A1–A6): stream events → JSON-encode + AES-encrypt + sign +
     * wrap DEK (publisher) → unwrap + decrypt + HMAC-verify + parse
@@ -197,15 +251,12 @@ object StreamScored extends QueryModule {
   val streamDedup: Q = (spark, dir) => {
     val once = Streams.eventsFileStream(spark, dir)
     val replay = Streams.eventsFileStream(spark, dir)
-    // Project to the two columns the exactly-once check needs BEFORE
-    // the sink: the memory sink is driver-local, so it must hold the
-    // narrow (event_id, event_type) stream, not full rows; a production
-    // deployment replaces the sink with parquet/Kafka and the upstream
-    // plan is unchanged.
+    // Survivors are O(data): parquet sink (executors write, driver
+    // holds metadata only); projected to the two columns the
+    // exactly-once check needs before the sink either way.
     val deduped = Streams.streamingDedup(once.unionByName(replay))
       .select("event_id", "event_type")
-    runToTable(deduped, OutputMode.Append(), "graft_stream_dedup",
-      finalize = false)
+    runToParquet(deduped, "graft_stream_dedup", finalize = false)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_ids"))
@@ -222,8 +273,9 @@ object StreamScored extends QueryModule {
       Streams.eventsFileStream(spark, dir),
       Streams.eventsFileStream(spark, dir))
       .select("click_id", "purchase_id", "c_user")
-    runToTable(joined, OutputMode.Append(), "graft_stream_join",
-      finalize = false)
+    // O(data) matched pairs: parquet sink, so the driver never holds
+    // the match stream — only the post-sink aggregate is small
+    runToParquet(joined, "graft_stream_join", finalize = false)
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("click_id")).as("n_clicks_matched"),
         countDistinct(col("c_user")).as("n_users"))
@@ -259,7 +311,7 @@ object StreamScored extends QueryModule {
         Streams.eventsFileStream(spark, dir),
         cutoff = "2024-01-28 00:00:00")
         .select("click_id", "purchase_id", "c_user")
-      runToTable(joined, OutputMode.Append(), "graft_stream_join_left")
+      runToParquet(joined, "graft_stream_join_left")
         .agg(count(lit(1)).as("n_rows"),
           count(col("purchase_id")).as("n_matched"),
           sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
@@ -372,7 +424,7 @@ object StreamScored extends QueryModule {
       Streams.eventsFileStream(spark, dir),
       cutoff = "2024-01-28 00:00:00")
       .select("click_id", "purchase_id", "c_user", "p_user")
-    runToTable(joined, OutputMode.Append(), "graft_stream_join_full")
+    runToParquet(joined, "graft_stream_join_full")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("click_id").isNotNull &&
           col("purchase_id").isNotNull, 1)).as("n_matched"),
@@ -505,9 +557,11 @@ object StreamScored extends QueryModule {
     * batch prior-window oracle exactly.
     */
   val streamAnomaly: Q = (spark, dir) => {
+    // flagged rows are data-proportional in the worst case (every
+    // event an outlier) — parquet sink, same O(result)-off-the-driver
+    // discipline as the joins
     val out = Streams.anomalyZScores(Streams.eventsFileStream(spark, dir))
-    runToTable(out, OutputMode.Append(), "graft_stream_anomaly",
-      finalize = false)
+    runToParquet(out, "graft_stream_anomaly", finalize = false)
       .select(col("event_id"), col("user_id"), col("cents"),
         Norm.r4(col("z")).as("z"))
       .orderBy("event_id")
@@ -560,7 +614,75 @@ object StreamScored extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Exactly-once across a REAL restart, scored: the stream stops
+    * after batch 1 (query terminates — a crash, as far as the engine
+    * knows), new data lands INCLUDING a full replay of batch 1, and a
+    * second query resumes from the SAME durable checkpoint into the
+    * SAME parquet sink. The union of the two drains' output must
+    * equal one exactly-once pass:
+    *
+    *  - if the SOURCE offsets didn't resume, drain 2 re-reads batch
+    *    1's file → its rows double (the sink's commit log would also
+    *    have to be ignored);
+    *  - if the DEDUP STATE didn't resume, batch 2's replay of batch
+    *    1's event_ids passes through → those rows double;
+    *  - only offsets + state + sink log all restored yields
+    *    n_rows == n_ids == the batch twin, which is what the oracle
+    *    hashes.
+    *
+    * The checkpoint deliberately lives on DURABLE storage (the app
+    * tmp root, not the tmpfs ephemeral-drain root — resume is the
+    * entire point), and the parquet sink's `_spark_metadata` log is
+    * what makes the cross-restart union exactly-once on the OUTPUT
+    * side: a file written by an uncommitted batch is invisible to the
+    * read-back. `dropDuplicates` (no watermark) keeps seen-id state
+    * forever, so the replay suppression is a pure state-resume test
+    * with no expiry edge. StreamingSpec's unit twin drives the same
+    * path with hand-built batches.
+    */
+  val streamResume: Q = (spark, dir) => {
+    val in = Scans.tmpPath(spark, "stream_resume_in")
+    val sink = Scans.tmpPath(spark, "stream_resume_sink")
+    val ckpt = Scans.tmpPath(spark, "stream_resume_ckpt")
+    // reruns in one session restage the whole two-batch history
+    Seq(in, sink, ckpt).foreach(p => deleteRec(new java.io.File(p)))
+    val events = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    // single-file landings with deterministic names: the file source
+    // processes b1 in drain 1 and must skip it (offset log) in drain 2
+    def land(df: DataFrame, name: String): Unit = {
+      val scratch = Scans.tmpPath(spark, s"stream_resume_scratch_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(in).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+      ()
+    }
+    def drain(): Unit = {
+      runToParquet(
+        spark.readStream.schema(events.schema).parquet(in)
+          .dropDuplicates("event_id"),
+        "graft_stream_resume", finalize = false,
+        path = sink, ckpt = ckpt)
+      ()
+    }
+    land(events.filter(col("event_id") % 2 === 0), "b1")
+    drain() // terminates — the "crash"
+    // batch 2: the new half PLUS a full replay of batch 1's rows
+    land(events.filter(col("event_id") % 2 =!= 0)
+      .unionByName(events.filter(col("event_id") % 2 === 0)), "b2")
+    drain() // resumes: same checkpoint, same sink
+    spark.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_resume" -> streamResume,
     "q_stream_rate_limit" -> streamRateLimit,
     "q_stream_holt" -> streamHolt,
     "q_stream_anomaly" -> streamAnomaly,
@@ -581,6 +703,10 @@ object StreamScored extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_resume" -> """
+      SELECT event_type, count(*) AS n_rows,
+             count(DISTINCT event_id) AS n_ids
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_stream_session_timeout" -> """
       WITH u AS (
         SELECT user_id, count(*) AS n_events, max(ts) AS last_ts

@@ -188,13 +188,17 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = schemaCache.getOrElseUpdate(dir,
       spark.read.parquet(s"$dir/events.parquet").schema)
-    // The file source wants a directory; the sf dir holds one parquet
-    // file per table, so glob-filter to just the events file.
-    graft.Tables.normalizeTs(
-      spark.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    // The file source wants a directory. Driver testdata lays events
+    // out as ONE file in the sf dir — glob-filter to just it. A
+    // production landing zone (and the ScaleUp rehearsal output) is a
+    // DIRECTORY of part files — stream that directly.
+    val reader = spark.readStream.schema(fileSchema)
+    val stream =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else
+        reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.Tables.normalizeTs(stream)
   }
 
   /** s_watermark_late: tumbling-window counts per event type; events

@@ -141,4 +141,42 @@ class BucketingSpec extends SparkSpec {
     assert(Scans.parquetFileCount(spark, out) === 1,
       "compacted copy should be a single data file")
   }
+
+  test("txn log: concurrent commits conflict; loser retries on re-read") {
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_conflict")
+    val d = new java.io.File(base)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(d)
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.parquet(s"$base/d0")
+    val v0 = TxnLog.commit(spark, base, -1,
+      TxnLog.partFiles(spark, base, "d0"))
+    assert(v0 === 0)
+    // Two writers both read version 0 and prepare commits.
+    Seq((3L, "z")).toDF("k", "v").write.parquet(s"$base/dA")
+    Seq((4L, "w")).toDF("k", "v").write.parquet(s"$base/dB")
+    val vA = TxnLog.commit(spark, base, v0,
+      TxnLog.partFiles(spark, base, "dA"))
+    assert(vA === 1)
+    // Writer B targets the same slot — must CONFLICT, not overwrite.
+    intercept[TxnLog.VersionConflictException] {
+      TxnLog.commit(spark, base, v0,
+        TxnLog.partFiles(spark, base, "dB"))
+    }
+    // A's commit survived untouched; B re-reads and lands on top.
+    assert(TxnLog.latestVersion(spark, base) === 1)
+    assert(TxnLog.readAsOf(spark, base, 1).count() === 3)
+    val vB = TxnLog.commit(spark, base, TxnLog.latestVersion(spark, base),
+      TxnLog.partFiles(spark, base, "dB"))
+    assert(vB === 2)
+    assert(TxnLog.readAsOf(spark, base, 2).count() === 4)
+    // and time travel still sees every historical state
+    assert(TxnLog.readAsOf(spark, base, 0).count() === 2)
+  }
 }

@@ -85,4 +85,48 @@ class CboSpec extends SparkSpec {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     }
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // One hot key holds 150k of 200k probe rows — the shape that
+    // stalls one reducer for the whole stage at scale. AQE must
+    // detect the skewed shuffle partition from RUNTIME sizes and
+    // split it across tasks (replicating the matching build rows),
+    // with no plan change and no manual salt. Thresholds are lowered
+    // to make a KB-scale fixture cross them — the assertion is that
+    // the MECHANISM fires; production sizes trip the defaults.
+    // SURVEY §4 records when this works vs when q_join_salted's
+    // manual salting is still required.
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "100000",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50000")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") < 150000, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("lv"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        col("id").as("rv"))
+      val joined = left.join(right, "k")
+      // only k = 0 matches (tail ids exceed the dim's key range)
+      assert(joined.count() === 150000L)
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no adaptive plan — AQE off?"))
+      val smj = adaptive.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.nonEmpty, adaptive.toString)
+      assert(smj.exists(_.isSkewJoin),
+        s"hot partition not split:\n${adaptive.executedPlan}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

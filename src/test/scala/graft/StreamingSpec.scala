@@ -580,4 +580,49 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("n") === 7L)
     assert(last.getAs[Long]("allowed") === 5L)
   }
+
+  test("parquet-sink resume: offsets, dedup state, and sink log all restore") {
+    // The q_stream_resume scored path on hand-built batches, with the
+    // intermediate state visible: drain 1 stops (crash), batch 2
+    // replays batch 1's ids, drain 2 resumes from the same checkpoint
+    // into the same sink — exactly-once across the restart.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-resume")
+    val in = root.resolve("in").toString
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val scratch = root.resolve(s"scratch-$name").toString
+      rows.toDF("id", "v").coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(in).mkdirs()
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+      ()
+    }
+    val schema = Seq((0L, "")).toDF("id", "v").schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .dropDuplicates("id")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(Seq((1L, "a"), (2L, "b"), (3L, "c")), "b1")
+    drain()
+    val after1 = spark.read.parquet(sink).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after1 === Seq(1L, 2L, 3L), "drain 1 must emit batch 1 once")
+    // batch 2 = one new id + a replay of every batch-1 id
+    land(Seq((3L, "c"), (4L, "d"), (1L, "a"), (2L, "b")), "b2")
+    drain()
+    val after2 = spark.read.parquet(sink).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after2 === Seq(1L, 2L, 3L, 4L),
+      "resume must skip batch 1 (offsets) AND its replayed ids (state)")
+  }
 }
