@@ -96,31 +96,53 @@ class CboSpec extends SparkSpec {
     // the MECHANISM fires; production sizes trip the defaults.
     // SURVEY §4 records when this works vs when q_join_salted's
     // manual salting is still required.
-    import org.apache.spark.sql.functions.{col, when, lit}
+    import org.apache.spark.sql.functions.{col, when, lit, md5, concat}
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
         -> "100000",
+      // factor=1.0: with only 4 shuffle partitions the hot one must
+      // merely exceed the median, not 5x it, to be declared skewed.
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "50000")
     val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      // ~96 bytes of hash padding per row: two sorted longs lz4-compress
+      // to almost nothing, so without it the 150k-row hot partition can
+      // land UNDER the 100 kB shuffle-size threshold and the mechanism
+      // never trips on a KB-scale fixture.
+      val pad = concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string")),
+        md5((col("id") + 2).cast("string")))
       val left = spark.range(200000).select(
         when(col("id") < 150000, lit(0L)).otherwise(col("id")).as("k"),
-        col("id").as("lv"))
+        col("id").as("lv"), pad.as("lpad"))
       val right = spark.range(1000).select(col("id").as("k"),
         col("id").as("rv"))
       val joined = left.join(right, "k")
+      // Execute THIS Dataset's own QueryExecution: count() builds a
+      // separate plan, leaving joined's AdaptiveSparkPlanExec at its
+      // initial (never skew-optimized) state — the r10 failure mode.
       // only k = 0 matches (tail ids exceed the dim's key range)
-      assert(joined.count() === 150000L)
+      assert(joined.queryExecution.toRdd.count() === 150000L)
       val adaptive = joined.queryExecution.executedPlan.collectFirst {
         case a: org.apache.spark.sql.execution.adaptive
             .AdaptiveSparkPlanExec => a
       }.getOrElse(fail("no adaptive plan — AQE off?"))
-      val smj = adaptive.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
-      }
+      // Query stages are LEAF nodes in the adaptive plan tree — a plain
+      // collect stops at ResultQueryStage and sees no join at all.
+      def smjIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            smjIn(q.plan)
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            s +: s.children.flatMap(smjIn)
+          case other => other.children.flatMap(smjIn)
+        }
+      val smj = smjIn(adaptive.executedPlan)
       assert(smj.nonEmpty, adaptive.toString)
       assert(smj.exists(_.isSkewJoin),
         s"hot partition not split:\n${adaptive.executedPlan}")
