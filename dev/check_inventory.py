@@ -26,15 +26,52 @@ if not m:
 survey_qs = set(re.findall(r"`(q_[a-z0-9_]+)`", m.group(0)))
 
 
+def _blank_literals(text):
+    """Replace string-literal and comment BODIES with spaces (same
+    length, so offsets are stable): a paren inside a quoted string or
+    a // comment must not shift the depth-counted registry span."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "/":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, min(j, n)):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 def registry_spans(text):
     """Yield the source span of each `queries: Map[String, Q] = Map(`
-    block, up to its matching close paren."""
-    for blk in re.finditer(r"queries:\s*Map\[String,\s*Q\]\s*=\s*Map\(", text):
+    block, up to its matching close paren. Depth counting runs over a
+    literal/comment-blanked copy so quoted parens can't truncate or
+    extend the span; the yielded span is the ORIGINAL text (the query
+    names live in string literals)."""
+    blanked = _blank_literals(text)
+    for blk in re.finditer(r"queries:\s*Map\[String,\s*Q\]\s*=\s*Map\(",
+                           blanked):
         depth, i = 1, blk.end()
-        while i < len(text) and depth > 0:
-            if text[i] == "(":
+        while i < len(blanked) and depth > 0:
+            if blanked[i] == "(":
                 depth += 1
-            elif text[i] == ")":
+            elif blanked[i] == ")":
                 depth -= 1
             i += 1
         yield text[blk.end():i]

@@ -44,9 +44,15 @@ import org.apache.spark.sql.functions._
   * hour — densification, the production meaning of "more data in the
   * same window".
   *
-  * Key strides are computed from the ACTUAL key range of each domain
-  * (stride = max − min + 1), so replica key ranges are disjoint and
-  * the mapping is reproducible from the input alone — no RNG, no
+  * Key strides are computed from the ACTUAL key range of each key
+  * DOMAIN — shared by every table that joins on it (stride = max over
+  * the domain's tables of max − min + 1). events.user_id uses the
+  * customer stride (churn/RFM join user_id = c_custkey) and doc_id /
+  * vec_id share one stride (similarity joins pair them), so replica
+  * r's facts reference replica r's dimensions — per-key strides would
+  * scramble cross-table pairing (e.g. scaled doc 5000 joining vec
+  * 5000 from a DIFFERENT replica). Replica key ranges stay disjoint
+  * and the mapping is reproducible from the input alone — no RNG, no
   * state. region/nation are fixed-size dimensions at every TPC-H sf
   * and are copied as-is.
   *
@@ -81,14 +87,17 @@ object ScaleUp {
     write("region", t("region"))
     write("nation", t("nation"))
 
-    val sCust = stride(t("customer"), "c_custkey")
+    // One stride per key DOMAIN: every table joining on the key uses
+    // the same offset, and the domain stride is the max over its
+    // member tables so all replica ranges are disjoint everywhere.
+    val sCust = math.max(stride(t("customer"), "c_custkey"),
+      stride(t("events"), "user_id"))
     val sSupp = stride(t("supplier"), "s_suppkey")
     val sPart = stride(t("part"), "p_partkey")
     val sOrd = stride(t("orders"), "o_orderkey")
     val sEvt = stride(t("events"), "event_id")
-    val sUser = stride(t("events"), "user_id")
-    val sDoc = stride(t("documents"), "doc_id")
-    val sVec = stride(t("embeddings"), "vec_id")
+    val sDocVec = math.max(stride(t("documents"), "doc_id"),
+      stride(t("embeddings"), "vec_id"))
 
     write("customer", reps(t("customer"), factor) { r => df =>
       df.withColumn("c_custkey", offset("c_custkey", r, sCust))
@@ -114,7 +123,7 @@ object ScaleUp {
     // plain TIMESTAMP.
     write("events", reps(t("events"), factor) { r => df =>
       df.withColumn("event_id", offset("event_id", r, sEvt))
-        .withColumn("user_id", offset("user_id", r, sUser))
+        .withColumn("user_id", offset("user_id", r, sCust))
     }.withColumn("ts", col("ts").cast("timestamp_ntz")))
 
     write("documents", reps(t("documents"), factor) { r => df =>
@@ -124,7 +133,7 @@ object ScaleUp {
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit(s"_$r"))), " "))
       perturbed
-        .withColumn("doc_id", offset("doc_id", r, sDoc))
+        .withColumn("doc_id", offset("doc_id", r, sDocVec))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
 
@@ -135,7 +144,7 @@ object ScaleUp {
           transform(col("embedding"), (x, i) =>
             when(pmod(xxhash64(lit(r), i), lit(2)) === 0, x)
               .otherwise(-x).cast("float")))
-      flipped.withColumn("vec_id", offset("vec_id", r, sVec))
+      flipped.withColumn("vec_id", offset("vec_id", r, sDocVec))
     })
   }
 

@@ -1262,10 +1262,14 @@ object Aggregates extends QueryModule {
     * differences; the only float is the final quotient. Reports
     * clicks↔spend and views↔purchases.
     *
-    * Scale: one partial-agg'd user rollup; each rank is one
-    * range-partitioned parallel sort of the USER table (not events)
-    * via [[graft.api.ops.GraftDataFrameOps.globalRowNumber]] — no
-    * single-partition window anywhere in the plan.
+    * Scale: one partial-agg'd user rollup, checkpointed ONCE; the four
+    * rank orders then ride ONE range-partitioned parallel sort — the
+    * rollup explodes to (user_id, tag, value) and sorts by (tag,
+    * value, user_id), so within-tag rank = global rank − tagIdx·N.
+    * One range exchange + one per-partition count-collect total (the
+    * r10 form paid 4× checkpoint + 4× range shuffle + 4× collect by
+    * chaining [[graft.api.ops.GraftDataFrameOps.globalRowNumber]]
+    * per metric); still no single-partition window anywhere.
     */
   val aggSpearman: Q = (spark, dir) => {
     import graft.api.ops._
@@ -1279,18 +1283,28 @@ object Aggregates extends QueryModule {
         .as("purchases"),
       sum(when(col("event_type") === "purchase",
         floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
-        .as("spend"))
-    val ranked = m
-      .globalRowNumber(Seq(col("clicks"), col("user_id")), "r_clicks")
-      .globalRowNumber(Seq(col("views"), col("user_id")), "r_views")
-      .globalRowNumber(Seq(col("purchases"), col("user_id")),
-        "r_purchases")
-      .globalRowNumber(Seq(col("spend"), col("user_id")), "r_spend")
-    ranked.agg(count(lit(1)).as("n"),
-        sum(expr("CAST(r_clicks - r_spend AS BIGINT) " +
-          "* CAST(r_clicks - r_spend AS BIGINT)")).as("d2_cs"),
-        sum(expr("CAST(r_views - r_purchases AS BIGINT) " +
-          "* CAST(r_views - r_purchases AS BIGINT)")).as("d2_vp"))
+        .as("spend")).localCheckpoint()
+    // nUsers is a driver scalar over the checkpointed rollup — the
+    // same bounded footprint globalRowNumber's offset map holds.
+    val nUsers = m.count()
+    val tagged = m.select(col("user_id"), explode(map(
+      lit(0L), col("clicks"), lit(1L), col("views"),
+      lit(2L), col("purchases"), lit(3L), col("spend")))
+      .as(Seq("tag", "v")))
+    val ranked = tagged
+      .globalRowNumber(Seq(col("tag"), col("v"), col("user_id")), "gr")
+    // r_tag = gr − tagIdx·N ⇒ d_cs = r_clicks − r_spend = gr₀ − gr₃
+    // + 3N and d_vp = r_views − r_purchases = gr₁ − gr₂ + N.
+    val perUser = ranked.groupBy("user_id").agg(
+      (max(when(col("tag") === 0L, col("gr")))
+        - max(when(col("tag") === 3L, col("gr")))
+        + lit(3L * nUsers)).as("d_cs"),
+      (max(when(col("tag") === 1L, col("gr")))
+        - max(when(col("tag") === 2L, col("gr")))
+        + lit(nUsers)).as("d_vp"))
+    perUser.agg(count(lit(1)).as("n"),
+        sum(col("d_cs") * col("d_cs")).as("d2_cs"),
+        sum(col("d_vp") * col("d_vp")).as("d2_vp"))
       .select(col("n").as("n_users"),
         Norm.r4dn(lit(1.0) - lit(6.0) * col("d2_cs").cast("double")
           / (col("n").cast("double")

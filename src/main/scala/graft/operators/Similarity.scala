@@ -262,7 +262,9 @@ object Similarity extends QueryModule {
     def orOverflow(c: Column, what: String): Column =
       when(c.isNotNull, c).otherwise(raise_error(lit(
         s"decimal(38,0) overflow in embedPcaPower ($what) — shrink the " +
-          "quantization scale")))
+          "quantization scale (NOTE: sum() over ZERO rows is also NULL, " +
+          "so an empty embeddings input raises this too — check the " +
+          "source is non-empty)")))
     val w2 = gram.join(broadcast(w1), col("j") === col("wi"))
       .groupBy("i")
       .agg(sum(col("g").cast("decimal(38,0)")
@@ -867,7 +869,11 @@ object Similarity extends QueryModule {
     * Spark's TakeOrdered already does).
     */
   val sampleKcenter: Q = (spark, dir) => {
+    // One materialization: the k−1 greedy rounds below each scan `e`,
+    // and without the pin every round re-reads parquet and re-derives
+    // the emb projection (measured 2.6 s → sub-second at sf0.1).
     val e = emb(spark, dir).select(col("vec_id"), col("emb"))
+      .localCheckpoint()
     val k = 8
     val first = e.filter(col("vec_id") === 0)
       .select(col("emb")).head.getSeq[Double](0).toVector

@@ -15,13 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    travel, incremental consumption, and audit diffs are log
   *    replays; at 100 TB the log is KBs while the data is the lake.
   *  - **Optimistic concurrency.** A commit targets version
-  *    `readVersion + 1` and creates that log file with
-  *    `FileSystem.create(path, overwrite = false)` — if a concurrent
-  *    writer got there first the create fails, surfacing a
-  *    [[VersionConflictException]] for the caller to re-read, re-base
-  *    and retry (the standard OCC loop). On a local/HDFS filesystem
-  *    the exclusive create is the atomic primitive; object stores
-  *    substitute a conditional put — the protocol is unchanged.
+  *    `readVersion + 1` and must create that log file EXCLUSIVELY —
+  *    if a concurrent writer got there first the create fails,
+  *    surfacing a [[VersionConflictException]] for the caller to
+  *    re-read, re-base and retry (the standard OCC loop). On HDFS
+  *    `FileSystem.create(path, overwrite = false)` is the atomic
+  *    primitive; on the LOCAL filesystem it is exists-then-create
+  *    (TOCTOU), so commits there write a temp file and publish it
+  *    with a POSIX hard link (`Files.createLink`), which atomically
+  *    fails if the version slot is taken. Object stores substitute a
+  *    conditional put — the protocol is unchanged.
   *  - **Copy-on-write deletes.** Removing rows = writing replacement
   *    files and logging remove(old)+add(new) in ONE commit; readers
   *    of older versions still see the old files (they are only
@@ -71,15 +74,31 @@ object TxnLog {
       removes.map(p => s"""{"action":"remove","file":"$p"}""") ++
       adds.map(p => s"""{"action":"add","file":"$p"}""")
     ).mkString("", "\n", "\n")
-    val out =
-      try f.create(target, /* overwrite = */ false)
+    def conflict(e: Exception): Nothing =
+      throw new VersionConflictException(
+        s"version ${readVersion + 1} already committed " +
+          s"(${e.getMessage}) — re-read and retry")
+    if ("file" == f.getUri.getScheme) {
+      // Local FS: create(overwrite=false) is exists-then-create, not
+      // atomic — two racing writers can both win the slot. Write a
+      // temp file, publish via hard link: link(2) fails atomically
+      // with EEXIST if a concurrent writer committed first.
+      val dir = java.nio.file.Paths.get(
+        f.makeQualified(logDir(base)).toUri)
+      val tmp = dir.resolve(
+        s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+      java.nio.file.Files.write(tmp, payload.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(
+        dir.resolve(target.getName), tmp)
       catch {
-        case e: java.io.IOException =>
-          throw new VersionConflictException(
-            s"version ${readVersion + 1} already committed " +
-              s"(${e.getMessage}) — re-read and retry")
-      }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+        case e: java.nio.file.FileAlreadyExistsException => conflict(e)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try f.create(target, /* overwrite = */ false)
+        catch { case e: java.io.IOException => conflict(e) }
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    }
     readVersion + 1
   }
 
