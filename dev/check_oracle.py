@@ -49,7 +49,23 @@ def norm_cell(v):
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # args: <sfDir> <verifyOutDir> [onlyCsv] [--json out.json]
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sfdir, outdir = argv[0], argv[1]
+    report = {}
+
+    def record(name, ok, spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": None if err == "no_oracle" else ok,
+            "schema_match": None if err == "no_oracle" else ok,
+            "hash_match": None if err == "no_oracle" else ok,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+            "err": err}
     con = duckdb.connect()
     for t in TABLES:
         # Driver testdata is one file per table; ScaleUp output (the
@@ -59,7 +75,7 @@ def main():
             p = f"{p}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
@@ -68,17 +84,21 @@ def main():
             exp = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, err=f"oracle SQL error: {e}")
             n_fail += 1
             continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result parquet")
+            record(name, False, oracle_rows=len(exp),
+                   err="no spark result parquet")
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         ec, gc = sorted(exp.columns), sorted(got.columns)
         if ec != gc:
             print(f"FAIL {name}: columns spark={gc} oracle={ec}")
+            record(name, False, len(got), len(exp), "column mismatch")
             n_fail += 1
             continue
         exp, got = exp[ec].reset_index(drop=True), got[ec].reset_index(drop=True)
@@ -88,10 +108,13 @@ def main():
             c, e, g = dt_bad[0]
             print(f"FAIL {name}: dtype col {c}: oracle={e} spark={g} "
                   f"(driver hashes typed cells — CAST the oracle aggregate)")
+            record(name, False, len(got), len(exp),
+                   f"dtype mismatch col {c}")
             n_fail += 1
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            record(name, False, len(got), len(exp), "row count mismatch")
             n_fail += 1
             continue
         bad = None
@@ -115,10 +138,26 @@ def main():
         if bad:
             ri, c, a, b = bad
             print(f"FAIL {name}: row {ri} col {c}: oracle={a!r} spark={b!r}")
+            record(name, False, len(got), len(exp),
+                   f"cell mismatch row {ri} col {c}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(exp)} rows)")
+            record(name, True, len(exp), len(exp))
             n_pass += 1
+    if json_out:
+        # Queries Verify dumped but the oracle map doesn't cover (the
+        # declared-no-oracle sketches) — recorded like the driver does.
+        for d in sorted(glob.glob(f"{outdir}/q_*")):
+            name = os.path.basename(d)
+            if name not in report and (only is None or name in only):
+                files = glob.glob(f"{d}/*.parquet")
+                rows = sum(len(pd.read_parquet(f)) for f in files) \
+                    if files else None
+                record(name, None, rows, None, "no_oracle")
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
