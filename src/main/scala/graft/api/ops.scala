@@ -2622,6 +2622,47 @@ object ops {
         .limit(topK)
     }
 
+    /** Neighbor-set Jaccard similarity over a bipartite edge list —
+      * the size-normalized companion to [[adamicAdar]]: for `dst`
+      * pairs sharing ≥1 `src`, J = |N(a)∩N(b)| / |N(a)∪N(b)| with the
+      * intersection counted by a hub-capped wedge join and the union
+      * from TRUE degrees (|N(a)|+|N(b)|−common, degrees computed
+      * BEFORE any cap so the quotient is exact). The score is
+      * quantized to ⌊J·10⁶⌋ by BIGINT division before the (desc, d1,
+      * d2) top-K, so ranking never compares floats.
+      *
+      * Scale shape: distinct partial-aggs duplicate edges map-side;
+      * the wedge join fans out only through hub `src` nodes with
+      * 2..`maxDeg` neighbors (degree-1 srcs cannot contribute to any
+      * intersection — dropping them is value-neutral; `maxDeg` is the
+      * enforced skew ceiling, same discipline as [[adamicAdar]]);
+      * every shuffle carries id pairs, never adjacency lists.
+      */
+    def neighborJaccard(src: Column, dst: Column, topK: Int,
+                        maxDeg: Int = Int.MaxValue): DataFrame = {
+      require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+      val edges = df.select(src.as("src"), dst.as("dst")).distinct()
+        .localCheckpoint()
+      val degDst = edges.groupBy("dst").agg(count(lit(1)).as("deg"))
+      val hub = edges.groupBy("src").agg(count(lit(1)).as("sd"))
+        .filter(col("sd").between(2, maxDeg)).select("src")
+      val capped = edges.join(hub, "src")
+      val left = capped.select(col("src"), col("dst").as("d1"))
+      val right = capped.select(col("src").as("src_r"),
+        col("dst").as("d2"))
+      left.join(right,
+          col("src") === col("src_r") && col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
+        .join(degDst.select(col("dst").as("d1"),
+          col("deg").as("deg1")), "d1")
+        .join(degDst.select(col("dst").as("d2"),
+          col("deg").as("deg2")), "d2")
+        .withColumn("jacc_int",
+          expr("n_common * 1000000 DIV (deg1 + deg2 - n_common)"))
+        .orderBy(col("jacc_int").desc, col("d1"), col("d2"))
+        .limit(topK)
+    }
+
     /** Co-occurrence pair counts over (basket, item) memberships: for
       * every unordered item pair sharing a basket, how many baskets
       * contain both. Output: (a, b, n_ab) with a < b. The shared

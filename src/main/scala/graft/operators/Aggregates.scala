@@ -19,18 +19,31 @@ object Aggregates extends QueryModule {
     */
   val pricingSummary: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
+    // Every money/quantity column is 2dp in the source, so all sums
+    // run on exact BIGINTs (cents; discount/tax as integer percents —
+    // disc_price in 1e-4 $, charge in 1e-6 $) divided ONCE at the
+    // end: a raw double sum is partial-agg-order-dependent and the
+    // r11 sf1 differential caught exactly that ulp drift crossing a
+    // 4dp boundary on the rollup's revenue sum at 6M rows.
+    val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val dp = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val tp = floor(col("l_tax") * 100 + 0.5).cast("long")
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Norm.r4(sum("l_quantity")).as("sum_qty"),
-        Norm.r4(sum("l_extendedprice")).as("sum_base_price"),
-        Norm.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        sum(floor(col("l_quantity") + 0.5).cast("long")).cast("double")
+          .as("sum_qty"),
+        (sum(pc).cast("double") / lit(100.0)).as("sum_base_price"),
+        (sum(pc * (lit(100L) - dp)).cast("double") / lit(10000.0))
           .as("sum_disc_price"),
-        Norm.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        Norm.r4(avg("l_quantity")).as("avg_qty"),
-        Norm.r4(avg("l_extendedprice")).as("avg_price"),
-        Norm.r4(avg("l_discount")).as("avg_disc"),
+        (sum(pc * (lit(100L) - dp) * (lit(100L) + tp)).cast("double")
+          / lit(1000000.0)).as("sum_charge"),
+        Norm.r4tie(sum(floor(col("l_quantity") + 0.5).cast("long"))
+          .cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        Norm.r4tie(sum(pc).cast("double") / lit(100.0)
+          / count(lit(1)).cast("double")).as("avg_price"),
+        Norm.r4tie(sum(dp).cast("double") / lit(100.0)
+          / count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -58,7 +71,12 @@ object Aggregates extends QueryModule {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(Norm.r4(sum("o_totalprice")).as("revenue"),
+      // exact BIGINT cents, divided ONCE: a raw double sum is
+      // partial-agg-order-dependent and at sf1 (6M rows) drifted a
+      // final ulp across the 4dp boundary vs DuckDB (caught by the
+      // r11 sf1 differential — row 'AMERICA/ALL' off by 1e-4)
+      .agg((sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("double") / lit(100.0)).as("revenue"),
         count(lit(1)).as("n_orders"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
@@ -713,6 +731,87 @@ object Aggregates extends QueryModule {
       Norm.r4tie(u1).as("u1"), Norm.r4tie(u2).as("u2"),
       Norm.r4dn(z).as("z"),
       (abs(z) > 1.96).as("significant"))
+  }
+
+  /** Welch's two-sample t-test (unequal variances) comparing click vs
+    * purchase event values — the parametric companion to
+    * [[statsMannWhitney]]'s rank test: group means and variances from
+    * exact BIGINT totals (n, Σc, Σc² over ⌊v·100+½⌋-quantized cents,
+    * ONE partial-agg'd pass), then t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and
+    * the Welch–Satterthwaite df as single float expressions over the
+    * six integer totals — identical IEEE operation order on both
+    * engines. No p-value by design: it needs an incomplete-beta
+    * neither engine has natively; |t| > 1.96 is the reported
+    * large-sample decision (t is unit-invariant, so computing on
+    * cents changes nothing).
+    *
+    * Scale: one scan, one map-side-combined agg to a 1-row frame —
+    * nothing downstream of the six totals touches data volume.
+    */
+  val statsTtest: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "click").as("g"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val f = e.groupBy().agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g"), col("c")).otherwise(0L)).as("s1"),
+      sum(when(col("g"), col("c") * col("c")).otherwise(0L)).as("q1"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("g"), col("c")).otherwise(0L)).as("s2"),
+      sum(when(!col("g"), col("c") * col("c")).otherwise(0L)).as("q2"))
+    def m(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def vr(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double")
+        / n.cast("double")) / (n.cast("double") - lit(1.0))
+    val m1 = m(col("s1"), col("n1"))
+    val m2 = m(col("s2"), col("n2"))
+    val se1 = vr(col("q1"), col("s1"), col("n1")) /
+      col("n1").cast("double")
+    val se2 = vr(col("q2"), col("s2"), col("n2")) /
+      col("n2").cast("double")
+    val t = (m1 - m2) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1").cast("double") - lit(1.0))
+        + se2 * se2 / (col("n2").cast("double") - lit(1.0)))
+    f.select(col("n1"), col("n2"),
+      Norm.r4tie(m1 / lit(100.0)).as("mean1"),
+      Norm.r4tie(m2 / lit(100.0)).as("mean2"),
+      Norm.r4dn(t).as("t_stat"),
+      Norm.r4dn(dfW).as("df_welch"),
+      (abs(t) > lit(1.96)).as("significant"))
+  }
+
+  /** Exact weighted median of line extended price (quantity-weighted)
+    * per return flag — the robust center [[aggPercentiles]]'s
+    * unweighted quantiles can't give you when rows carry different
+    * mass: the smallest price p whose cumulative weight reaches half
+    * the group total (lower-median convention), on exact BIGINT cents
+    * and integer weights — the 2·cum ≥ total test never divides.
+    *
+    * Scale: partial-agg'd rollup to per-(flag, price) weight cells,
+    * then a per-flag cumulative window over DISTINCT prices (bounded
+    * by the price domain, not row count) — the same
+    * distinct-value-ledger shape as [[statsMannWhitney]]'s ranks.
+    */
+  val aggWeightedMedian: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+        floor(col("l_quantity") + 0.5).cast("long").as("w"))
+    val byVal = li.groupBy("rf", "p").agg(sum("w").as("wv"))
+    val win = Window.partitionBy("rf").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("cum", sum("wv").over(win))
+      .withColumn("tw", sum("wv").over(Window.partitionBy("rf")))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy("rf")
+      .agg(min("tw").as("total_w"), min("p").as("pmed"))
+      .select(col("rf"), col("total_w"),
+        Norm.r4tie(col("pmed").cast("double") / lit(100.0))
+          .as("w_median"))
+      .orderBy("rf")
   }
 
   val abTest: Q = (spark, dir) => {
@@ -1504,6 +1603,8 @@ object Aggregates extends QueryModule {
     "q_abtest" -> abTest,
     "q_stats_anova" -> statsAnova,
     "q_stats_mannwhitney" -> statsMannWhitney,
+    "q_stats_ttest" -> statsTtest,
+    "q_agg_weighted_median" -> aggWeightedMedian,
     "q_stats_mad" -> statsMad,
     "q_stats_ks" -> statsKs,
     "q_stats_chi2" -> statsChi2,
@@ -1565,6 +1666,68 @@ object Aggregates extends QueryModule {
                    / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
                    * 10000) / 10000 AS eta_sq
       FROM f""",
+    "q_stats_ttest" -> """
+      WITH e AS (
+        SELECT event_type = 'click' AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      f AS (
+        SELECT CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g THEN c ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN g THEN c * c ELSE 0 END) AS BIGINT)
+                 AS q1,
+               CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2,
+               CAST(sum(CASE WHEN NOT g THEN c ELSE 0 END) AS BIGINT)
+                 AS s2,
+               CAST(sum(CASE WHEN NOT g THEN c * c ELSE 0 END)
+                 AS BIGINT) AS q2
+        FROM e),
+      d AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                 AS se1,
+               (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                  * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE)
+                 AS se2
+        FROM f),
+      tt AS (
+        SELECT n1, n2, m1, m2,
+               (m1 - m2) / sqrt(se1 + se2) AS t,
+               (se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                    + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS dfw
+        FROM d)
+      SELECT n1, n2,
+             floor(m1 / 100.0 * 10000 + 0.5) / 10000 AS mean1,
+             floor(m2 / 100.0 * 10000 + 0.5) / 10000 AS mean2,
+             floor(t * 10000) / 10000 AS t_stat,
+             floor(dfw * 10000) / 10000 AS df_welch,
+             abs(t) > 1.96 AS significant
+      FROM tt""",
+    "q_agg_weighted_median" -> """
+      WITH li AS (
+        SELECT l_returnflag AS rf,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem),
+      bv AS (SELECT rf, p, CAST(sum(w) AS BIGINT) AS wv
+             FROM li GROUP BY 1, 2),
+      c AS (SELECT rf, p, wv,
+                   CAST(sum(wv) OVER (PARTITION BY rf ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(wv) OVER (PARTITION BY rf) AS BIGINT) AS tw
+            FROM bv)
+      SELECT rf, min(tw) AS total_w,
+             floor(CAST(min(p) AS DOUBLE) / 100.0 * 10000 + 0.5)
+               / 10000 AS w_median
+      FROM c WHERE cum * 2 >= tw GROUP BY rf ORDER BY rf""",
     "q_stats_mannwhitney" -> """
       WITH e AS (
         SELECT event_type AS t,
@@ -2388,17 +2551,33 @@ object Aggregates extends QueryModule {
       JOIN sizes sb ON sb.seg = e.seg_b
       ORDER BY e.seg_a, e.seg_b""",
     "q_agg_pricing_summary" -> """
+      WITH q AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dp,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 4) AS sum_qty,
-             round(sum(l_extendedprice), 4) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             CAST(CAST(sum(qi) AS BIGINT) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100.0
+               AS sum_base_price,
+             CAST(CAST(sum(pc * (100 - dp)) AS BIGINT) AS DOUBLE)
+               / 10000.0 AS sum_disc_price,
+             CAST(CAST(sum(pc * (100 - dp) * (100 + tp)) AS BIGINT)
+               AS DOUBLE) / 1000000.0 AS sum_charge,
+             floor(CAST(CAST(sum(qi) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS avg_qty,
+             floor(CAST(CAST(sum(pc) AS BIGINT) AS DOUBLE) / 100.0
+               / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS avg_price,
+             floor(CAST(CAST(sum(dp) AS BIGINT) AS DOUBLE) / 100.0
+               / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS avg_disc,
              count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      FROM q
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" -> """
@@ -2412,7 +2591,8 @@ object Aggregates extends QueryModule {
     "q_agg_rollup" -> """
       SELECT coalesce(r_name, 'ALL') AS region,
              coalesce(n_name, 'ALL') AS nation,
-             round(sum(o_totalprice), 4) AS revenue,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey

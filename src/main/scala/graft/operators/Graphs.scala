@@ -268,7 +268,30 @@ object Graphs extends QueryModule {
         .as("modularity"))
   }
 
+  /** Neighbor-set Jaccard similarity between supplier pairs over the
+    * customer–supplier bipartite graph — the size-normalized link
+    * score [[graphAdamicAdar]]'s rarity weighting can't give you
+    * (J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| treats a shared rare and a
+    * shared common customer alike but normalizes by how much of both
+    * neighborhoods overlaps). Intersections from a hub-capped wedge
+    * join, unions from true degrees, ⌊J·10⁶⌋ BIGINT quantization
+    * before the top-20 — see
+    * [[graft.api.ops.GraftDataFrameOps.neighborJaccard]].
+    */
+  val graphJaccard: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .neighborJaccard(col("o_custkey"), col("l_suppkey"), topK = 20,
+        maxDeg = 1000)
+      .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
+        Norm.r4tie(col("jacc_int").cast("double") / lit(1000000.0))
+          .as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_jaccard" -> graphJaccard,
     "q_graph_modularity" -> graphModularity,
     "q_graph_assortativity" -> graphAssortativity,
     "q_graph_adamic_adar" -> graphAdamicAdar,
@@ -280,6 +303,29 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_jaccard" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT supp, count(*) AS d FROM edges GROUP BY supp),
+      hub AS (SELECT cust FROM (
+                SELECT cust, count(*) AS sd FROM edges GROUP BY cust)
+              WHERE sd BETWEEN 2 AND 1000),
+      ce AS (SELECT e.cust, e.supp FROM edges e JOIN hub USING (cust)),
+      cm AS (SELECT e1.supp AS s1, e2.supp AS s2,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM ce e1 JOIN ce e2
+               ON e1.cust = e2.cust AND e1.supp < e2.supp
+             GROUP BY 1, 2),
+      j AS (SELECT s1, s2, n_common,
+                   (n_common * 1000000) // (d1.d + d2.d - n_common)
+                     AS ji
+            FROM cm JOIN deg d1 ON d1.supp = cm.s1
+                    JOIN deg d2 ON d2.supp = cm.s2)
+      SELECT s1, s2, n_common,
+             floor(CAST(ji AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+               / 10000 AS jaccard
+      FROM j ORDER BY ji DESC, s1, s2 LIMIT 20""",
     "q_graph_modularity" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

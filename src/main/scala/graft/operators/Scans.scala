@@ -274,7 +274,8 @@ object Scans extends QueryModule {
     spark.read.parquet(newFiles: _*)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        Norm.r4(sum(col("o_totalprice"))).as("sum_price"))
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -439,7 +440,8 @@ object Scans extends QueryModule {
     def snap(v: Int) = TxnLog.readAsOf(spark, base, v)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        Norm.r4(sum(col("o_totalprice"))).as("sum_price"))
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_price"))
       .withColumn("version", lit(v))
     snap(v0).unionByName(snap(v1)).unionByName(snap(v2))
       .select(col("version"), col("o_orderpriority"), col("n"),
@@ -470,17 +472,20 @@ object Scans extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_lake_timetravel" -> """
       SELECT 0 AS version, o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice), 4) AS sum_price
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
       FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY o_orderpriority
       UNION ALL
       SELECT 1, o_orderpriority, count(*),
-             round(sum(o_totalprice), 4)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
       FROM orders
       GROUP BY o_orderpriority
       UNION ALL
       SELECT 2, o_orderpriority, count(*),
-             round(sum(o_totalprice), 4)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
       FROM orders
       WHERE o_orderkey % 2 <> 0 OR o_totalprice >= 100000.0
       GROUP BY o_orderpriority
@@ -507,7 +512,8 @@ object Scans extends QueryModule {
       FROM p GROUP BY 1 ORDER BY 1""",
     "q_lake_incremental" -> """
       SELECT o_orderpriority, count(*) AS n,
-             round(sum(o_totalprice), 4) AS sum_price
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
       FROM orders WHERE o_orderkey % 2 <> 0
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",

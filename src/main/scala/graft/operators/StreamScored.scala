@@ -238,7 +238,8 @@ object StreamScored extends QueryModule {
     runToTable(counts, OutputMode.Complete(), "graft_stream_watermark",
       finalize = false)
       .select(Norm.tstr(col("wstart")).as("wstart"), col("event_type"),
-        col("n"), Norm.r4(col("sum_value")).as("sum_value"))
+        col("n"), (col("sum_value").cast("double") / lit(100.0))
+          .as("sum_value"))
       .orderBy("wstart", "event_type")
   }
 
@@ -880,7 +881,9 @@ object StreamScored extends QueryModule {
     "q_stream_watermark" -> """
       SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
                '%Y-%m-%d %H:%M:%S') AS wstart,
-             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY wstart, event_type""",

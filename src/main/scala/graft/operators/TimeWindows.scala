@@ -21,7 +21,11 @@ object TimeWindows extends QueryModule {
   val windowTumbling: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
     e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Norm.r4(sum("value")).as("sum_value"))
+      // exact BIGINT cents divided once — raw double sums are
+      // partial-agg-order-dependent (r11 sf1 differential lesson)
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_value"))
       .select(Norm.tstr(col("window.start")).as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("wstart", "event_type")
@@ -46,7 +50,9 @@ object TimeWindows extends QueryModule {
   val sessionWindows: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
     e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), Norm.r4(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_value"))
       .select(col("user_id"),
         Norm.tstr(col("session_window.start")).as("session_start"),
         Norm.tstr(col("session_window.end")).as("session_end"),
@@ -2204,7 +2210,9 @@ object TimeWindows extends QueryModule {
     "q_window_tumbling" -> """
       SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
                AS wstart,
-             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+             event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY wstart, event_type""",
@@ -2233,7 +2241,9 @@ object TimeWindows extends QueryModule {
              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
                AS session_end,
-             count(*) AS n_events, round(sum(value), 4) AS sum_value
+             count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_value
       FROM numbered
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",

@@ -209,7 +209,11 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // exact BIGINT cents: a raw double sum is micro-batch- and
+      // partial-agg-order-dependent (consumers divide once at the end)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
 

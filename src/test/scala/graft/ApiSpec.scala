@@ -946,4 +946,31 @@ class ApiSpec extends SparkSpec {
     val parted = df.globalRowNumber(Seq(col("k"), col("sid")), "rnk", 8)
     assert(parted.rdd.getNumPartitions === 8)
   }
+
+  test("neighborJaccard: hand graph scores, degree-1 srcs contribute nothing") {
+    import spark.implicits._
+    // c1→{A,B}, c2→{A,B}, c3→{B,C}, c4→{C}: degrees A=2 B=3 C=2;
+    // c4 has one neighbor and must not affect any pair.
+    val edges = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 3L)).toDF("c", "s")
+    val out = edges.neighborJaccard(col("c"), col("s"), topK = 10)
+      .select("d1", "d2", "n_common", "jacc_int").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // J(A,B) = 2/(2+3−2) = 2/3 → 666666; J(B,C) = 1/(3+2−1) = 1/4
+    assert(out.toSeq === Seq((1L, 2L, 2L, 666666L),
+      (2L, 3L, 1L, 250000L)))
+  }
+
+  test("neighborJaccard maxDeg drops pairs only reachable via a mega-hub") {
+    import spark.implicits._
+    // hub 99 connects X,Y,Z (degree 3 > maxDeg 2); c1 connects X,Y.
+    val edges = Seq((99L, 7L), (99L, 8L), (99L, 9L), (1L, 7L), (1L, 8L))
+      .toDF("c", "s")
+    val out = edges.neighborJaccard(col("c"), col("s"), topK = 10,
+        maxDeg = 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only the (7,8) wedge through c1 survives; union still uses TRUE
+    // degrees (7 and 8 each have deg 2) → J = 1/3
+    assert(out.toSeq === Seq((7L, 8L)))
+  }
 }

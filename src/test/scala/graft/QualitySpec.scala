@@ -653,4 +653,48 @@ class QualitySpec extends SparkSpec {
         s"qid=$qid greedy replay mismatch")
     }
   }
+
+  test("q_stats_ttest: means replay exactly; Welch df within its bounds") {
+    val r = SparkEntry.queries("q_stats_ttest")(spark, sfDir).collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    // independent replay of each group mean on quantized cents
+    val g = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("s"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    assert(n1 === g("click")._1 && n2 === g("purchase")._1)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("mean1") ===
+      r4(g("click")._2.toDouble / g("click")._1 / 100.0))
+    assert(r.getAs[Double]("mean2") ===
+      r4(g("purchase")._2.toDouble / g("purchase")._1 / 100.0))
+    // Welch–Satterthwaite df is bracketed by min(n1,n2)−1 and n1+n2−2
+    val dfW = r.getAs[Double]("df_welch")
+    assert(dfW >= math.min(n1, n2) - 1.0 && dfW <= n1 + n2 - 2.0,
+      s"df=$dfW outside [${math.min(n1, n2) - 1}, ${n1 + n2 - 2}]")
+  }
+
+  test("q_agg_weighted_median: driver replay of the cumulative-weight rule") {
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+        floor(col("l_quantity") + 0.5).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (rf, rs) =>
+      val byP = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tw = byP.map(_._2).sum
+      var cum = 0L
+      val med = byP.find { case (_, wv) => cum += wv; cum * 2 >= tw }
+        .get._1
+      rf -> (tw, math.floor(med.toDouble / 100.0 * 10000 + 0.5) / 10000)
+    }
+    val got = SparkEntry.queries("q_agg_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("total_w"), r.getAs[Double]("w_median"))).toMap
+    assert(got === expected)
+  }
 }
