@@ -128,7 +128,56 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Perceptual-hash image near-duplication — the image-side analogue
+    * of the text MinHash family: every payload is encoded/decoded
+    * through the REAL BMP codec, dHash'd on a 9×8 nearest-neighbor
+    * grayscale grid (64 gradient bits), and near-dup pairs surface via
+    * LSH BANDING on the hash (4×16-bit bands; a pair is a candidate
+    * iff some band matches exactly) with exact Hamming distance
+    * (bit_count of XORed bands, in-plan) deciding ≤12. This is the
+    * scale-correct image-dedup design: no all-pairs distance pass
+    * exists anywhere — candidates come from band-bucket equi-joins
+    * with an enforced bucket cap (`maxBucket`, the maxDf discipline).
+    *
+    * Scale: decode is per-row `mapPartitions` (no Catalyst expression
+    * decodes BMPs); everything after is hash-partitioned joins on
+    * 16-bit band values carrying only (doc_id, band) pairs.
+    */
+  val multimodalPhash: Q = (spark, dir) => {
+    val maxBucket = 64
+    val h = MediaDecode.phashBands(media(spark, dir)).localCheckpoint()
+    val bands = h.select(col("doc_id"), explode(map(
+        lit(0), col("b0"), lit(1), col("b1"),
+        lit(2), col("b2"), lit(3), col("b3"))))
+      .toDF("doc_id", "j", "v")
+    // enforced bucket cap: a degenerate band value (flat images) is
+    // the n² bomb of banded LSH; both engines drop the same buckets
+    val ok = bands.groupBy("j", "v")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("j", "v")
+    val capped = bands.join(ok, Seq("j", "v"))
+    val cand = capped.alias("x").join(capped.alias("y"),
+        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val h1 = h.select(col("doc_id").as("d1"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val h2 = h.select(col("doc_id").as("d2"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(h1, "d1").join(h2, "d2")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= 12)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(50)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_frames" -> multimodalFrames,
     "q_multimodal_decode" -> multimodalDecode,
@@ -138,6 +187,60 @@ object Multimodal extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_phash" -> """
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               (length(text) % 8) + 4 AS w,
+               CAST((length(text) * 7) % 6 AS INT) + 3 AS h
+        FROM documents),
+      g AS (
+        SELECT doc_id, gx, gy,
+               ((gy * h // 8) * w + (gx * w // 9)) AS p, text, L
+        FROM dims,
+          LATERAL unnest(generate_series(0, 8)) AS a(gx),
+          LATERAL unnest(generate_series(0, 7)) AS b(gy)),
+      gs AS (
+        SELECT doc_id, gx, gy,
+            unicode(substring(text, CAST((p * 3 + 0) % L AS INT) + 1, 1))
+          + unicode(substring(text, CAST((p * 3 + 1) % L AS INT) + 1, 1))
+          + unicode(substring(text, CAST((p * 3 + 2) % L AS INT) + 1, 1))
+            AS gsum
+        FROM g),
+      bits AS (
+        SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+               CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+        FROM gs a JOIN gs b ON a.doc_id = b.doc_id
+          AND b.gy = a.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8),
+      bands AS (
+        SELECT doc_id, i // 16 AS j,
+               CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS v
+        FROM bits GROUP BY 1, 2),
+      ok AS (
+        SELECT j, v FROM bands GROUP BY j, v HAVING count(*) <= 64),
+      capped AS (
+        SELECT b.doc_id, b.j, b.v FROM bands b JOIN ok USING (j, v)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM capped x JOIN capped y
+          ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id),
+      hsh AS (
+        SELECT doc_id,
+               max(CASE WHEN j = 0 THEN v END) AS b0,
+               max(CASE WHEN j = 1 THEN v END) AS b1,
+               max(CASE WHEN j = 2 THEN v END) AS b2,
+               max(CASE WHEN j = 3 THEN v END) AS b3
+        FROM bands GROUP BY doc_id),
+      ham AS (
+        SELECT d1, d2,
+               CAST(bit_count(xor(h1.b0, h2.b0))
+                  + bit_count(xor(h1.b1, h2.b1))
+                  + bit_count(xor(h1.b2, h2.b2))
+                  + bit_count(xor(h1.b3, h2.b3)) AS BIGINT) AS hamming
+        FROM cand JOIN hsh h1 ON h1.doc_id = d1
+                  JOIN hsh h2 ON h2.doc_id = d2)
+      SELECT d1, d2, hamming FROM ham WHERE hamming <= 12
+      ORDER BY hamming, d1, d2 LIMIT 50""",
     "q_multimodal_features" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -508,6 +611,52 @@ object MediaDecode {
         val (w, h, channels) = Bmp.decode(bmp)
         val (np, mean, mn, mx, ck) = stats(w, h, channels)
         Row(r.getLong(0), w, h, np, mean, mn, mx, ck)
+      }
+    }(enc)
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("b0", LongType, nullable = false),
+    StructField("b1", LongType, nullable = false),
+    StructField("b2", LongType, nullable = false),
+    StructField("b3", LongType, nullable = false)))
+
+  /** dHash perceptual hash through the real BMP codec: decode, sample
+    * a 9×8 grayscale grid by nearest neighbor (sx = gx·w/9, sy =
+    * gy·h/8 — integer division, so tiny images upsample
+    * deterministically), set bit i = gy·8+gx iff gray(gx+1,gy) >
+    * gray(gx,gy) (gray = B+G+R sum; dividing by 3 cannot change a
+    * comparison), packed as four 16-bit bands for LSH banding.
+    */
+  def phashBands(mediaDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(phashSchema)
+    mediaDf.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val bmp = Bmp.build(r.getAs[Array[Byte]]("media"))
+        val (w, h, ch) = Bmp.decode(bmp)
+        val g = new Array[Int](8 * 9)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val p = (gy * h / 8) * w + (gx * w / 9)
+            g(gy * 9 + gx) = ch(3 * p) + ch(3 * p + 1) + ch(3 * p + 2)
+            gx += 1
+          }
+          gy += 1
+        }
+        val bands = new Array[Long](4)
+        var i = 0
+        while (i < 64) {
+          val bx = i % 8
+          val by = i / 8
+          if (g(by * 9 + bx + 1) > g(by * 9 + bx))
+            bands(i / 16) |= (1L << (i % 16))
+          i += 1
+        }
+        Row(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
       }
     }(enc)
   }

@@ -654,6 +654,35 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("phashBands: identical payloads hash identically; banding finds the clone pair") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    // two byte-identical payloads (doc 1 ≡ doc 2) and one different
+    val media = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different payload with other text entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val h = MediaDecode.phashBands(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(h(1L) === h(2L), "identical payloads must hash identically")
+    // every band is 16 bits
+    h.values.foreach { case (a, b, c, d) =>
+      Seq(a, b, c, d).foreach(v => assert(v >= 0 && v < 65536)) }
+  }
+
+  test("q_multimodal_phash: every reported pair is within the Hamming bound") {
+    val rows = SparkEntry.queries("q_multimodal_phash")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("hamming")
+      assert(d >= 0 && d <= 12, s"pair outside bound: $r")
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
   test("q_stats_ttest: means replay exactly; Welch df within its bounds") {
     val r = SparkEntry.queries("q_stats_ttest")(spark, sfDir).collect().head
     val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
