@@ -176,7 +176,25 @@ object Multimodal extends QueryModule {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Audio near-duplication by energy-envelope fingerprint — groups
+    * tracks whose loudness contour matches exactly (15 gradient bits
+    * over 16 frames; see [[MediaDecode.audioFingerprint]]): per doc
+    * its fingerprint, the size of its contour class, and a dup flag.
+    * The class-size join is a broadcast-friendly rollup over ≤2¹⁵
+    * distinct fingerprints — no pair expansion at any scale.
+    */
+  val multimodalAudioFp: Q = (spark, dir) => {
+    val f = MediaDecode.audioFingerprint(media(spark, dir))
+      .localCheckpoint()
+    val classes = f.groupBy("fp").agg(count(lit(1)).as("class_n"))
+    f.join(broadcast(classes), "fp")
+      .select(col("doc_id"), col("fp"), col("class_n"),
+        (col("class_n") > 1L).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_audio_fp" -> multimodalAudioFp,
     "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_frames" -> multimodalFrames,
@@ -187,6 +205,30 @@ object Multimodal extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_audio_fp" -> """
+      WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               200 + (length(text) * 3) % 100 AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, n, k,
+               (unicode(substring(text, CAST(k % L AS INT) + 1, 1))
+                 - 64) * 256 AS v
+        FROM dims, LATERAL unnest(generate_series(0, n - 1)) AS g(k)),
+      e AS (
+        SELECT doc_id, CAST((k * 16) // n AS INT) AS f,
+               CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS en
+        FROM s GROUP BY 1, 2),
+      fp0 AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.en > a.en THEN 1 << a.f ELSE 0 END)
+                 AS BIGINT) AS fp
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        WHERE a.f < 15 GROUP BY 1),
+      cls AS (SELECT fp, CAST(count(*) AS BIGINT) AS class_n
+              FROM fp0 GROUP BY fp)
+      SELECT f.doc_id, f.fp, c.class_n, c.class_n > 1 AS is_dup
+      FROM fp0 f JOIN cls c USING (fp) ORDER BY doc_id""",
     "q_multimodal_phash" -> """
       WITH dims AS (
         SELECT doc_id, text, length(text) AS L,
@@ -657,6 +699,43 @@ object MediaDecode {
           i += 1
         }
         Row(r.getLong(0), bands(0), bands(1), bands(2), bands(3))
+      }
+    }(enc)
+  }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
+
+  /** Energy-envelope audio fingerprint through the real WAV codec —
+    * the audio analogue of [[phashBands]]: decode, split the sample
+    * stream into 16 frames (frame of sample k = k·16/n, integer
+    * division — SQL-replicable without a frame-size remainder case),
+    * per-frame energy Σv² as exact BIGINT, bit i = energy(i+1) >
+    * energy(i) → a 15-bit envelope-shape fingerprint. Same-fp docs
+    * share their loudness CONTOUR (gradient coding is amplitude-scale
+    * robust the way dHash is brightness-robust).
+    */
+  def audioFingerprint(mediaDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(audioFpSchema)
+    mediaDf.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val (_, s) = Wav.decode(Wav.build(r.getAs[Array[Byte]]("media")))
+        val e = new Array[Long](16)
+        var k = 0
+        while (k < s.length) {
+          val v = s(k).toLong
+          e(((k.toLong * 16) / s.length).toInt) += v * v
+          k += 1
+        }
+        var fp = 0L
+        var i = 0
+        while (i < 15) {
+          if (e(i + 1) > e(i)) fp |= (1L << i)
+          i += 1
+        }
+        Row(r.getLong(0), fp)
       }
     }(enc)
   }

@@ -683,6 +683,32 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: clone payloads share a contour class; fp is 15-bit") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val media = Seq(
+      (1L, "same loudness contour payload for both of these documents"),
+      (2L, "same loudness contour payload for both of these documents"),
+      (3L, "zzz zzz zzz entirely different amplitude pattern here aaa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val fp = MediaDecode.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    fp.values.foreach(v => assert(v >= 0 && v < 32768))
+  }
+
+  test("q_multimodal_audio_fp: class sizes are consistent with the fp column") {
+    val rows = SparkEntry.queries("q_multimodal_audio_fp")(spark, sfDir)
+      .collect()
+    val byFp = rows.groupBy(_.getAs[Long]("fp"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("class_n") ===
+        byFp(r.getAs[Long]("fp")).length.toLong)
+      assert(r.getAs[Boolean]("is_dup") === (r.getAs[Long]("class_n") > 1))
+    }
+  }
+
   test("q_stats_ttest: means replay exactly; Welch df within its bounds") {
     val r = SparkEntry.queries("q_stats_ttest")(spark, sfDir).collect().head
     val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
