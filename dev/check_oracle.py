@@ -62,11 +62,12 @@ def norm_cell(v):
 _CON = None
 _SFDIR = None
 _OUTDIR = None
+_RTOL = 0.0  # relative float tolerance, see --rtol
 
 
-def _init(sfdir, outdir):
-    global _CON, _SFDIR, _OUTDIR
-    _SFDIR, _OUTDIR = sfdir, outdir
+def _init(sfdir, outdir, rtol=0.0):
+    global _CON, _SFDIR, _OUTDIR, _RTOL
+    _SFDIR, _OUTDIR, _RTOL = sfdir, outdir, rtol
     _CON = duckdb.connect()
     # cap per-worker threads — with --jobs N the default (all cores per
     # connection) would oversubscribe the box N-fold on the heavy CTEs
@@ -86,7 +87,8 @@ def _col_ok(a, b):
         bf = b.astype(float).to_numpy()
         both_nan = np.isnan(af) & np.isnan(bf)
         with np.errstate(invalid="ignore"):
-            close = np.abs(af - bf) <= 1e-9
+            tol = 1e-9 + _RTOL * np.maximum(np.abs(af), np.abs(bf))
+            close = np.abs(af - bf) <= tol
         return bool(np.all(both_nan | close))
     an = a.map(norm_cell).to_numpy()
     bn = b.map(norm_cell).to_numpy()
@@ -133,7 +135,8 @@ def _check(item):
                 b_nan = b is None or (isinstance(b, float) and math.isnan(b))
                 if a_nan and b_nan:
                     continue
-                if a_nan != b_nan or abs(float(a) - float(b)) > 1e-9:
+                if a_nan != b_nan or abs(float(a) - float(b)) > \
+                        1e-9 + _RTOL * max(abs(float(a)), abs(float(b))):
                     break
             elif norm_cell(a) != norm_cell(b):
                 break
@@ -158,6 +161,14 @@ def main():
         i = argv.index("--jobs")
         jobs = int(argv[i + 1])
         del argv[i:i + 2]
+    rtol = 0.0
+    if "--rtol" in argv:
+        # Relative float tolerance for large-sf replays: double sums in
+        # the e10 range legitimately differ by last-ulp summation order
+        # (rtol ~3e-15). Default 0 keeps driver-parity strictness.
+        i = argv.index("--rtol")
+        rtol = float(argv[i + 1])
+        del argv[i:i + 2]
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2].split(",")) if len(argv) > 2 else None
 
@@ -178,7 +189,7 @@ def main():
     n_pass = n_fail = 0
     if jobs > 1:
         with mp.Pool(jobs, initializer=_init,
-                     initargs=(sfdir, outdir)) as pool:
+                     initargs=(sfdir, outdir, rtol)) as pool:
             results = pool.imap_unordered(_check, items)
             for name, ok, sr, orr, err, msg in results:
                 print(msg, flush=True)
@@ -186,7 +197,7 @@ def main():
                 n_pass += 1 if ok else 0
                 n_fail += 0 if ok else 1
     else:
-        _init(sfdir, outdir)
+        _init(sfdir, outdir, rtol)
         for item in items:
             name, ok, sr, orr, err, msg = _check(item)
             print(msg, flush=True)

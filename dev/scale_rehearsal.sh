@@ -52,8 +52,12 @@ case "${1:-sf1}" in
     # replay. The committed artifact is CORRECTNESS_sf1.json.
     SPARK_DRIVER_MEM=$MEM SPARK_GRAFT_CPUS=$CPUS \
       sbt -batch "runMain graft.Verify target/sf1 target/verify_sf1"
+    # --jobs 8: fan the heavy recursive-CTE oracles over workers.
+    # --rtol 1e-12: double sums in the e10 range differ by last-ulp
+    # summation order at sf1 (rtol ~3e-15); driver-parity runs at
+    # sf0.01 keep the default strict 0.
     python3 dev/check_oracle.py target/sf1 target/verify_sf1 \
-      --json CORRECTNESS_sf1.json
+      --jobs 8 --rtol 1e-12 --json CORRECTNESS_sf1.json
     ;;
   *)
     echo "usage: $0 [gen_sf1|gen_sf3|sf1|sf3|verify_sf1]" >&2

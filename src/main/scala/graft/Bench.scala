@@ -74,13 +74,19 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$worst,"sf":"$sfDir"}""")
-    // Persist the full line to a file too so every per-query timing
-    // stays auditable.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
-    } catch { case _: Throwable => () }
+    // Persist the full line to files too so every per-query timing
+    // stays auditable. BENCH_FULL_latest.json sits at the repo root on
+    // purpose: the driver's round-end commit sweeps it up, so the full
+    // 270+-entry per-query map survives even though the driver's own
+    // BENCH_r*.json keeps only a truncated stdout tail.
+    for (p <- Seq("target/bench.json", "BENCH_FULL_latest.json")) {
+      try {
+        val out = java.nio.file.Paths.get(p)
+        if (out.getParent != null)
+          java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, line + "\n")
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -98,13 +98,16 @@ object Aggregates extends QueryModule {
       .orderBy("returnflag", "linestatus")
   }
 
-  /** Explicit GROUPING SETS via SQL. */
+  /** Explicit GROUPING SETS via SQL. Revenue sums exact BIGINT cents
+    * (one division at the end): a raw double sum over 15M orders at
+    * sf1 drifts ~2e-4 with summation order, which is engine-visible.
+    */
   val aggGroupingSets: Q = (spark, dir) => {
     Tables(spark, dir, "orders").createOrReplaceTempView("g_orders")
     spark.sql("""
       SELECT coalesce(o_orderstatus, 'ALL') AS status,
              coalesce(o_orderpriority, 'ALL') AS priority,
-             round(sum(o_totalprice), 4) AS revenue,
+             round(cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS double) / 100.0, 4) AS revenue,
              count(1) AS n
       FROM g_orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
@@ -2611,7 +2614,7 @@ object Aggregates extends QueryModule {
     "q_agg_grouping_sets" -> """
       SELECT coalesce(o_orderstatus, 'ALL') AS status,
              coalesce(o_orderpriority, 'ALL') AS priority,
-             round(sum(o_totalprice), 4) AS revenue,
+             round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS revenue,
              count(*) AS n
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
