@@ -425,7 +425,7 @@ object Similarity extends QueryModule {
     * brute force.
     */
   def annIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
-             k: Int, nProbe: Int): DataFrame = {
+             k: Int, nProbe: Int, topK: Int = 3): DataFrame = {
     import graft.api.ops._
     require(nProbe >= 1 && nProbe <= k,
       s"nProbe must be in [1, $k], got $nProbe")
@@ -448,12 +448,54 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"),
         Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .orderBy("qid", "rank")
   }
 
   /** Scored entry: 16 cells, 2 probes — sized to this corpus. */
   val simAnnIvf: Q = (spark, dir) => annIvf(spark, dir, k = 16, nProbe = 2)
+
+  /** ANN quality audit: recall@10 of the IVF index (16 cells, 2
+    * probes) against the exact cosine top-10, per query. This is the
+    * measurement every ANN deployment ships next to the index build —
+    * the number that tells you whether nProbe is sized right. Exact
+    * side is the bounded-query-batch broadcast over one streamed
+    * corpus pass (the simHardNegatives shape: the corpus never
+    * shuffles); ANN side reuses the IVF candidate plan. Both ranks
+    * compare the ROUNDED cosine (ties on vec_id) so the two engines
+    * rank identical doubles, and recall divides once at the end.
+    */
+  val simAnnRecall: Q = (spark, dir) => annRecall(spark, dir, nProbe = 2)
+
+  /** [[simAnnRecall]] with the probe width exposed: at nProbe = k
+    * (probe every cell) the IVF search IS exact search, so recall must
+    * be identically 1.0 — the property QualitySpec pins.
+    */
+  def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+                nProbe: Int): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_10",
+        Norm.r4(col("n_hits").cast("double") / 10.0))
+      .orderBy("qid")
+  }
 
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).
@@ -1013,8 +1055,72 @@ object Similarity extends QueryModule {
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
     "q_sim_ann_ivf" -> simAnnIvf,
+    "q_sim_ann_recall" -> simAnnRecall,
     "q_multimodal_join" -> multimodalJoin,
   )
+
+  /** DuckDB twin of [[simAnnRecall]]: the q_sim_ann_ivf CTE chain
+    * widened to top-10, an exact brute-force top-10 CTE, and a
+    * per-query hit count — both ranks order by (rounded cosine desc,
+    * vec_id), the engines' shared tie discipline.
+    */
+  private def annRecallOracle: String = {
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65), d -> $a[d] * $b[d])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), d -> $a[d] * $a[d])),
+              (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65), d -> $b[d] * $b[d])),
+                (s, x) -> s + x)))"""
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      an AS (
+        SELECT i - 1 AS cell,
+               (CAST(${graft.api.ops.ivfAnchorsSql(16, 64)}
+                 AS DOUBLE[][]))[i] AS a
+        FROM generate_series(1, 16) AS g(i)),
+      sims AS (
+        SELECT e.vec_id, e.v, an.cell, ${cos("e.v", "an.a")} AS sim
+        FROM e CROSS JOIN an),
+      assigned AS (
+        SELECT vec_id, v, cell FROM sims
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) = 1),
+      probes AS (
+        SELECT s.vec_id AS qid, s.v AS qv, s.cell
+        FROM sims s WHERE s.vec_id % 50 = 0
+        QUALIFY row_number() OVER (PARTITION BY s.vec_id
+                                   ORDER BY s.sim DESC, s.cell) <= 2),
+      ann AS (
+        SELECT p.qid, a.vec_id,
+               round(${cos("a.v", "p.qv")}, 4) AS cos_sim
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        QUALIFY row_number() OVER (PARTITION BY p.qid
+          ORDER BY cos_sim DESC, a.vec_id) <= 10),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      exact AS (
+        SELECT q.qid, e.vec_id,
+               round(${cos("e.v", "q.qv")}, 4) AS cos_sim
+        FROM e CROSS JOIN q
+        QUALIFY row_number() OVER (PARTITION BY q.qid
+          ORDER BY cos_sim DESC, e.vec_id) <= 10),
+      hits AS (
+        SELECT x.qid, count(*) AS n_hits
+        FROM exact x JOIN ann ON ann.qid = x.qid
+          AND ann.vec_id = x.vec_id
+        GROUP BY x.qid)
+      SELECT q.qid,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0, 4)
+               AS recall_at_10
+      FROM q LEFT JOIN hits h ON q.qid = h.qid
+      ORDER BY q.qid"""
+  }
 
   /** DuckDB twin of [[simMmr]], generated by unrolling the fixed
     * `k`-pick greedy loop into CTE rounds (the kmeans/BPE-oracle
@@ -1268,6 +1374,7 @@ object Similarity extends QueryModule {
       FROM scored
       QUALIFY rank <= 3
       ORDER BY qid, rank""",
+    "q_sim_ann_recall" -> annRecallOracle,
     "q_embed_pca_power" -> """
       WITH q AS (
         SELECT vec_id, i,

@@ -430,19 +430,21 @@ object TextAnalysis extends QueryModule {
     * exact form's `groupBy(term)` shuffles the FULL vocabulary (at
     * 100 TB: billions of distinct terms), while this moves one
     * ≤k-entry buffer per partition regardless of corpus size. Scored
-    * with an exact oracle on purpose: k = 128 exceeds the synthetic
-    * corpus's distinct-term count, and Misra–Gries with k ≥ |vocab|
-    * never decrements — the sketch IS the exact frequency table, so
-    * the DuckDB hash match verifies the whole UDAF/merge path, not
-    * just bounds (the k < vocab sketch regime is QualitySpec-gated on
-    * forced-decrement runs).
+    * with an exact oracle on purpose: k = 4096 exceeds the synthetic
+    * corpus's distinct-term count at EVERY rehearsal decade (ScaleUp
+    * multiplies the vocab by the factor via its w→w_r token rewrite —
+    * k = 128 broke exactness at sf1), and Misra–Gries with
+    * k ≥ |vocab| never decrements — the sketch IS the exact frequency
+    * table, so the DuckDB hash match verifies the whole UDAF/merge
+    * path, not just bounds (the k < vocab sketch regime is
+    * QualitySpec-gated on forced-decrement runs).
     */
   val textVocabSketch: Q = (spark, dir) => {
     import graft.api.ops._
     val w = Window.orderBy(col("cnt").desc, col("term"))
     docs(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
-      .vocabSketch(col("term"), k = 128)
+      .vocabSketch(col("term"), k = 4096)
       .select(col("term"), col("est").as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(20)
       .select(row_number().over(w).as("rank"), col("term"), col("cnt"))

@@ -96,8 +96,11 @@ object Windows extends QueryModule {
     o.select(col("o_orderpriority"), col("o_orderkey"),
         Norm.r4(col("o_totalprice")).as("totalprice"),
         ntile(4).over(w).as("quartile"),
-        Norm.r4(percent_rank().over(w)).as("pct_rank"),
-        Norm.r4(cume_dist().over(w)).as("cume"))
+        // r4tie, not r4: pct_rank/cume are k/N quotients that land
+        // exactly on .xxxx5 once partitions hit ~1e5 rows (sf1 caught
+        // cume=0.37875 rounding HALF_UP here, half-even in DuckDB).
+        Norm.r4tie(percent_rank().over(w)).as("pct_rank"),
+        Norm.r4tie(cume_dist().over(w)).as("cume"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
@@ -307,8 +310,8 @@ object Windows extends QueryModule {
       SELECT o_orderpriority, o_orderkey,
              round(o_totalprice, 4) AS totalprice,
              CAST(ntile(4) OVER w AS INT) AS quartile,
-             round(percent_rank() OVER w, 4) AS pct_rank,
-             round(cume_dist() OVER w, 4) AS cume
+             floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+             floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
       FROM orders
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice, o_orderkey)

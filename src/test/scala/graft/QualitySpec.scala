@@ -164,6 +164,33 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_sim_ann_recall: full-probe IVF recall is exactly 1.0, " +
+      "scored recall bounded and monotone under it") {
+    // At nProbe = k the candidate set is the whole corpus and both
+    // sides rank by the same (rounded cosine desc, vec_id) key, so
+    // the 'approximate' search IS exact search: recall ≡ 1.0, not
+    // approximately 1.0. The scored 2-probe entry sits in [0, 1] by
+    // construction; monotonicity vs full probe is the nested-candidate
+    // argument the multiprobe tests pin.
+    val full = operators.Similarity.annRecall(spark, sfDir, nProbe = 16)
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Double]("recall_at_10") === 1.0,
+        s"full-probe recall != 1.0 for qid=${r.getAs[Long]("qid")}")
+    }
+    val scored = SparkEntry.queries("q_sim_ann_recall")(spark, sfDir)
+      .collect()
+    assert(scored.length === full.length)
+    scored.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0,
+        s"qid=${r.getAs[Long]("qid")} recall=$rec out of [0,1]")
+      assert(r.getAs[Long]("n_hits") ===
+        math.round(rec * 10), "n_hits and recall disagree")
+    }
+  }
+
   test("q_sim_ann_ivf: cells exhaustive, self-hit at rank 1, recall " +
       "monotone in nProbe") {
     import graft.api.ops._
