@@ -653,6 +653,54 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "hour")
   }
 
+  /** Single best changepoint per event-type hourly count series by
+    * between-segment variance reduction (binary-segmentation step 1,
+    * the CUSUM test's parametric sibling): for each interior split k,
+    * gain(k) = S_k²/k + (S−S_k)²/(n−k) − S²/n, argmax over k with
+    * ties to the earliest hour. Every sufficient statistic (S_k, S,
+    * k, n) is an exact integer from window prefix sums; the gain is
+    * one fixed-shape double expression over those ints, so both
+    * engines rank identical IEEE values — no rounding needed before
+    * the argmax, and the reported gain rounds tie-proof.
+    *
+    * Scale: events reduce to (types × hours) in the first partial-agg
+    * groupBy; every window partitions by event_type — no single-
+    * partition window, no driver state. Recursing the segmentation
+    * (full binary seg) is this same query re-applied per segment.
+    */
+  val tsChangepoint: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val scored = hourly
+      .withColumn("k", row_number().over(
+        Window.partitionBy("event_type").orderBy("hr")))
+      .withColumn("sk", sum(col("x")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .filter(col("k") < col("n"))
+    val kd = col("k").cast("double")
+    val nd = col("n").cast("double")
+    val skd = col("sk").cast("double")
+    val sd = col("s").cast("double")
+    val rd = (col("s") - col("sk")).cast("double")
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("score").desc, col("hr"))
+    scored
+      .withColumn("score",
+        skd * skd / kd + rd * rd / (nd - kd) - sd * sd / nd)
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), Norm.tstr(col("hr")).as("cp_hour"),
+        col("k").cast("long").as("k"), col("n"),
+        Norm.r4tie(col("score")).as("gain"))
+      .orderBy("event_type")
+  }
+
   /** Lag-1 and lag-24 autocorrelation of each event type's hourly count
     * series — the "is there day-over-day seasonality / short-term
     * momentum" diagnostic. Pearson r over (x_i, x_{i+k}) pairs with all
@@ -1316,6 +1364,7 @@ object TimeWindows extends QueryModule {
     "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_trend" -> tsTrend,
     "q_ts_cusum" -> tsCusum,
+    "q_ts_changepoint" -> tsChangepoint,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_seasonal" -> tsSeasonal,
     "q_seq_pattern" -> seqPattern,
@@ -1829,6 +1878,34 @@ object TimeWindows extends QueryModule {
              row_number() OVER (PARTITION BY event_type
                ORDER BY c DESC, hr) = 1 AS is_cp
       FROM cus ORDER BY event_type, hour""",
+    "q_ts_changepoint" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      pre AS (
+        SELECT event_type, hr,
+               row_number() OVER wo AS k,
+               sum(x) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(x) OVER (PARTITION BY event_type) AS s
+        FROM hourly
+        WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
+      sc AS (
+        SELECT event_type, hr, k, n,
+               CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+               + CAST(s - sk AS DOUBLE) * CAST(s - sk AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS score
+        FROM pre WHERE k < n)
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+             CAST(k AS BIGINT) AS k, n,
+             floor(score * 10000 + 0.5) / 10000 AS gain
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY score DESC, hr) = 1
+      ORDER BY event_type""",
     "q_ts_autocorr" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x

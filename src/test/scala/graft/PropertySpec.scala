@@ -735,4 +735,43 @@ class PropertySpec extends SparkSpec {
       base.basketPairs(col("o"), col("p"), maxBasket = 0)
     }
   }
+
+  test("q_ts_changepoint matches a driver-side brute-force argmax") {
+    // The scored query's windowed argmax vs an independent sequential
+    // recomputation of gain(k) = S_k²/k + (S−S_k)²/(n−k) − S²/n over
+    // the same hourly series (bounded: types × hours rows). Ties go
+    // to the earliest split in both (strict > keeps the first max).
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2.getTime).map(_._3)
+      val n = xs.length
+      val s = xs.sum
+      var bestK = -1
+      var bestGain = Double.NegativeInfinity
+      var sk = 0L
+      for (k <- 1 until n) {
+        sk += xs(k - 1)
+        val gain =
+          sk.toDouble * sk.toDouble / k.toDouble +
+            (s - sk).toDouble * (s - sk).toDouble / (n - k).toDouble -
+            s.toDouble * s.toDouble / n.toDouble
+        if (gain > bestGain) { bestGain = gain; bestK = k }
+      }
+      t -> ((bestK.toLong, n.toLong,
+        math.floor(bestGain * 10000 + 0.5) / 10000))
+    }
+    val got = SparkEntry.queries("q_ts_changepoint")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (k, n, g) = expected(t)
+      assert(r.getAs[Long]("k") === k, s"type=$t split")
+      assert(r.getAs[Long]("n") === n, s"type=$t length")
+      assert(r.getAs[Double]("gain") === g, s"type=$t gain")
+    }
+  }
 }
