@@ -40,6 +40,42 @@ object Dedup extends QueryModule {
         struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
       .orderBy("d1", "d2")
 
+  /** Cross-source duplication matrix — the provenance report every
+    * crawl-dedup pipeline publishes ("which feeds are re-crawling each
+    * other?"): near-dup pairs blocked by lang ONLY (so pairs cross
+    * source boundaries, unlike q_dedup_ngram_jaccard's
+    * (source, lang) blocks), rolled up to unordered source pairs with
+    * pair count and mean Jaccard. Runs on the deterministic 1-in-5
+    * audit sample — the n² oracle replay stays tractable at rehearsal
+    * scales, and a sampled matrix is how these reports run in
+    * production anyway. The mean is exact: each 4dp-rounded Jaccard
+    * lifts to an integer (×1e4, exact long sum, one final division) —
+    * a double sum's order-dependent ulp drift would land mean values
+    * like .81235 exactly on the rounding knife-edge. maxDf = 1000
+    * exceeds every per-(lang, token) df at oracle scales (≤ ~100 at
+    * sf0.01; per-replica ≤ 1000 at sf1/sf3 because ScaleUp suffixes
+    * tokens per replica), so the cap-free oracle is exact there while
+    * the cap still bounds candidate fanout beyond them.
+    */
+  val dedupSourceMatrix: Q = (spark, dir) => {
+    val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
+    val pairs = d.jaccardPairs(col("doc_id"), col("tokset"),
+      col("lang"), threshold = 0.8, maxDf = 1000)
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("j4"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sj4"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (floor(col("sj4").cast("double") / col("n_pairs").cast("double")
+          + 0.5) / 10000).as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Asymmetric containment ≥ 0.9 within (source, lang) blocks — the
     * sub-document signal: a short doc quoted whole inside a long one
     * scores containment ≈ 1 where Jaccard stays low. Directed output
@@ -260,6 +296,7 @@ object Dedup extends QueryModule {
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_source_matrix" -> dedupSourceMatrix,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -429,6 +466,27 @@ object Dedup extends QueryModule {
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8
       ORDER BY d1, d2""",
+    "q_dedup_source_matrix" -> """
+      WITH d AS (SELECT doc_id, source, lang,
+                        list_distinct(string_split(text, ' ')) AS tokset
+                 FROM documents
+                 WHERE doc_id % 5 = 0),
+      p AS (
+        SELECT a.source AS s1, b.source AS s2,
+               round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                 AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      q AS (
+        SELECT least(s1, s2) AS source_a, greatest(s1, s2) AS source_b,
+               CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j4
+        FROM p WHERE jaccard >= 0.8)
+      SELECT source_a, source_b, count(*) AS n_pairs,
+             floor(CAST(sum(j4) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               + 0.5) / 10000 AS avg_jaccard
+      FROM q GROUP BY source_a, source_b
+      ORDER BY source_a, source_b""",
     "q_dedup_containment" -> """
       WITH d AS (SELECT doc_id, source, lang,
                         list_distinct(string_split(text, ' ')) AS tokset
