@@ -1206,4 +1206,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
     assert(countOcc(p, "BroadcastNestedLoopJoin") >= 2, p)
   }
+
+  test("q_sim_ann_recall: exact side broadcasts the query batch, " +
+      "no cartesian") {
+    // The exact top-10 is a broadcast query batch over ONE streamed
+    // corpus pass (the corpus itself never shuffles into a cartesian);
+    // the ANN side stays a bucketed equi-join on the IVF cell.
+    val p = plan("q_sim_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_source_matrix: bucketed candidates, no cartesian") {
+    // Candidate pairs come from the (lang, token) equi-join with the
+    // maxDf cap — never an all-pairs product — and the rollup is a
+    // partial-agg'd hash aggregate on the tiny source-pair frame.
+    val p = plan("q_dedup_source_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_ts_changepoint: per-type windows only, events reduce first") {
+    // Every Window partitions by event_type (no single-partition
+    // window) and the events table collapses to (types × hours) in a
+    // two-phase hash aggregate before any window runs.
+    val p = plan("q_ts_changepoint")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
