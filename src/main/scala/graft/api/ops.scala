@@ -1130,10 +1130,15 @@ object ops {
       * it replaced. Band keys are md5 digests of the comma-joined
       * signature slice.
       */
-    def minhashDedupFlags(id: Column, tokset: Column,
-                          threshold: Double = 0.9,
-                          numHashes: Int = 128,
-                          bands: Int = 8): DataFrame = {
+    /** MinHash-LSH candidate pairs — the banding join BEFORE exact
+      * verification, exposed so audits can measure the band schema's
+      * precision/recall directly (q_dedup_lsh_audit). Same signature
+      * family and hash constants as [[minhashDedupFlags]], which
+      * builds on this. Output: (d1, d2) with d1 < d2, distinct.
+      */
+    def minhashCandidatePairs(id: Column, tokset: Column,
+                              numHashes: Int = 128,
+                              bands: Int = 8): DataFrame = {
       require(numHashes % bands == 0, "bands must divide numHashes")
       val rows = numHashes / bands
       val P = 2147483647L // 2^31 - 1, prime
@@ -1158,9 +1163,17 @@ object ops {
         col("did").as("d1"))
       val b = banded.select(col("band_id").as("band_id_b"),
         col("band_hash").as("band_hash_b"), col("did").as("d2"))
-      val cand = a.join(b, a("band_id") === b("band_id_b") &&
+      a.join(b, a("band_id") === b("band_id_b") &&
           a("band_hash") === b("band_hash_b") && a("d1") < b("d2"))
         .select("d1", "d2").dropDuplicates("d1", "d2")
+    }
+
+    def minhashDedupFlags(id: Column, tokset: Column,
+                          threshold: Double = 0.9,
+                          numHashes: Int = 128,
+                          bands: Int = 8): DataFrame = {
+      val base = df.select(id.as("did"), tokset.as("ts"))
+      val cand = minhashCandidatePairs(id, tokset, numHashes, bands)
       val ts = base.select(col("did"), col("ts"))
       val dupIds = cand
         .join(ts.select(col("did").as("d1"), col("ts").as("s1")), "d1")

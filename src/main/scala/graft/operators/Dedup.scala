@@ -40,6 +40,43 @@ object Dedup extends QueryModule {
         struct(col("source"), col("lang")), threshold = 0.8, maxDf = 1000)
       .orderBy("d1", "d2")
 
+  /** LSH banding audit — the tuning report for the MinHash schema
+    * (128 hashes × 8 bands of 16): how many candidate pairs the bands
+    * emit, what fraction survive exact ≥ 0.9 Jaccard verification
+    * (precision — the wasted-verification cost knob), and what
+    * fraction of the true in-block pairs the bands caught (recall —
+    * the missed-duplicate knob). Runs on the deterministic 1-in-5
+    * audit sample; the truth set is the lang-blocked exact pair list
+    * (jaccardPairs, cap inert at oracle scales). Every count is an
+    * exact integer entering the plan as a 1-row broadcast crossJoin
+    * (no driver .count()); the two ratios divide once at the end.
+    */
+  val dedupLshAudit: Q = (spark, dir) => {
+    val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
+    val cand = d.minhashCandidatePairs(col("doc_id"), col("tokset"))
+    val ts = d.select(col("doc_id"), col("tokset"))
+    val verified = cand
+      .join(ts.select(col("doc_id").as("d1"), col("tokset").as("s1")), "d1")
+      .join(ts.select(col("doc_id").as("d2"), col("tokset").as("s2")), "d2")
+      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))) >= 0.9)
+      .select(col("d1"), col("d2"))
+    val truth = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+      threshold = 0.9, maxDf = 1000).select(col("d1"), col("d2"))
+    val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nv = verified.agg(count(lit(1)).as("n_verified"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = hit.agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(nv).crossJoin(nt).crossJoin(nh)
+      .select(col("n_cand"), col("n_verified"), col("n_truth"),
+        col("n_hit"),
+        Norm.r4tie(col("n_verified").cast("double") /
+          col("n_cand").cast("double")).as("lsh_precision"),
+        Norm.r4tie(col("n_hit").cast("double") /
+          col("n_truth").cast("double")).as("lsh_recall"))
+  }
+
   /** Cross-source duplication matrix — the provenance report every
     * crawl-dedup pipeline publishes ("which feeds are re-crawling each
     * other?"): near-dup pairs blocked by lang ONLY (so pairs cross
@@ -297,6 +334,7 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_source_matrix" -> dedupSourceMatrix,
+    "q_dedup_lsh_audit" -> dedupLshAudit,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -466,6 +504,60 @@ object Dedup extends QueryModule {
           ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.8
       ORDER BY d1, d2""",
+    "q_dedup_lsh_audit" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+          AS sh
+        FROM documents WHERE doc_id % 5 = 0),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h31
+        FROM toks),
+      ks AS (
+        SELECT k,
+               (k * 2654435761) % 2147483646 + 1 AS a,
+               (k * 40503 * 65537 + 17) % 2147483647 AS b
+        FROM generate_series(0, 127) AS g(k)),
+      sig AS (
+        SELECT doc_id, k, min((h31 * a + b) % 2147483647) AS m
+        FROM h CROSS JOIN ks GROUP BY doc_id, k),
+      band AS (
+        SELECT doc_id, k // 16 AS band_id,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY k)) AS bh
+        FROM sig GROUP BY doc_id, k // 16),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM band x JOIN band y
+          ON x.band_id = y.band_id AND x.bh = y.bh
+             AND x.doc_id < y.doc_id),
+      d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS ts
+        FROM documents WHERE doc_id % 5 = 0),
+      ver AS (
+        SELECT c.d1, c.d2 FROM cand c
+        JOIN d a ON a.doc_id = c.d1
+        JOIN d b ON b.doc_id = c.d2
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9),
+      truth AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.9),
+      hit AS (SELECT d1, d2 FROM cand INTERSECT SELECT d1, d2 FROM truth)
+      SELECT nc.n_cand, nv.n_verified, nt.n_truth, nh.n_hit,
+             floor(CAST(nv.n_verified AS DOUBLE)
+               / CAST(nc.n_cand AS DOUBLE) * 10000 + 0.5) / 10000
+               AS lsh_precision,
+             floor(CAST(nh.n_hit AS DOUBLE)
+               / CAST(nt.n_truth AS DOUBLE) * 10000 + 0.5) / 10000
+               AS lsh_recall
+      FROM (SELECT count(*) AS n_cand FROM cand) nc,
+           (SELECT count(*) AS n_verified FROM ver) nv,
+           (SELECT count(*) AS n_truth FROM truth) nt,
+           (SELECT count(*) AS n_hit FROM hit) nh""",
     "q_dedup_source_matrix" -> """
       WITH d AS (SELECT doc_id, source, lang,
                         list_distinct(string_split(text, ' ')) AS tokset
