@@ -582,15 +582,64 @@ object Joins extends QueryModule {
       ASOF LEFT JOIN orders o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       ORDER BY e.event_id""",
+    // Defining semantics (the enumerating theta join — kept for the
+    // record, NOT shipped as the oracle):
+    //   SELECT a.event_type, b.event_type AS event_type2, count(*)
+    //   FROM events a JOIN events b
+    //     ON us(b) - us(a) <= 3600000000
+    //    AND (us(a) < us(b) OR (us(a) = us(b) AND a.event_id < b.event_id))
+    //   GROUP BY 1, 2
+    // That join materializes O(n · band_density) pairs — ~3e9 at sf1 —
+    // and never finished the sf1 replay. The shipped oracle is the
+    // classic sweep-line instead: merge each event's two probes
+    // (its own lex key; its band start us−1h) into the per-type event
+    // stream, one running-count window per pass, pairs(b, t) =
+    // prefix_lex(b) − prefix_before_band(b). Probes sort BEFORE events
+    // at an identical key (probe DESC) so b never counts itself and
+    // events exactly at the band start stay in-band. Verified equal to
+    // the enumerating form at sf0.001/0.01/0.1 (25/25 rows each) —
+    // still algorithm-independent of the Spark plan (three RANGE/ROWS
+    // frames over hour cells vs. a probe merge).
     "q_join_interval" -> """
-      SELECT a.event_type AS event_type, b.event_type AS event_type2,
-             count(*) AS n_pairs
-      FROM events a JOIN events b
-        ON (epoch_ns(b.ts) // 1000) - (epoch_ns(a.ts) // 1000) <= 3600000000
-       AND ((epoch_ns(a.ts) // 1000) < (epoch_ns(b.ts) // 1000)
-            OR ((epoch_ns(a.ts) // 1000) = (epoch_ns(b.ts) // 1000)
-                AND a.event_id < b.event_id))
-      GROUP BY a.event_type, b.event_type
+      WITH ev AS (
+        SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us
+        FROM events),
+      ty AS (SELECT DISTINCT event_type AS t FROM ev),
+      ua AS (
+        SELECT event_type AS t, us, event_id AS id, 0 AS probe,
+               CAST(NULL AS BIGINT) AS aid, CAST(NULL AS VARCHAR) AS atype
+        FROM ev
+        UNION ALL
+        SELECT ty.t, b.us, b.event_id, 1, b.event_id, b.event_type
+        FROM ev b CROSS JOIN ty),
+      pa AS (
+        SELECT t, probe, aid, atype,
+               sum(CASE WHEN probe = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t ORDER BY us, id, probe DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS c
+        FROM ua),
+      ub AS (
+        SELECT event_type AS t, us, 0 AS probe,
+               CAST(NULL AS BIGINT) AS aid, CAST(NULL AS VARCHAR) AS atype
+        FROM ev
+        UNION ALL
+        SELECT ty.t, b.us - 3600000000, 1, b.event_id, b.event_type
+        FROM ev b CROSS JOIN ty),
+      pb AS (
+        SELECT t, probe, aid, atype,
+               sum(CASE WHEN probe = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t ORDER BY us, probe DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS c
+        FROM ub)
+      SELECT a.t AS event_type, a.atype AS event_type2,
+             CAST(sum(a.c - b.c) AS BIGINT) AS n_pairs
+      FROM (SELECT t, aid, atype, c FROM pa WHERE probe = 1) a
+      JOIN (SELECT t, aid, atype, c FROM pb WHERE probe = 1) b
+        ON a.t = b.t AND a.aid = b.aid
+      GROUP BY a.t, a.atype
+      HAVING sum(a.c - b.c) > 0
       ORDER BY event_type, event_type2""",
   )
 }
