@@ -541,20 +541,39 @@ object Similarity extends QueryModule {
     * nearest data-derived centroid (per-label elementwise means via
     * the CentroidAgg UDAF — a trained quantizer stand-in; swap in
     * [[graft.api.ops.GraftDataFrameOps.lloydRefine]] output for real
-    * k-means), then ONLY within-cluster pairs are cosine-scored. That
-    * clustering is the whole trick: pairwise work drops from O(n²) to
-    * Σ|cluster|², and each cluster's pairs co-locate under one shuffle
-    * key. Assignment broadcasts the k-row centroid table (bytes at any
+    * k-means), then only within-cluster candidates are cosine-scored.
+    * Assignment broadcasts the k-row centroid table (bytes at any
     * SF); argmax is a row_number over the 4-dp-rounded similarity so
-    * both engines break near-ties identically. The corpus plants no
-    * near-dups (max cos ≈ 0.51), so the production `cos ≥ τ` drop set
-    * would be empty — the query emits each cluster's top-2 closest
-    * pairs with the `would_drop` verdict column instead, exercising
-    * the full assign → block → score → prune plan while staying
-    * non-empty and oracle-checkable (same trick as q_dedup_embedding).
+    * both engines break near-ties identically.
+    *
+    * WITHIN the cluster, candidates are LSH-sub-blocked (`tables`
+    * sign-hash tables of `bits` planes each, pair = same bucket in
+    * ANY table — the rotate-block recall trick from q_dedup_simhash
+    * on real-valued hyperplanes): the r11 sf3 rehearsal measured the
+    * raw within-cluster join compounding (7.3 s at sf1 → 153 s at
+    * sf3, exponent ≈ 2.8 — cluster count is fixed so Σ|cluster|²
+    * IS n²), and the banding divides that by 2^bits/tables ≈ 64. Like
+    * every LSH block in this library, `bits` is the scale knob: grow
+    * it ≈ log2(cluster_size / target_bucket) so buckets stay bounded
+    * (and/or grow the cluster count, which real SemDeDup does — its k
+    * scales with n). The corpus plants no near-dups (max cos ≈ 0.51),
+    * so the production `cos ≥ τ` drop set would be empty — the query
+    * emits each cluster's top-2 closest CANDIDATE pairs with the
+    * `would_drop` verdict column instead, exercising the full assign
+    * → block → score → prune plan while staying non-empty and
+    * oracle-checkable (same trick as q_dedup_embedding).
     */
-  val dedupSemantic: Q = (spark, dir) => {
+  val dedupSemantic: Q = (spark, dir) =>
+    dedupSemanticBanded(spark, dir, tables = 4, bits = 8)
+
+  /** [[dedupSemantic]] with the banding exposed (tables × bits sign
+    * tables over a shared 32-plane pool when tables·bits ≤ 32).
+    */
+  def dedupSemanticBanded(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, tables: Int,
+                          bits: Int): DataFrame = {
     import graft.api.ops._
+    val planes = lshPlanes(tables * bits, 64)
     val e = emb(spark, dir)
     val cents = Tables(spark, dir, "embeddings")
       .centroidPerKey(col("label"), col("embedding"))
@@ -567,13 +586,27 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("clabel").as("cluster"), col("emb"))
-    val a = best.select(col("cluster"), col("vec_id").as("v1"),
-      col("emb").as("e1"))
-    val b = best.select(col("cluster").as("cluster_b"),
+    val withBuckets = (0 until tables).foldLeft(best) { (d, t) =>
+      d.withSignLshBucket(col("emb"),
+        planes.slice(t * bits, (t + 1) * bits), s"b$t")
+    }
+    val cells = withBuckets.select(col("vec_id"), col("cluster"),
+      col("emb"),
+      posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+        .as(Seq("tbl", "bkt")))
+    val ca = cells.select(col("cluster"), col("tbl"), col("bkt"),
+      col("vec_id").as("v1"), col("emb").as("e1"))
+    val cb = cells.select(col("cluster").as("cluster_b"),
+      col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
       col("vec_id").as("v2"), col("emb").as("e2"))
+    val cand = ca.join(cb, ca("cluster") === cb("cluster_b") &&
+        ca("tbl") === cb("tbl_b") && ca("bkt") === cb("bkt_b") &&
+        ca("v1") < cb("v2"))
+      .select(col("cluster"), col("v1"), col("v2"), col("e1"), col("e2"))
+      .dropDuplicates("cluster", "v1", "v2")
     val wPair = Window.partitionBy("cluster")
       .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
-    a.join(b, a("cluster") === b("cluster_b") && a("v1") < b("v2"))
+    cand
       .select(col("cluster"), col("v1"), col("v2"),
         Norm.r4(cosine(col("e1"), col("e2"))).as("cos_sim"))
       .withColumn("rank", row_number().over(wPair))
@@ -1656,7 +1689,7 @@ object Similarity extends QueryModule {
       FROM best
       GROUP BY clabel
       ORDER BY cluster""",
-    "q_dedup_semantic" -> """
+    "q_dedup_semantic" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       cent AS (
@@ -1687,8 +1720,31 @@ object Similarity extends QueryModule {
                 (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rn
               FROM scored)
         WHERE rn = 1),
+      pl AS (
+        SELECT k, (CAST(${graft.api.ops.lshPlanesSql(32, 64)}
+          AS DOUBLE[][]))[k] AS p
+        FROM generate_series(1, 32) AS g(k)),
+      dots AS (
+        SELECT b.vec_id, pl.k,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i -> b.emb[i] * pl.p[i])),
+                 (acc, x) -> acc + x) AS d
+        FROM best b CROSS JOIN pl),
+      buck AS (
+        SELECT vec_id, (k - 1) // 8 AS tbl,
+               sum(CASE WHEN d > 0
+                        THEN 1 << (7 - ((k - 1) % 8)) ELSE 0 END) AS bkt
+        FROM dots GROUP BY vec_id, (k - 1) // 8),
+      cells AS (
+        SELECT b.cluster, b.vec_id, k.tbl, k.bkt
+        FROM best b JOIN buck k USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT a.cluster, a.vec_id AS v1, b.vec_id AS v2
+        FROM cells a JOIN cells b
+          ON a.cluster = b.cluster AND a.tbl = b.tbl
+             AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
       pairs AS (
-        SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+        SELECT c.cluster, c.v1, c.v2,
                round(
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])),
@@ -1699,8 +1755,9 @@ object Similarity extends QueryModule {
                   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                       list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
                       (acc, x) -> acc + x))), 4) AS cos_sim
-        FROM best a JOIN best b
-          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        FROM cand c
+        JOIN best a ON a.vec_id = c.v1
+        JOIN best b ON b.vec_id = c.v2),
       ranked AS (
         SELECT *, row_number() OVER
           (PARTITION BY cluster ORDER BY cos_sim DESC, v1, v2) AS rank
