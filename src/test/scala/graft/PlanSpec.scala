@@ -1236,4 +1236,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q_ts_motif: events reduce to hourly first, keyed pair join") {
+    // The window-vector frame is (types × hours) — events partial-agg
+    // before any window — and the pair join is an equi-join on
+    // event_type (no cartesian), with no single-partition window
+    // anywhere (the per-type argmin partitions by event_type).
+    val p = plan("q_ts_motif")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
 }

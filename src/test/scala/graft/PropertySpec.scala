@@ -774,4 +774,63 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Double]("gain") === g, s"type=$t gain")
     }
   }
+
+  test("q_ts_motif matches a driver-side brute-force nearest pair") {
+    // Independent sequential recomputation of the motif: all 24-hour
+    // windows per type, zero-variance windows gated by the exact
+    // integer inequality n·Σx² == (Σx)², all non-overlapping pairs
+    // (j − i ≥ 24), distance via the MASS identity dist² = 2w −
+    // 2·(dot − w·μaμb)/(σaσb) with the dot product as the same
+    // sequential left fold, clamped at 0, 4dp half-up rounding
+    // BEFORE the argmin, ties to the smallest (i, j).
+    val w = 24
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = hourly.groupBy(_._1).flatMap { case (t, rows) =>
+      val series = rows.sortBy(_._2.getTime)
+      val xs = series.map(_._3)
+      val wins = (0 to xs.length - w).flatMap { i0 =>
+        val v = xs.slice(i0, i0 + w)
+        val s1 = v.sum
+        val s2 = v.map(x => x * x).sum
+        if (s2 * w == s1 * s1) None
+        else {
+          val mu = s1.toDouble / w
+          val sg = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / w) / w)
+          Some((i0 + 1, series(i0)._2, v, mu, sg))
+        }
+      }
+      var best: Option[(Double, Int, Int, String, String)] = None
+      for ((i, hrA, va, mua, sga) <- wins; (j, hrB, vb, mub, sgb) <- wins
+           if j - i >= w) {
+        var dot = 0.0
+        for (k <- 0 until w) dot += va(k).toDouble * vb(k).toDouble
+        val d2 = math.max(
+          2.0 * w - 2.0 * ((dot - w.toDouble * mua * mub) / (sga * sgb)),
+          0.0)
+        val dist = math.floor(math.sqrt(d2) * 10000 + 0.5) / 10000
+        val cand = (dist, i, j, fmt.format(hrA), fmt.format(hrB))
+        val better = best.forall { b =>
+          dist < b._1 || (dist == b._1 && (i < b._2 ||
+            (i == b._2 && j < b._3)))
+        }
+        if (better) best = Some(cand)
+      }
+      best.map(b => t -> b)
+    }
+    val got = SparkEntry.queries("q_ts_motif")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (dist, _, _, ma, mb) = expected(t)
+      assert(r.getAs[String]("motif_a") === ma, s"type=$t motif_a")
+      assert(r.getAs[String]("motif_b") === mb, s"type=$t motif_b")
+      assert(r.getAs[Double]("dist") === dist, s"type=$t dist")
+    }
+  }
 }
