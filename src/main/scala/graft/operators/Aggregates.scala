@@ -1138,6 +1138,61 @@ object Aggregates extends QueryModule {
       .orderBy("segment")
   }
 
+  /** Kendall's τ-b between every pair of event-type hourly count
+    * series — the rank-correlation sibling of q_ts_crosscorr's
+    * Pearson r and q_agg_spearman's ρ, robust to monotone
+    * transformations and the standard choice when series are
+    * heavy-tailed. Concordant / discordant / tied pair counts are
+    * exact BIGINTs from a sign comparison over all hour pairs; τ-b =
+    * (C − D) / √((n₀ − t_x)(n₀ − t_y)) touches doubles only in the
+    * one final closed form (counts ≤ 2.6e5 and their products
+    * ≤ 6.7e10 are exactly representable, so both engines divide the
+    * same IEEE values).
+    *
+    * Scale: the hour-pair join is quadratic in the CALENDAR (hours²,
+    * per type pair), not in data volume — events partial-agg to
+    * (types × hours) first. For multi-year spans, switch to the
+    * O(n log n) merge-sort inversion count per type pair (each
+    * series fits one task) — the join form is preferred while
+    * hours² stays in the millions because it whole-stage-codegens.
+    */
+  val statsKendall: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val aT = hourly.select(col("event_type").as("type_a"), col("hr"),
+      col("x"))
+    val bT = hourly.select(col("event_type").as("type_b"),
+      col("hr").as("hr_b"), col("x").as("y"))
+    // hours where BOTH series observe data; < keeps unordered pairs
+    val series = aT.join(bT, col("hr") === col("hr_b") &&
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("hr"), col("x"), col("y"))
+    val p1 = series.select(col("type_a"), col("type_b"),
+      col("hr").as("h1"), col("x").as("x1"), col("y").as("y1"))
+    val p2 = series.select(col("type_a").as("ta2"), col("type_b").as("tb2"),
+      col("hr").as("h2"), col("x").as("x2"), col("y").as("y2"))
+    val dx = col("x1") - col("x2")
+    val dy = col("y1") - col("y2")
+    val agg = p1.join(p2, col("type_a") === col("ta2") &&
+        col("type_b") === col("tb2") && col("h1") < col("h2"))
+      .groupBy("type_a", "type_b").agg(
+        count(lit(1)).as("n0"),
+        sum(when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), 1L)
+          .otherwise(0L)).as("conc"),
+        sum(when((dx > 0 && dy < 0) || (dx < 0 && dy > 0), 1L)
+          .otherwise(0L)).as("disc"),
+        sum(when(dx === 0, 1L).otherwise(0L)).as("tie_x"),
+        sum(when(dy === 0, 1L).otherwise(0L)).as("tie_y"))
+    def d(c: String) = col(c).cast("double")
+    val tau = (d("conc") - d("disc")) /
+      sqrt((d("n0") - d("tie_x")) * (d("n0") - d("tie_y")))
+    agg.select(col("type_a"), col("type_b"), col("n0"), col("conc"),
+        col("disc"), Norm.r4dn(tau).as("tau"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Benford first-digit audit over order totals — the classic fraud /
     * data-quality screen: the observed share of each leading digit vs
     * the Benford expectation log10(1+1/d). The digit is extracted
@@ -1599,6 +1654,7 @@ object Aggregates extends QueryModule {
     "q_agg_skewness" -> aggSkewness,
     "q_agg_gini" -> aggGini,
     "q_stats_benford" -> statsBenford,
+    "q_stats_kendall" -> statsKendall,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -2136,6 +2192,37 @@ object Aggregates extends QueryModule {
                       / CAST(n_customers AS DOUBLE)) * 10000 + 0.5)
                / 10000 AS gini
       FROM g ORDER BY segment""",
+    "q_stats_kendall" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      series AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.hr, a.x, b.x AS y
+        FROM hourly a JOIN hourly b
+          ON a.hr = b.hr AND a.event_type < b.event_type),
+      agg AS (
+        SELECT p.type_a, p.type_b,
+               count(*) AS n0,
+               CAST(sum(CASE WHEN (p.x > q.x AND p.y > q.y)
+                               OR (p.x < q.x AND p.y < q.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN (p.x > q.x AND p.y < q.y)
+                               OR (p.x < q.x AND p.y > q.y)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tie_x,
+               CAST(sum(CASE WHEN p.y = q.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tie_y
+        FROM series p JOIN series q
+          ON p.type_a = q.type_a AND p.type_b = q.type_b AND p.hr < q.hr
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n0, conc, disc,
+             floor((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+                   sqrt((CAST(n0 AS DOUBLE) - CAST(tie_x AS DOUBLE))
+                        * (CAST(n0 AS DOUBLE) - CAST(tie_y AS DOUBLE)))
+                   * 10000) / 10000 AS tau
+      FROM agg ORDER BY type_a, type_b""",
     "q_stats_benford" -> """
       WITH d AS (
         SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -730,7 +730,60 @@ object TimeWindows extends QueryModule {
     * bounded-frame argument every ts_* query documents.
     */
   val tsMotif: Q = (spark, dir) => {
-    val w = 24
+    // argmin as a partial-agg'd min(struct) — (dist, i, j) is a total
+    // order (i, j unique per type), so the lexicographic struct min IS
+    // the (dist asc, i, j) rank-1 row without a 1.1M-row window sort
+    motifPairFrame(spark, dir, 24, sym = false)
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("dist"), col("i"), col("j"),
+        col("hr_a"), col("hr_b"))).as("m"))
+      .select(col("event_type"), Norm.tstr(col("m.hr_a")).as("motif_a"),
+        Norm.tstr(col("m.hr_b")).as("motif_b"), col("m.dist").as("dist"))
+      .orderBy("event_type")
+  }
+
+  /** Matrix-profile discord — motif's dual: per event-type hourly
+    * series, the 24-hour window whose NEAREST non-overlapping
+    * neighbor is farthest away — "which day looks like no other day?"
+    * (the matrix-profile anomaly headline; a repeated anomaly is a
+    * motif, a one-off is a discord). Same window frame, sufficient
+    * statistics, MASS-identity distance, and 4dp rounding as
+    * [[tsMotif]] via [[motifPairFrame]] (symmetric pairs: every
+    * window needs its min over BOTH directions); then a hash-agg min
+    * per window and a per-type argmax with (max nn_dist, earliest i)
+    * tie order.
+    *
+    * Scale: identical bound to the motif — pairs are per-type over
+    * the (types × hours) frame; the nn min is a hash aggregate keyed
+    * (type, i), not a window, so it parallelizes across the full
+    * shuffle width.
+    */
+  val tsDiscord: Q = (spark, dir) => {
+    // argmax with earliest-window ties as a partial-agg'd max(struct):
+    // −i inverts the tie direction (max nn_dist, then smallest i)
+    motifPairFrame(spark, dir, 24, sym = true)
+      .groupBy(col("event_type"), col("i"), col("hr_a"))
+      .agg(min(col("dist")).as("nn_dist"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("nn_dist"), (-col("i")).as("negi"),
+        col("hr_a"))).as("m"))
+      .select(col("event_type"),
+        Norm.tstr(col("m.hr_a")).as("discord_hour"),
+        col("m.nn_dist").as("nn_dist"))
+      .orderBy("event_type")
+  }
+
+  /** Shared matrix-profile pair frame (q_ts_motif / q_ts_discord):
+    * per-type w-hour window vectors over the hourly count series with
+    * exact-BIGINT sufficient statistics (zero-variance windows gated
+    * by the Cauchy–Schwarz equality case n·Σx² = (Σx)²), paired
+    * non-overlapping (one-directional j − i ≥ w for the motif's
+    * unordered argmin; symmetric |j − i| ≥ w for the discord's
+    * per-window min), with the MASS-identity z-normalized distance
+    * already 4dp-rounded. Columns: event_type, i, j, hr_a, hr_b, dist.
+    */
+  private def motifPairFrame(spark: SparkSession, dir: String, w: Int,
+      sym: Boolean): DataFrame = {
     val e = Tables(spark, dir, "events")
     val hourly = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
@@ -764,16 +817,11 @@ object TimeWindows extends QueryModule {
         ((dot - lit(w.toDouble) * col("mua") * col("mub")) /
           (col("sga") * col("sgb"))),
       lit(0.0)))
-    val wPick = Window.partitionBy("event_type")
-      .orderBy(col("dist"), col("i"), col("j"))
-    a.join(b, a("event_type") === b("et_b") &&
-        (b("j") - a("i")) >= lit(w))
+    val gap = if (sym) abs(b("j") - a("i")) else b("j") - a("i")
+    a.join(b, a("event_type") === b("et_b") && gap >= lit(w))
       .withColumn("dist", Norm.r4tie(dist))
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), Norm.tstr(col("hr_a")).as("motif_a"),
-        Norm.tstr(col("hr_b")).as("motif_b"), col("dist"))
-      .orderBy("event_type")
+      .select(col("event_type"), col("i"), col("j"), col("hr_a"),
+        col("hr_b"), col("dist"))
   }
 
   /** Lag-1 and lag-24 autocorrelation of each event type's hourly count
@@ -1441,6 +1489,7 @@ object TimeWindows extends QueryModule {
     "q_ts_cusum" -> tsCusum,
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_motif" -> tsMotif,
+    "q_ts_discord" -> tsDiscord,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_seasonal" -> tsSeasonal,
     "q_seq_pattern" -> seqPattern,
@@ -1464,6 +1513,49 @@ object TimeWindows extends QueryModule {
     "q_window_sliding" -> windowSliding,
     "q_session_window" -> sessionWindows,
   )
+
+  /** Shared CTE prefix for the two matrix-profile oracles: the
+    * DuckDB replay of [[motifPairFrame]]'s window frame — hourly
+    * counts, 24-row list() windows, exact-BIGINT Σx/Σx² folds with
+    * the zero-variance gate, and the μ/σ projection.
+    */
+  private val motifWinsCte = """WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      wins0 AS (
+        SELECT event_type, hr,
+               row_number() OVER wo AS i,
+               list(x) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS v
+        FROM hourly
+        WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
+      sums AS (
+        SELECT event_type, hr, i, v,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+                 (s, x) -> s + x) AS s1,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), v),
+                 (s, x) -> s + x * x) AS s2
+        FROM wins0 WHERE len(v) = 24),
+      wins AS (
+        SELECT event_type, hr, i, v,
+               CAST(s1 AS DOUBLE) / 24 AS mu,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24) / 24)
+                 AS sg
+        FROM sums WHERE s2 * 24 <> s1 * s1)"""
+
+  /** The MASS-identity pair distance on `wins a JOIN wins b`, 4dp
+    * half-up rounded — the same float shape as the Spark side's
+    * DotArrays kernel + identity expression.
+    */
+  private val motifDistSql = """floor(sqrt(greatest(
+                 48.0 - 2.0 * ((list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 25), k ->
+                       CAST(a.v[k] AS DOUBLE) * CAST(b.v[k] AS DOUBLE))),
+                   (s, x) -> s + x)
+                   - 24.0 * a.mu * b.mu) / (a.sg * b.sg)),
+                 0.0)) * 10000 + 0.5) / 10000"""
 
   val oracle: Map[String, String] = Map(
     "q_ts_wow" -> """
@@ -1982,41 +2074,11 @@ object TimeWindows extends QueryModule {
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY score DESC, hr) = 1
       ORDER BY event_type""",
-    "q_ts_motif" -> """
-      WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
-        FROM events GROUP BY 1, 2),
-      wins0 AS (
-        SELECT event_type, hr,
-               row_number() OVER wo AS i,
-               list(x) OVER (PARTITION BY event_type ORDER BY hr
-                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS v
-        FROM hourly
-        WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
-      sums AS (
-        SELECT event_type, hr, i, v,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), v),
-                 (s, x) -> s + x) AS s1,
-               list_reduce(list_prepend(CAST(0 AS BIGINT), v),
-                 (s, x) -> s + x * x) AS s2
-        FROM wins0 WHERE len(v) = 24),
-      wins AS (
-        SELECT event_type, hr, i, v,
-               CAST(s1 AS DOUBLE) / 24 AS mu,
-               sqrt((CAST(s2 AS DOUBLE)
-                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24) / 24)
-                 AS sg
-        FROM sums WHERE s2 * 24 <> s1 * s1),
+    "q_ts_motif" -> s"""
+      $motifWinsCte,
       pairs AS (
         SELECT a.event_type, a.i, b.i AS j, a.hr AS hr_a, b.hr AS hr_b,
-               floor(sqrt(greatest(
-                 48.0 - 2.0 * ((list_reduce(
-                   list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(range(1, 25), k ->
-                       CAST(a.v[k] AS DOUBLE) * CAST(b.v[k] AS DOUBLE))),
-                   (s, x) -> s + x)
-                   - 24.0 * a.mu * b.mu) / (a.sg * b.sg)),
-                 0.0)) * 10000 + 0.5) / 10000 AS dist
+               $motifDistSql AS dist
         FROM wins a JOIN wins b
           ON a.event_type = b.event_type AND b.i - a.i >= 24)
       SELECT event_type,
@@ -2026,6 +2088,23 @@ object TimeWindows extends QueryModule {
       FROM pairs
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY dist, i, j) = 1
+      ORDER BY event_type""",
+    "q_ts_discord" -> s"""
+      $motifWinsCte,
+      pairs AS (
+        SELECT a.event_type, a.i, a.hr AS hr_a,
+               $motifDistSql AS dist
+        FROM wins a JOIN wins b
+          ON a.event_type = b.event_type AND abs(b.i - a.i) >= 24),
+      nn AS (
+        SELECT event_type, i, hr_a, min(dist) AS nn_dist
+        FROM pairs GROUP BY 1, 2, 3)
+      SELECT event_type,
+             strftime(hr_a, '%Y-%m-%d %H:%M:%S') AS discord_hour,
+             nn_dist
+      FROM nn
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY nn_dist DESC, i) = 1
       ORDER BY event_type""",
     "q_ts_autocorr" -> """
       WITH hourly AS (

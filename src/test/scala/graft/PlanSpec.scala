@@ -1237,6 +1237,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_ts_discord: nn min is a hash agg, not a window") {
+    // The per-window nearest-neighbor min over the symmetric pair
+    // stream must be a hash aggregate keyed (type, i) — full shuffle
+    // width — not a per-type window; only the final 1-row-per-type
+    // argmax windows by event_type. No cartesian, no
+    // single-partition window.
+    val p = plan("q_ts_discord")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_ts_motif: events reduce to hourly first, keyed pair join") {
     // The window-vector frame is (types × hours) — events partial-agg
     // before any window — and the pair join is an equi-join on

@@ -833,4 +833,61 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Double]("dist") === dist, s"type=$t dist")
     }
   }
+
+  test("q_ts_discord matches a driver-side brute-force farthest-nn") {
+    // Independent recomputation of the discord: per window, the min
+    // MASS-identity distance over BOTH directions (|j − i| ≥ 24,
+    // each pair distance 4dp-rounded first), then the per-type
+    // argmax with (max nn_dist, earliest i) ties.
+    val w = 24
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = hourly.groupBy(_._1).flatMap { case (t, rows) =>
+      val series = rows.sortBy(_._2.getTime)
+      val xs = series.map(_._3)
+      val wins = (0 to xs.length - w).flatMap { i0 =>
+        val v = xs.slice(i0, i0 + w)
+        val s1 = v.sum
+        val s2 = v.map(x => x * x).sum
+        if (s2 * w == s1 * s1) None
+        else {
+          val mu = s1.toDouble / w
+          val sg = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / w) / w)
+          Some((i0 + 1, series(i0)._2, v, mu, sg))
+        }
+      }
+      val nn = wins.flatMap { case (i, hrA, va, mua, sga) =>
+        val ds = wins.collect {
+          case (j, _, vb, mub, sgb) if math.abs(j - i) >= w =>
+            var dot = 0.0
+            for (k <- 0 until w) dot += va(k).toDouble * vb(k).toDouble
+            val d2 = math.max(
+              2.0 * w - 2.0 * ((dot - w.toDouble * mua * mub) / (sga * sgb)),
+              0.0)
+            math.floor(math.sqrt(d2) * 10000 + 0.5) / 10000
+        }
+        if (ds.isEmpty) None else Some((i, fmt.format(hrA), ds.min))
+      }
+      if (nn.isEmpty) None
+      else {
+        var best = nn.head
+        for (c <- nn.tail)
+          if (c._3 > best._3 || (c._3 == best._3 && c._1 < best._1)) best = c
+        Some(t -> best)
+      }
+    }
+    val got = SparkEntry.queries("q_ts_discord")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (_, hr, d) = expected(t)
+      assert(r.getAs[String]("discord_hour") === hr, s"type=$t hour")
+      assert(r.getAs[Double]("nn_dist") === d, s"type=$t nn_dist")
+    }
+  }
 }
