@@ -113,6 +113,55 @@ object Dedup extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** Local clustering coefficient of the near-duplicate graph — the
+    * cluster-SHAPE audit for dedup: cliquey neighborhoods (cc → 1)
+    * mean candidate clusters are true duplicate groups, while low cc
+    * flags chain-shaped components (transitive LSH bridging: A≈B≈C
+    * with A̸≈C), exactly the case where keep-one-per-component dedup
+    * over-deletes. Edges are the lang-blocked ≥ 0.8 near-dup pairs on
+    * the deterministic 1-in-5 audit sample (the same graph
+    * q_dedup_source_matrix rolls up). Per node with degree ≥ 2:
+    * degree, triangle count, cc = 2T/(d(d−1)) — T and d exact
+    * BIGINTs, the division the only float op, 4dp tie-proof rounded.
+    *
+    * Triangles enumerate by smallest vertex over the canonical
+    * (d1 < d2) edge list: wedge join at the minimum endpoint + one
+    * closure join, each triangle found exactly once, every stage a
+    * codegen hash join. Wedge fanout is Σ(above-degree)² — bounded by
+    * near-dup cluster sizes, which the jaccardPairs maxDf cap already
+    * guards (same skew argument as the rest of the dedup family).
+    */
+  val graphClustering: Q = (spark, dir) => {
+    val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
+    // pin: the edge list feeds FOUR consumers (two degree legs, the
+    // wedge join's both sides, the closure probe)
+    val edges = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+        threshold = 0.8, maxDf = 1000)
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val e1 = edges.select(col("a").as("u"), col("b").as("v"))
+    val e2 = edges.select(col("a").as("u2"), col("b").as("w"))
+    val tris = e1.join(e2, col("u") === col("u2") && col("w") > col("v"))
+      .select(col("u"), col("v"), col("w"))
+      .join(edges.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val perNode = tris.select(col("u").as("v0"))
+      .unionAll(tris.select(col("v").as("v0")))
+      .unionAll(tris.select(col("w").as("v0")))
+      .groupBy("v0").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(perNode.select(col("v0").as("v"), col("t")), Seq("v"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("v").as("doc_id"), col("d").as("degree"),
+        col("t").as("n_triangles"),
+        Norm.r4tie(lit(2.0) * col("t").cast("double") /
+          (col("d").cast("double") * (col("d").cast("double") - 1)))
+          .as("cc"))
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric containment ≥ 0.9 within (source, lang) blocks — the
     * sub-document signal: a short doc quoted whole inside a long one
     * scores containment ≈ 1 where Jaccard stays low. Directed output
@@ -334,6 +383,7 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_source_matrix" -> dedupSourceMatrix,
+    "q_graph_clustering" -> graphClustering,
     "q_dedup_lsh_audit" -> dedupLshAudit,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
@@ -579,6 +629,42 @@ object Dedup extends QueryModule {
                + 0.5) / 10000 AS avg_jaccard
       FROM q GROUP BY source_a, source_b
       ORDER BY source_a, source_b""",
+    "q_graph_clustering" -> """
+      WITH d AS (SELECT doc_id, lang,
+                        list_distinct(string_split(text, ' ')) AS tokset
+                 FROM documents
+                 WHERE doc_id % 5 = 0),
+      p AS (
+        SELECT a.doc_id AS ea, b.doc_id AS eb,
+               round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                 AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      e AS (SELECT ea, eb FROM p WHERE jaccard >= 0.8),
+      deg AS (
+        SELECT v, count(*) AS dg FROM (
+          SELECT ea AS v FROM e UNION ALL SELECT eb AS v FROM e)
+        GROUP BY v),
+      tri AS (
+        SELECT e1.ea AS u, e1.eb AS v, e2.eb AS w
+        FROM e e1
+        JOIN e e2 ON e1.ea = e2.ea AND e2.eb > e1.eb
+        JOIN e e3 ON e3.ea = e1.eb AND e3.eb = e2.eb),
+      pn AS (
+        SELECT v0, count(*) AS t FROM (
+          SELECT u AS v0 FROM tri
+          UNION ALL SELECT v AS v0 FROM tri
+          UNION ALL SELECT w AS v0 FROM tri)
+        GROUP BY v0)
+      SELECT deg.v AS doc_id, dg AS degree,
+             COALESCE(t, 0) AS n_triangles,
+             floor(2.0 * CAST(COALESCE(t, 0) AS DOUBLE) /
+                   (CAST(dg AS DOUBLE) * (CAST(dg AS DOUBLE) - 1))
+                   * 10000 + 0.5) / 10000 AS cc
+      FROM deg LEFT JOIN pn ON pn.v0 = deg.v
+      WHERE dg >= 2
+      ORDER BY doc_id""",
     "q_dedup_containment" -> """
       WITH d AS (SELECT doc_id, source, lang,
                         list_distinct(string_split(text, ' ')) AS tokset

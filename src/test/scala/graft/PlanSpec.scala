@@ -1237,6 +1237,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_graph_clustering: codegen joins only, no cartesian") {
+    // Wedge + closure are equi hash joins over the canonical edge
+    // list; per-node counts are hash aggregates. No cartesian
+    // product, no single-partition exchange anywhere.
+    val p = plan("q_graph_clustering")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_ts_discord: nn min is a hash agg, not a window") {
     // The per-window nearest-neighbor min over the symmetric pair
     // stream must be a hash aggregate keyed (type, i) — full shuffle

@@ -834,6 +834,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_graph_clustering matches a driver-side brute-force cc") {
+    // The wedge-closure triangle count + cc algebra vs a naive
+    // adjacency-set recomputation over the SAME edge list (the edge
+    // build — jaccardPairs — has its own specs and oracle; this pins
+    // the graph part: per-node triangle counts and 2T/(d(d−1))).
+    import graft.api.ops._
+    val d = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tokset"))
+    val edges = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+        threshold = 0.8, maxDf = 1000)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val expected = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val nsSeq = ns.toSeq
+      var t = 0L
+      for (i <- nsSeq.indices; j <- (i + 1) until nsSeq.size)
+        if (adj(nsSeq(i)).contains(nsSeq(j))) t += 1
+      val dg = ns.size
+      v -> ((dg.toLong, t,
+        math.floor(2.0 * t / (dg.toDouble * (dg.toDouble - 1))
+          * 10000 + 0.5) / 10000))
+    }.toMap
+    val got = SparkEntry.queries("q_graph_clustering")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val v = r.getAs[Long]("doc_id")
+      val (dg, t, cc) = expected(v)
+      assert(r.getAs[Long]("degree") === dg, s"node=$v degree")
+      assert(r.getAs[Long]("n_triangles") === t, s"node=$v triangles")
+      assert(r.getAs[Double]("cc") === cc, s"node=$v cc")
+    }
+  }
+
   test("q_ts_discord matches a driver-side brute-force farthest-nn") {
     // Independent recomputation of the discord: per window, the min
     // MASS-identity distance over BOTH directions (|j − i| ≥ 24,
