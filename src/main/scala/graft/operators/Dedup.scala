@@ -113,6 +113,43 @@ object Dedup extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** Train/val/test split-leakage audit — the eval-integrity check
+    * every benchmark pipeline needs: near-duplicate pairs that
+    * STRADDLE the deterministic md5 hash split (a test doc with a
+    * train near-twin inflates eval scores exactly like test-set
+    * contamination). Same lang-blocked ≥ 0.8 near-dup graph as
+    * q_graph_clustering on the 1-in-5 audit sample, each endpoint
+    * labeled by the shared 80/10/10 `withHashSplit`, rolled up per
+    * unordered split pair with the cross-split flag and each cell's
+    * share of all near-dup pairs (one division off exact BIGINTs;
+    * the 1-row total joins back as a broadcast crossJoin, no
+    * single-partition window). The fix this audit motivates —
+    * splitting by near-dup COMPONENT instead of by doc — is
+    * q_dedup_components + withHashSplit on the component id.
+    */
+  val dedupSplitLeakage: Q = (spark, dir) => {
+    import graft.api.ops._
+    val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
+      .withHashSplit(col("doc_id"))
+    val pairs = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+      threshold = 0.8, maxDf = 1000)
+    val sp = d.select(col("doc_id"), col("split"))
+    val cells = pairs
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+      .select(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leaky"),
+        Norm.r4tie(col("n_pairs").cast("double") /
+          col("n_total").cast("double")).as("pair_share"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Local clustering coefficient of the near-duplicate graph — the
     * cluster-SHAPE audit for dedup: cliquey neighborhoods (cc → 1)
     * mean candidate clusters are true duplicate groups, while low cc
@@ -384,6 +421,7 @@ object Dedup extends QueryModule {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_source_matrix" -> dedupSourceMatrix,
     "q_graph_clustering" -> graphClustering,
+    "q_dedup_split_leakage" -> dedupSplitLeakage,
     "q_dedup_lsh_audit" -> dedupLshAudit,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
@@ -629,6 +667,44 @@ object Dedup extends QueryModule {
                + 0.5) / 10000 AS avg_jaccard
       FROM q GROUP BY source_a, source_b
       ORDER BY source_a, source_b""",
+    "q_dedup_split_leakage" -> """
+      WITH d0 AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS tokset,
+               ((strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 4, 1)) - 1)) % 100 AS bucket
+        FROM documents WHERE doc_id % 5 = 0),
+      d AS (
+        SELECT doc_id, lang, tokset,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d0),
+      p AS (
+        SELECT a.split AS sp1, b.split AS sp2,
+               round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                 AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      cells AS (
+        SELECT least(sp1, sp2) AS split_a, greatest(sp1, sp2) AS split_b,
+               count(*) AS n_pairs
+        FROM p WHERE jaccard >= 0.8
+        GROUP BY 1, 2),
+      tot AS (SELECT sum(n_pairs) AS n_total FROM cells)
+      SELECT split_a, split_b, n_pairs,
+             split_a <> split_b AS leaky,
+             floor(CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS pair_share
+      FROM cells CROSS JOIN tot
+      ORDER BY split_a, split_b""",
     "q_graph_clustering" -> """
       WITH d AS (SELECT doc_id, lang,
                         list_distinct(string_split(text, ' ')) AS tokset

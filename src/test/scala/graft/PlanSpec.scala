@@ -1237,6 +1237,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_dedup_split_leakage: no cartesian, broadcast total") {
+    // The 1-row total joins back via BroadcastNestedLoopJoin (a
+    // 1×6 cross join), never a CartesianProduct over data-sized
+    // inputs; the pair build is the inverted-index hash-join chain.
+    val p = plan("q_dedup_split_leakage")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_graph_clustering: codegen joins only, no cartesian") {
     // Wedge + closure are equi hash joins over the canonical edge
     // list; per-node counts are hash aggregates. No cartesian
