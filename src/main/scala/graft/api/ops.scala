@@ -84,6 +84,65 @@ object ops {
     lshPlanes(numPlanes, dim, seed)
       .map(_.mkString("[", ", ", "]")).mkString("[", ",\n        ", "]")
 
+  /** Inverse standard-normal CDF — Acklam's rational approximation
+    * (public-domain algorithm, |relative ε| < 1.15e-9). Used at PLAN
+    * BUILD time only: q_stats_bh_fdr turns its BH p-space thresholds
+    * α·i/m into z²-space LITERALS through this, so no transcendental
+    * function (whose libm rounding differs between the JVM and
+    * DuckDB) is ever evaluated in the data path — the
+    * lshPlanes/rprojectSigns plan-literal discipline applied to
+    * statistics.
+    */
+  def invPhi(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invPhi domain is (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) *
+        q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** Benjamini–Hochberg threshold ladder in z²-space: entry i (1-based)
+    * is invPhi(1 − α·i/(2m))² — the squared two-sided critical value a
+    * rank-i test statistic must exceed for p_(i) ≤ α·i/m. Comparing
+    * t² ≥ z²_(rank) is BH on the p-values without computing a single
+    * p-value at query time.
+    */
+  def bhZsq(alpha: Double, m: Int): Seq[Double] =
+    (1 to m).map { i =>
+      val z = invPhi(1.0 - alpha * i / m / 2.0)
+      z * z
+    }
+
+  /** The [[bhZsq]] ladder as a DuckDB DOUBLE[] literal (same
+    * generating call as the Spark array literal, shortest-round-trip
+    * Double.toString — the two sides can't drift).
+    */
+  def bhZsqSql(alpha: Double, m: Int): String =
+    bhZsq(alpha, m).mkString("[", ", ", "]")
+
   /** Sign-prefix block id for embedding near-dup blocking: the sign
     * pattern of the first `bits` coordinates (near-identical vectors
     * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`

@@ -1138,6 +1138,66 @@ object Aggregates extends QueryModule {
       .orderBy("segment")
   }
 
+  /** Benjamini–Hochberg FDR correction over a 120-test family — the
+    * multiple-testing discipline every metrics platform needs once it
+    * runs more than one test: per (event_type × hour-of-day) cell, a
+    * Welch t² of weekend vs weekday value-cents, ranked family-wide,
+    * with BH discoveries at FDR α = 0.1. The p-value never exists at
+    * query time: BH's p_(i) ≤ α·i/m is equivalent to t²_(i) ≥ z²_i
+    * for the plan-literal ladder z²_i = invPhi(1 − α·i/(2m))²
+    * ([[graft.api.ops.bhZsq]]) — so the only per-row math is the
+    * fixed-shape Welch closed form off exact-BIGINT cents sufficient
+    * statistics, and engine libm differences can't reach the data
+    * path. The family size m = 120 is part of the test's definition;
+    * a cell count drift raises in-plan (raise_error) rather than
+    * silently shifting every threshold.
+    *
+    * Scale: events partial-agg to the 120-cell frame in one pass
+    * (conditional sums — no join between the two groups); the rank
+    * window runs over the bounded aggregate, benford-style, and the
+    * 1-row k_BH max re-joins as a broadcast crossJoin.
+    */
+  val statsBhFdr: Q = (spark, dir) => {
+    val alpha = 0.1
+    val mTests = 120
+    val zsq = graft.api.ops.bhZsq(alpha, mTests)
+    val e = Tables(spark, dir, "events")
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val cells = e.select(col("event_type"), hour(col("ts")).as("hod"),
+        (weekday(col("ts")) >= 5).as("we"), cents.as("c"))
+      .groupBy("event_type", "hod")
+      .agg(
+        sum(when(col("we"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("we"), col("c")).otherwise(0L)).as("x1"),
+        sum(when(col("we"), col("c") * col("c")).otherwise(0L)).as("q1"),
+        sum(when(!col("we"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("we"), col("c")).otherwise(0L)).as("x2"),
+        sum(when(!col("we"), col("c") * col("c")).otherwise(0L)).as("q2"))
+    def dd(c: String) = col(c).cast("double")
+    val m1 = dd("x1") / dd("n1")
+    val m2 = dd("x2") / dd("n2")
+    val v1 = (dd("q1") - dd("x1") * dd("x1") / dd("n1")) / (dd("n1") - 1)
+    val v2 = (dd("q2") - dd("x2") * dd("x2") / dd("n2")) / (dd("n2") - 1)
+    val t2 = (m1 - m2) * (m1 - m2) / (v1 / dd("n1") + v2 / dd("n2"))
+    val wAll = Window.orderBy(col("t2").desc, col("event_type"), col("hod"))
+    val ranked = cells.withColumn("t2", t2)
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .withColumn("n_cells", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("zsq",
+        when(col("n_cells") =!= mTests, raise_error(concat(
+          lit(s"bh_fdr: family must be exactly $mTests cells, got "),
+          col("n_cells").cast("string"))).cast("double"))
+          .otherwise(element_at(array(zsq.map(lit): _*),
+            col("rank").cast("int"))))
+      .withColumn("pass", col("t2") >= col("zsq"))
+    val kmax = ranked.agg(max(when(col("pass"), col("rank"))).as("k_bh"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("hod"), col("n1"), col("n2"),
+        Norm.r4tie(col("t2")).as("t2"), col("rank").as("bh_rank"),
+        (col("rank") <= coalesce(col("k_bh"), lit(0L))).as("discovery"))
+      .orderBy("bh_rank")
+  }
+
   /** Kendall's τ-b between every pair of event-type hourly count
     * series — the rank-correlation sibling of q_ts_crosscorr's
     * Pearson r and q_agg_spearman's ρ, robust to monotone
@@ -1655,6 +1715,7 @@ object Aggregates extends QueryModule {
     "q_agg_gini" -> aggGini,
     "q_stats_benford" -> statsBenford,
     "q_stats_kendall" -> statsKendall,
+    "q_stats_bh_fdr" -> statsBhFdr,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -2192,6 +2253,55 @@ object Aggregates extends QueryModule {
                       / CAST(n_customers AS DOUBLE)) * 10000 + 0.5)
                / 10000 AS gini
       FROM g ORDER BY segment""",
+    "q_stats_bh_fdr" -> s"""
+      WITH src AS (
+        SELECT event_type, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+      cells AS (
+        SELECT event_type, date_part('hour', ts) AS hod,
+               CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN isodow(ts) >= 6 THEN c ELSE 0 END)
+                    AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN isodow(ts) >= 6 THEN c * c ELSE 0 END)
+                    AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN isodow(ts) < 6 THEN c ELSE 0 END)
+                    AS BIGINT) AS x2,
+               CAST(sum(CASE WHEN isodow(ts) < 6 THEN c * c ELSE 0 END)
+                    AS BIGINT) AS q2
+        FROM src GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hod, n1, n2,
+               ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                * (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+               / (((CAST(q1 AS DOUBLE)
+                    - CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1))
+                  / CAST(n1 AS DOUBLE)
+                  + ((CAST(q2 AS DOUBLE)
+                      - CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1))
+                    / CAST(n2 AS DOUBLE)) AS t2
+        FROM cells),
+      ranked AS (
+        SELECT event_type, hod, n1, n2, t2,
+               row_number() OVER wo AS bh_rank,
+               (CAST(${graft.api.ops.bhZsqSql(0.1, 120)}
+                 AS DOUBLE[]))[row_number() OVER wo] AS zsq
+        FROM scored
+        WINDOW wo AS (ORDER BY t2 DESC, event_type, hod)),
+      k AS (SELECT max(CASE WHEN t2 >= zsq THEN bh_rank END) AS k_bh
+            FROM ranked)
+      SELECT event_type, hod, n1, n2,
+             floor(t2 * 10000 + 0.5) / 10000 AS t2,
+             bh_rank, bh_rank <= COALESCE(k_bh, 0) AS discovery
+      FROM ranked CROSS JOIN k
+      ORDER BY bh_rank""",
     "q_stats_kendall" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x

@@ -973,4 +973,28 @@ class ApiSpec extends SparkSpec {
     // degrees (7 and 8 each have deg 2) → J = 1/3
     assert(out.toSeq === Seq((7L, 8L)))
   }
+
+  test("invPhi hits textbook normal quantiles to 1e-8") {
+    import graft.api.ops.invPhi
+    // Acklam's approximation promises |rel ε| < 1.15e-9; pin the
+    // standard two-sided critical values (these feed q_stats_bh_fdr's
+    // z² ladder as plan literals) and the tail/central region split.
+    val cases = Seq(
+      0.5 -> 0.0,
+      0.975 -> 1.9599639845400545,
+      0.995 -> 2.5758293035489004,
+      0.9999 -> 3.719016485455709,
+      0.025 -> -1.9599639845400545,
+      0.01 -> -2.3263478740408408)
+    cases.foreach { case (p, z) =>
+      assert(math.abs(invPhi(p) - z) < 1e-8, s"invPhi($p)")
+    }
+    // ladder is strictly increasing in z² as rank i decreases
+    // (smaller BH cut → larger critical value)
+    val zsq = graft.api.ops.bhZsq(0.1, 120)
+    assert(zsq.size === 120)
+    assert(zsq.sliding(2).forall { case Seq(a, b) => a > b })
+    // monotone inverse sanity: Φ⁻¹ symmetric around 0.5
+    assert(math.abs(invPhi(0.7) + invPhi(0.3)) < 1e-12)
+  }
 }
