@@ -143,6 +143,18 @@ object ops {
   def bhZsqSql(alpha: Double, m: Int): String =
     bhZsq(alpha, m).mkString("[", ", ", "]")
 
+  /** NDCG position discounts 1/log2(i+1) for ranks 1..k, computed
+    * once at plan build (log2 through libm differs across engines in
+    * the last ulp — as literals both engines use bit-identical
+    * doubles; the bhZsq discipline).
+    */
+  def ndcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** The [[ndcgWeights]] vector as a DuckDB DOUBLE[] literal. */
+  def ndcgWeightsSql(k: Int): String =
+    ndcgWeights(k).mkString("[", ", ", "]")
+
   /** Sign-prefix block id for embedding near-dup blocking: the sign
     * pattern of the first `bits` coordinates (near-identical vectors
     * share it). Bucket count = 2^bits — like [[lshPlanes]], `bits`

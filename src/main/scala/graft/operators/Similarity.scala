@@ -497,6 +497,63 @@ object Similarity extends QueryModule {
       .orderBy("qid")
   }
 
+  /** NDCG@10 of the IVF index — recall@10's graded sibling and the
+    * second number every ANN deployment publishes: recall says how
+    * many of the true top-10 came back, NDCG says whether what came
+    * back is RANKED like the truth (a miss at rank 1 costs more than
+    * at rank 10). Relevance = the exact 4dp-rounded cosine of each
+    * retrieved vector; DCG folds rel·w over the ANN ranking and IDCG
+    * over the exact top-10, with the position discounts 1/log2(i+1)
+    * emitted as plan literals ([[graft.api.ops.ndcgWeights]] — libm
+    * log2 never runs at query time) and both sums as ORDERED left
+    * folds over rank-sorted arrays (a groupBy sum of doubles would be
+    * partial-agg-order-dependent). Self-hit keeps IDCG ≥ 1, so the
+    * final division is safe.
+    *
+    * Scale: inherits the two audited plans — the exact side streams
+    * the corpus once against the broadcast query batch, the ANN side
+    * probes 2/16 cells; the folds touch 10-element arrays per query.
+    */
+  val simNdcg: Q = (spark, dir) => annNdcg(spark, dir, nProbe = 2)
+
+  /** [[simNdcg]] with the probe width exposed: at nProbe = k the ANN
+    * ranking IS the exact ranking (same candidates, same
+    * (rounded-cosine, vec_id) sort), so NDCG must be identically 1.0
+    * — the QualitySpec pin.
+    */
+  def annNdcg(spark: org.apache.spark.sql.SparkSession, dir: String,
+              nProbe: Int): DataFrame = {
+    import graft.api.ops._
+    val wLit = array(ndcgWeights(10).map(lit): _*)
+    def dcgFold(l: Column): Column =
+      aggregate(
+        transform(sort_array(l), (s, i) =>
+          s.getField("cos_sim") * element_at(wLit, i + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 10)
+    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10)
+    val dcg = ann.groupBy("qid")
+      .agg(dcgFold(collect_list(struct(col("rank"), col("cos_sim"))))
+        .as("dcg"))
+    val idcg = exact.groupBy("qid")
+      .agg(dcgFold(collect_list(struct(col("rank"), col("cos_sim"))))
+        .as("idcg"))
+    idcg.join(dcg, Seq("qid"))
+      .select(col("qid"), Norm.r4dn(col("dcg")).as("dcg"),
+        Norm.r4dn(col("idcg")).as("idcg"),
+        Norm.r4dn(col("dcg") / col("idcg")).as("ndcg_at_10"))
+      .orderBy("qid")
+  }
+
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).
     */
@@ -1089,6 +1146,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_ann_recall" -> simAnnRecall,
+    "q_sim_ndcg" -> simNdcg,
     "q_multimodal_join" -> multimodalJoin,
   )
 
@@ -1097,7 +1155,13 @@ object Similarity extends QueryModule {
     * per-query hit count — both ranks order by (rounded cosine desc,
     * vec_id), the engines' shared tie discipline.
     */
-  private def annRecallOracle: String = {
+  /** Shared CTE chain for the ANN quality-audit oracles
+    * ([[annRecallOracle]] / [[simNdcgOracle]]): the q_sim_ann_ivf
+    * index replay (anchors literal, cell assignment, 2-probe search)
+    * widened to a ranked top-10 `ann` CTE, plus the brute-force
+    * ranked top-10 `exact` CTE and the query set `q`.
+    */
+  private def annTop10Cte: String = {
     def cos(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(range(1, 65), d -> $a[d] * $b[d])),
@@ -1131,17 +1195,25 @@ object Similarity extends QueryModule {
                                    ORDER BY s.sim DESC, s.cell) <= 2),
       ann AS (
         SELECT p.qid, a.vec_id,
-               round(${cos("a.v", "p.qv")}, 4) AS cos_sim
+               round(${cos("a.v", "p.qv")}, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY round(${cos("a.v", "p.qv")}, 4) DESC,
+                          a.vec_id) AS rnk
         FROM assigned a JOIN probes p ON a.cell = p.cell
-        QUALIFY row_number() OVER (PARTITION BY p.qid
-          ORDER BY cos_sim DESC, a.vec_id) <= 10),
+        QUALIFY rnk <= 10),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
       exact AS (
         SELECT q.qid, e.vec_id,
-               round(${cos("e.v", "q.qv")}, 4) AS cos_sim
+               round(${cos("e.v", "q.qv")}, 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(${cos("e.v", "q.qv")}, 4) DESC,
+                          e.vec_id) AS rnk
         FROM e CROSS JOIN q
-        QUALIFY row_number() OVER (PARTITION BY q.qid
-          ORDER BY cos_sim DESC, e.vec_id) <= 10),
+        QUALIFY rnk <= 10)"""
+  }
+
+  private def annRecallOracle: String =
+    s"""$annTop10Cte,
       hits AS (
         SELECT x.qid, count(*) AS n_hits
         FROM exact x JOIN ann ON ann.qid = x.qid
@@ -1153,6 +1225,34 @@ object Similarity extends QueryModule {
                AS recall_at_10
       FROM q LEFT JOIN hits h ON q.qid = h.qid
       ORDER BY q.qid"""
+
+  /** DuckDB twin of [[simNdcg]]: the shared ANN/exact ranked-top-10
+    * CTEs, each rolled into a rank-ordered relevance list, the same
+    * position-weighted left fold (weights = the identical DOUBLE[]
+    * literal), one division.
+    */
+  private def simNdcgOracle: String = {
+    def fold(rl: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len($rl) + 1), k ->
+             $rl[k] * (CAST(${graft.api.ops.ndcgWeightsSql(10)}
+               AS DOUBLE[]))[k])),
+           (a, x) -> a + x)"""
+    s"""$annTop10Cte,
+      drel0 AS (
+        SELECT qid, list(cos_sim ORDER BY rnk) AS rl
+        FROM ann GROUP BY qid),
+      irel0 AS (
+        SELECT qid, list(cos_sim ORDER BY rnk) AS rl
+        FROM exact GROUP BY qid),
+      drel AS (SELECT qid, ${fold("rl")} AS dcg FROM drel0),
+      irel AS (SELECT qid, ${fold("rl")} AS idcg FROM irel0)
+      SELECT i.qid,
+             floor(d.dcg * 10000) / 10000 AS dcg,
+             floor(i.idcg * 10000) / 10000 AS idcg,
+             floor(d.dcg / i.idcg * 10000) / 10000 AS ndcg_at_10
+      FROM irel i JOIN drel d ON i.qid = d.qid
+      ORDER BY i.qid"""
   }
 
   /** DuckDB twin of [[simMmr]], generated by unrolling the fixed
@@ -1408,6 +1508,7 @@ object Similarity extends QueryModule {
       QUALIFY rank <= 3
       ORDER BY qid, rank""",
     "q_sim_ann_recall" -> annRecallOracle,
+    "q_sim_ndcg" -> simNdcgOracle,
     "q_embed_pca_power" -> """
       WITH q AS (
         SELECT vec_id, i,

@@ -191,6 +191,31 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_sim_ndcg: full-probe NDCG is exactly 1.0, scored NDCG in " +
+      "(0, 1], DCG <= IDCG") {
+    // At nProbe = k the ANN ranking IS the exact ranking (identical
+    // candidate set, identical (rounded cosine desc, vec_id) sort),
+    // so dcg == idcg per query and NDCG ≡ 1.0 exactly. The scored
+    // 2-probe entry is bounded above by 1 because the exact ranking
+    // maximizes the position-discounted sum over any relevance set.
+    val full = operators.Similarity.annNdcg(spark, sfDir, nProbe = 16)
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Double]("ndcg_at_10") === 1.0,
+        s"full-probe ndcg != 1.0 for qid=${r.getAs[Long]("qid")}")
+    }
+    val scored = SparkEntry.queries("q_sim_ndcg")(spark, sfDir).collect()
+    assert(scored.length === full.length)
+    scored.foreach { r =>
+      val n = r.getAs[Double]("ndcg_at_10")
+      assert(n > 0.0 && n <= 1.0,
+        s"qid=${r.getAs[Long]("qid")} ndcg=$n out of (0,1]")
+      assert(r.getAs[Double]("dcg") <= r.getAs[Double]("idcg"),
+        s"qid=${r.getAs[Long]("qid")} dcg > idcg")
+    }
+  }
+
   test("q_sim_ann_ivf: cells exhaustive, self-hit at rank 1, recall " +
       "monotone in nProbe") {
     import graft.api.ops._
