@@ -692,6 +692,61 @@ object Aggregates extends QueryModule {
           .as("eta_sq"))
   }
 
+  /** Brown–Forsythe test (Levene with median centers) for variance
+    * homogeneity across event types — ANOVA's REQUIRED companion
+    * (its equal-variance assumption is exactly what this tests, and
+    * the median-centered form is the robust default). Structurally it
+    * IS q_stats_anova run on z = |c − median_group|: the per-group
+    * median is EXACT via the value histogram (cents have bounded
+    * distinct values, so the cumulative window runs over the
+    * histogram, never a raw-row sort; lower median by the integer
+    * condition 2·cum ≥ n_g), z and its sufficient statistics stay
+    * BIGINT, the 5-term between-group sum folds in group order
+    * (ordered fold — a plain double sum over groups would be
+    * agg-order-dependent), and W's closed form is one shared float
+    * expression.
+    *
+    * Scale: the histogram is the partial-agg (distinct cents ×
+    * types, data-volume-free); medians broadcast back; everything
+    * after is a 5-row fold.
+    */
+  val statsLevene: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type").as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val hist = e.groupBy("t", "c").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("t").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("t")
+    val meds = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("ng", sum(col("cnt")).over(wTot))
+      .filter(col("cum") * 2 >= col("ng"))
+      .groupBy("t").agg(min(col("c")).as("med"))
+    val zh = hist.join(broadcast(meds), "t")
+      .select(col("t"), abs(col("c") - col("med")).as("z"), col("cnt"))
+    val g = zh.groupBy("t").agg(
+      sum(col("cnt")).as("ng"),
+      sum(col("z") * col("cnt")).as("sg"),
+      sum(col("z") * col("z") * col("cnt")).as("qg"))
+    val folded = g.groupBy().agg(
+      count(lit(1)).as("k"),
+      sum("ng").as("n"), sum("sg").as("s"), sum("qg").as("q"),
+      aggregate(array_sort(collect_list(struct(col("t"),
+          (col("sg").cast("double") * col("sg") / col("ng"))
+            .as("term")))),
+        lit(0.0), (acc, e2) => acc + e2.getField("term")).as("sb_raw"))
+    folded.select(col("k"), col("n"),
+      Norm.r4tie(col("sb_raw")
+        - col("s").cast("double") * col("s") / col("n")).as("ss_between"),
+      Norm.r4tie(col("q").cast("double") - col("sb_raw")).as("ss_within"),
+      Norm.r4dn(((col("sb_raw")
+          - col("s").cast("double") * col("s") / col("n"))
+          / (col("k") - 1))
+        / ((col("q").cast("double") - col("sb_raw"))
+          / (col("n") - col("k")))).as("w_stat"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
     * values — the nonparametric A/B alternative when means mislead:
     * midranks handled EXACTLY by working in doubled-rank space
@@ -1716,6 +1771,7 @@ object Aggregates extends QueryModule {
     "q_stats_benford" -> statsBenford,
     "q_stats_kendall" -> statsKendall,
     "q_stats_bh_fdr" -> statsBhFdr,
+    "q_stats_levene" -> statsLevene,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -1757,6 +1813,48 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_levene" -> """
+      WITH e AS (
+        SELECT event_type AS t,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+      hist AS (
+        SELECT t, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+      cums AS (
+        SELECT t, c, cnt,
+               sum(cnt) OVER (PARTITION BY t ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               sum(cnt) OVER (PARTITION BY t) AS ng
+        FROM hist),
+      meds AS (
+        SELECT t, min(c) AS med FROM cums
+        WHERE cum * 2 >= ng GROUP BY t),
+      zh AS (
+        SELECT hist.t, abs(hist.c - meds.med) AS z, hist.cnt
+        FROM hist JOIN meds ON hist.t = meds.t),
+      g AS (
+        SELECT t, CAST(sum(cnt) AS BIGINT) AS ng,
+               CAST(sum(z * cnt) AS BIGINT) AS sg,
+               CAST(sum(z * z * cnt) AS BIGINT) AS qg
+        FROM zh GROUP BY t),
+      f AS (
+        SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(sg) AS BIGINT) AS s,
+               CAST(sum(qg) AS BIGINT) AS q,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(sg AS DOUBLE) * sg / ng ORDER BY t)),
+                 (a, x) -> a + x) AS sb_raw
+        FROM g)
+      SELECT k, n,
+             floor((sb_raw - CAST(s AS DOUBLE) * s / n) * 10000 + 0.5)
+               / 10000 AS ss_between,
+             floor((CAST(q AS DOUBLE) - sb_raw) * 10000 + 0.5) / 10000
+               AS ss_within,
+             floor(((sb_raw - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                   / ((CAST(q AS DOUBLE) - sb_raw) / (n - k)) * 10000)
+               / 10000 AS w_stat
+      FROM f""",
     "q_stats_anova" -> """
       WITH g AS (
         SELECT event_type AS t, count(*) AS ng,

@@ -834,6 +834,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_stats_levene matches a driver-side brute-force W") {
+    // Histogram-median + ANOVA-on-|z| algebra vs a naive driver
+    // recomputation: per-type lower median over sorted cents, exact
+    // BIGINT z sufficient statistics, the between-group fold in
+    // type order, the same W float shape.
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byT = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val stats = byT.map { case (t, rs) =>
+      val cs = rs.map(_._2).sorted
+      val med = cs((cs.length + 1) / 2 - 1) // lower median, 1-based pos
+      val zs = cs.map(x => math.abs(x - med))
+      (t, zs.length.toLong, zs.sum, zs.map(z => z * z).sum)
+    }
+    val k = stats.length
+    val n = stats.map(_._2).sum
+    val s = stats.map(_._3).sum
+    val q = stats.map(_._4).sum
+    var sbRaw = 0.0
+    stats.foreach { case (_, ng, sg, _) =>
+      sbRaw += sg.toDouble * sg / ng
+    }
+    val w = ((sbRaw - s.toDouble * s / n) / (k - 1)) /
+      ((q.toDouble - sbRaw) / (n - k))
+    val got = SparkEntry.queries("q_stats_levene")(spark, sfDir).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("k") === k.toLong)
+    assert(got(0).getAs[Long]("n") === n)
+    assert(got(0).getAs[Double]("w_stat") ===
+      math.floor(w * 10000) / 10000)
+  }
+
   test("q_graph_clustering matches a driver-side brute-force cc") {
     // The wedge-closure triangle count + cc algebra vs a naive
     // adjacency-set recomputation over the SAME edge list (the edge
