@@ -829,6 +829,45 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "bucket")
   }
 
+  /** Keyed pseudonymization with referential-integrity audit — the
+    * GDPR-pipeline primitive k-anonymity/l-diversity sit on top of:
+    * replace the join key with a salted one-way pseudonym, THEN prove
+    * the replacement didn't break the data. Both sides of the
+    * user_id = c_custkey relation are pseudonymized with the same
+    * keyed function (md5 of pepper:key, 16 hex chars — deterministic
+    * and engine-portable, the md5Bucket discipline; swap in
+    * HMAC-SHA256 via functions.HmacSha256 when the pepper must be
+    * secret from the oracle engine). The audit emits the two facts a
+    * release gate needs: pseudonym INJECTIVITY on the observed keys
+    * (distinct pids == distinct uids — a collision silently merges
+    * users) and JOIN PRESERVATION (the pseudonym join returns exactly
+    * the raw join's cardinality).
+    *
+    * Scale: two distinct-counts and two joins on the same keys the
+    * raw pipeline already shuffles (the pseudonym is a per-row
+    * projection; a 16-char key widens shuffle rows, nothing else).
+    */
+  val privacyPseudonym: Q = (spark, dir) => {
+    def pid(c: Column): Column =
+      substring(md5(concat(lit("pepper42:"), c.cast("string"))), 1, 16)
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), pid(col("user_id")).as("pid"))
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), pid(col("c_custkey")).as("cpid"))
+    val inj = e.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("pid")).as("n_pids"))
+    val rawJoin = e.join(c, col("user_id") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_raw_join"))
+    val pidJoin = e.join(c, col("pid") === col("cpid"))
+      .agg(count(lit(1)).as("n_pseudo_join"))
+    inj.crossJoin(rawJoin).crossJoin(pidJoin)
+      .select(col("n_users"), col("n_pids"), col("n_raw_join"),
+        col("n_pseudo_join"),
+        (col("n_users") === col("n_pids") &&
+          col("n_raw_join") === col("n_pseudo_join")).as("intact"))
+  }
+
   /** Feature-hashing ("hashing trick") bag-of-words vectorizer: each
     * token hashes to one of 64 buckets via the engine-portable
     * md5Bucket, per-doc bucket counts are the sparse vector, and the
@@ -1240,6 +1279,7 @@ object TextAnalysis extends QueryModule {
     "q_text_readability" -> textReadability,
     "q_privacy_dp_hist" -> privacyDpHist,
     "q_privacy_ldiv" -> privacyLdiv,
+    "q_privacy_pseudonym" -> privacyPseudonym,
     "q_sample_neyman" -> sampleNeyman,
     "q_text_zipf" -> textZipf,
     "q_text_collocations" -> textCollocations,
@@ -1441,6 +1481,30 @@ object TextAnalysis extends QueryModule {
                + (-20.0) * sign(cen) * ln(1.0 - 2.0 * abs(cen)))
                AS BIGINT), 0) AS n_noisy
       FROM n ORDER BY event_type""",
+    "q_privacy_pseudonym" -> """
+      WITH e AS (
+        SELECT user_id,
+               substring(md5('pepper42:' || CAST(user_id AS VARCHAR)),
+                 1, 16) AS pid
+        FROM events),
+      c AS (
+        SELECT c_custkey,
+               substring(md5('pepper42:' || CAST(c_custkey AS VARCHAR)),
+                 1, 16) AS cpid
+        FROM customer),
+      inj AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT pid) AS BIGINT) AS n_pids
+        FROM e),
+      rj AS (
+        SELECT count(*) AS n_raw_join
+        FROM e JOIN c ON e.user_id = c.c_custkey),
+      pj AS (
+        SELECT count(*) AS n_pseudo_join
+        FROM e JOIN c ON e.pid = c.cpid)
+      SELECT n_users, n_pids, n_raw_join, n_pseudo_join,
+             n_users = n_pids AND n_raw_join = n_pseudo_join AS intact
+      FROM inj CROSS JOIN rj CROSS JOIN pj""",
     "q_privacy_ldiv" -> """
       WITH cells AS (
         SELECT lang, 'b' || CAST(n_chars // 100 AS VARCHAR) AS bucket,

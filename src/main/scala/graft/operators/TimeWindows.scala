@@ -773,6 +773,46 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Peak detection with a robust baseline — the alerting primitive
+    * under every "traffic spike" dashboard: an hour is a peak of its
+    * event type iff it STRICTLY exceeds every hour in its ±3h
+    * neighborhood (plateaus are not peaks; both one-sided maxima must
+    * be below x) AND clears 1.5× the ±12h rolling median baseline —
+    * entirely integer comparisons (2x ≥ 3·med avoids the float
+    * ratio; the median is the lower median of the sorted 25-row
+    * window, exact on counts). Boundary hours without a full ±3 (or
+    * ±12) neighborhood are ineligible rather than silently compared
+    * against a truncated window.
+    *
+    * Scale: all windows ride the (types × hours) hourly frame —
+    * volume-free after the first partial agg; the 25-element
+    * sort-per-row is calendar-bounded.
+    */
+  val tsPeaks: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hr")
+    val wPrev = wOrd.rowsBetween(-3, -1)
+    val wNext = wOrd.rowsBetween(1, 3)
+    val wMed = wOrd.rowsBetween(-12, 12)
+    hourly
+      .withColumn("mx_prev", max(col("x")).over(wPrev))
+      .withColumn("n_prev", count(lit(1)).over(wPrev))
+      .withColumn("mx_next", max(col("x")).over(wNext))
+      .withColumn("n_next", count(lit(1)).over(wNext))
+      .withColumn("base", collect_list(col("x")).over(wMed))
+      .filter(col("n_prev") === 3 && col("n_next") === 3 &&
+        size(col("base")) === 25)
+      .withColumn("med", element_at(array_sort(col("base")), 13))
+      .filter(col("x") > col("mx_prev") && col("x") > col("mx_next") &&
+        col("x") * 2 >= col("med") * 3)
+      .select(col("event_type"), Norm.tstr(col("hr")).as("peak_hour"),
+        col("x"), col("med").as("baseline_med"))
+      .orderBy("event_type", "peak_hour")
+  }
+
   /** Shared matrix-profile pair frame (q_ts_motif / q_ts_discord):
     * per-type w-hour window vectors over the hourly count series with
     * exact-BIGINT sufficient statistics (zero-variance windows gated
@@ -1490,6 +1530,7 @@ object TimeWindows extends QueryModule {
     "q_ts_changepoint" -> tsChangepoint,
     "q_ts_motif" -> tsMotif,
     "q_ts_discord" -> tsDiscord,
+    "q_ts_peaks" -> tsPeaks,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_seasonal" -> tsSeasonal,
     "q_seq_pattern" -> seqPattern,
@@ -2089,6 +2130,35 @@ object TimeWindows extends QueryModule {
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY dist, i, j) = 1
       ORDER BY event_type""",
+    "q_ts_peaks" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      wins AS (
+        SELECT event_type, hr, x,
+               max(x) OVER (wo ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                 AS mx_prev,
+               count(*) OVER (wo ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                 AS n_prev,
+               max(x) OVER (wo ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+                 AS mx_next,
+               count(*) OVER (wo ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+                 AS n_next,
+               list(x) OVER (wo ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                 AS base
+        FROM hourly
+        WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
+      full_w AS (
+        SELECT event_type, hr, x, mx_prev, mx_next,
+               list_sort(base)[13] AS med
+        FROM wins
+        WHERE n_prev = 3 AND n_next = 3 AND len(base) = 25)
+      SELECT event_type,
+             strftime(hr, '%Y-%m-%d %H:%M:%S') AS peak_hour,
+             x, med AS baseline_med
+      FROM full_w
+      WHERE x > mx_prev AND x > mx_next AND x * 2 >= med * 3
+      ORDER BY event_type, peak_hour""",
     "q_ts_discord" -> s"""
       $motifWinsCte,
       pairs AS (

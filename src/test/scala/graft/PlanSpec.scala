@@ -1257,6 +1257,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q_ts_peaks: per-type windows only, events reduce first") {
+    // Events collapse to the hourly frame in a hash aggregate before
+    // any window; every window partitions by event_type.
+    val p = plan("q_ts_peaks")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_ts_discord: nn min is a hash agg, not a window") {
     // The per-window nearest-neighbor min over the symmetric pair
     // stream must be a hash aggregate keyed (type, i) — full shuffle

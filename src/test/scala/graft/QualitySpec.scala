@@ -804,4 +804,57 @@ class QualitySpec extends SparkSpec {
         (r.getAs[Long]("total_w"), r.getAs[Double]("w_median"))).toMap
     assert(got === expected)
   }
+
+  test("q_privacy_pseudonym: injective on testdata keys and " +
+      "join-preserving") {
+    // The release-gate semantics: the salted 16-hex-char pseudonym
+    // must not collide on the observed key domain (a collision merges
+    // two users) and the pseudonym join must return exactly the raw
+    // join's cardinality. Both hold by construction at testdata key
+    // counts (64-bit space vs ~1.5k keys); `intact` is the single
+    // flag a gate would alert on.
+    val r = SparkEntry.queries("q_privacy_pseudonym")(spark, sfDir)
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Boolean]("intact"),
+      s"pseudonymization broke integrity: ${r(0)}")
+    assert(r(0).getAs[Long]("n_users") === r(0).getAs[Long]("n_pids"))
+    assert(r(0).getAs[Long]("n_raw_join") ===
+      r(0).getAs[Long]("n_pseudo_join"))
+  }
+
+  test("q_ts_peaks: every peak strictly dominates its ±3h window " +
+      "and clears 1.5x its baseline") {
+    // Re-verify the peak predicate row-by-row against the raw hourly
+    // series (independent recomputation of the neighborhood).
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val series = hourly.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(_._2.getTime).map(r => (r._2, r._3))
+    }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = SparkEntry.queries("q_ts_peaks")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val s = series(t)
+      val i = s.indexWhere(p => fmt.format(p._1) ==
+        r.getAs[String]("peak_hour"))
+      assert(i >= 12 && i < s.length - 12, s"$t peak at boundary")
+      val x = s(i)._2
+      assert(x === r.getAs[Long]("x"))
+      ((i - 3) to (i + 3)).filter(_ != i).foreach { j =>
+        assert(x > s(j)._2, s"$t peak not dominant at offset ${j - i}")
+      }
+      val base = ((i - 12) to (i + 12)).map(j => s(j)._2).sorted
+      assert(base.length === 25)
+      val med = base(12)
+      assert(med === r.getAs[Long]("baseline_med"))
+      assert(x * 2 >= med * 3, s"$t peak below 1.5x baseline")
+    }
+  }
 }
