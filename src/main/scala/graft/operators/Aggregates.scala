@@ -692,6 +692,61 @@ object Aggregates extends QueryModule {
           .as("eta_sq"))
   }
 
+  /** Delta-method standard error for a ratio metric with USER-level
+    * clustering — the A/B-platform correction naive per-event SEs get
+    * wrong: revenue-per-event R = Σx/Σy is a ratio of sums whose
+    * events correlate within a user, so the unit of analysis is the
+    * user vector (x_u, y_u) and Var(R) ≈ (v_x − 2R·c_xy + R²·v_y) /
+    * (n·ȳ²) (Fieller/delta method, the Deng et al. 2017 shape). Per
+    * event type: per-user sums first (exact BIGINT cents/counts),
+    * then the five cross moments (still BIGINT — Σx_u² stays < 2⁶³
+    * through sf10; switch to decimal(38,0) beyond, the
+    * exact-cents discipline), one float closed form at the end.
+    *
+    * Scale: two nested hash aggs (events → users → types); nothing
+    * else moves. The naive-vs-delta gap is the point of the audit:
+    * both SEs are emitted so the ratio of the two is the clustering
+    * inflation factor.
+    */
+  val statsDeltaMethod: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type").as("t"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val users = e.groupBy("t", "user_id")
+      .agg(sum(col("c")).as("x"), count(lit(1)).as("y"))
+    val g = users.groupBy("t").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    val r = dd("sx") / dd("sy")
+    val vx = (dd("sxx") - dd("sx") * dd("sx") / dd("n")) / (dd("n") - 1)
+    val vy = (dd("syy") - dd("sy") * dd("sy") / dd("n")) / (dd("n") - 1)
+    val cxy = (dd("sxy") - dd("sx") * dd("sy") / dd("n")) / (dd("n") - 1)
+    val ybar = dd("sy") / dd("n")
+    val seDelta = sqrt((vx - lit(2.0) * r * cxy + r * r * vy)
+      / dd("n")) / ybar
+    // naive per-event SE (pretends events are iid): the contrast that
+    // makes the audit actionable — se_delta / se_naive is the
+    // clustering inflation a naive A/B readout understates by
+    val ev = e.groupBy("t").agg(
+      count(lit(1)).as("ne"),
+      sum(col("c")).as("se_"), sum(col("c") * col("c")).as("qe"))
+    val vEvent = (dd("qe") - dd("se_") * dd("se_") / dd("ne")) /
+      (dd("ne") - 1)
+    val seNaive = sqrt(vEvent / dd("ne"))
+    g.join(broadcast(ev), "t")
+      .select(col("t").as("event_type"), col("n").as("n_users"),
+        col("sy").as("n_events"),
+        Norm.r4tie(r).as("ratio_cents"),
+        Norm.r4tie(seDelta).as("se_delta"),
+        Norm.r4tie(seNaive).as("se_naive"),
+        Norm.r4tie(seDelta / seNaive).as("inflation"))
+      .orderBy("event_type")
+  }
+
   /** Brown–Forsythe test (Levene with median centers) for variance
     * homogeneity across event types — ANOVA's REQUIRED companion
     * (its equal-variance assumption is exactly what this tests, and
@@ -1772,6 +1827,7 @@ object Aggregates extends QueryModule {
     "q_stats_kendall" -> statsKendall,
     "q_stats_bh_fdr" -> statsBhFdr,
     "q_stats_levene" -> statsLevene,
+    "q_stats_delta_method" -> statsDeltaMethod,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -1813,6 +1869,53 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_delta_method" -> """
+      WITH e AS (
+        SELECT event_type AS t, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+      users AS (
+        SELECT t, user_id, CAST(sum(c) AS BIGINT) AS x,
+               count(*) AS y
+        FROM e GROUP BY 1, 2),
+      g AS (
+        SELECT t, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM users GROUP BY 1),
+      ev AS (
+        SELECT t, count(*) AS ne,
+               CAST(sum(c) AS BIGINT) AS se_,
+               CAST(sum(c * c) AS BIGINT) AS qe
+        FROM e GROUP BY 1),
+      fin AS (
+        SELECT g.t, g.n, g.sy,
+               CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cxy,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               sqrt(((CAST(qe AS DOUBLE)
+                      - CAST(se_ AS DOUBLE) * CAST(se_ AS DOUBLE)
+                        / CAST(ne AS DOUBLE)) / (CAST(ne AS DOUBLE) - 1))
+                    / CAST(ne AS DOUBLE)) AS se_naive
+        FROM g JOIN ev ON g.t = ev.t)
+      SELECT t AS event_type, n AS n_users, sy AS n_events,
+             floor(r * 10000 + 0.5) / 10000 AS ratio_cents,
+             floor(sqrt((vx - 2.0 * r * cxy + r * r * vy)
+                        / CAST(n AS DOUBLE)) / ybar * 10000 + 0.5)
+               / 10000 AS se_delta,
+             floor(se_naive * 10000 + 0.5) / 10000 AS se_naive,
+             floor(sqrt((vx - 2.0 * r * cxy + r * r * vy)
+                        / CAST(n AS DOUBLE)) / ybar / se_naive
+                   * 10000 + 0.5) / 10000 AS inflation
+      FROM fin ORDER BY event_type""",
     "q_stats_levene" -> """
       WITH e AS (
         SELECT event_type AS t,

@@ -113,6 +113,35 @@ object Dedup extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** Dedup threshold sensitivity sweep — the tuning report run BEFORE
+    * committing to a Jaccard cut: pair count, affected-document count
+    * and affected share at τ ∈ {0.7, 0.8, 0.9}, from ONE pair
+    * enumeration at the loosest threshold (each tighter τ is a filter
+    * of the same pair set, so the sweep costs one join, not three).
+    * Lang-blocked on the 1-in-5 audit sample like the other dedup
+    * audits; shares divide exact BIGINTs once per row.
+    */
+  val dedupThresholdSweep: Q = (spark, dir) => {
+    val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
+    val pairs = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+        threshold = 0.7, maxDf = 1000)
+      .localCheckpoint() // feeds one agg + one explode per τ via explode
+    val nDocs = d.agg(count(lit(1)).as("n_sample"))
+    val taus = array(lit(0.7), lit(0.8), lit(0.9))
+    val byTau = pairs
+      .select(explode(taus).as("tau"), col("d1"), col("d2"), col("jaccard"))
+      .filter(col("jaccard") >= col("tau"))
+    val nPairs = byTau.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val nAffected = byTau
+      .select(col("tau"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy("tau").agg(countDistinct(col("doc")).as("n_docs"))
+    nPairs.join(nAffected, "tau").crossJoin(broadcast(nDocs))
+      .select(col("tau"), col("n_pairs"), col("n_docs"),
+        Norm.r4tie(col("n_docs").cast("double") /
+          col("n_sample").cast("double")).as("doc_share"))
+      .orderBy("tau")
+  }
+
   /** Train/val/test split-leakage audit — the eval-integrity check
     * every benchmark pipeline needs: near-duplicate pairs that
     * STRADDLE the deterministic md5 hash split (a test doc with a
@@ -422,6 +451,7 @@ object Dedup extends QueryModule {
     "q_dedup_source_matrix" -> dedupSourceMatrix,
     "q_graph_clustering" -> graphClustering,
     "q_dedup_split_leakage" -> dedupSplitLeakage,
+    "q_dedup_threshold_sweep" -> dedupThresholdSweep,
     "q_dedup_lsh_audit" -> dedupLshAudit,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_minhash" -> dedupMinhash,
@@ -667,6 +697,34 @@ object Dedup extends QueryModule {
                + 0.5) / 10000 AS avg_jaccard
       FROM q GROUP BY source_a, source_b
       ORDER BY source_a, source_b""",
+    "q_dedup_threshold_sweep" -> """
+      WITH d AS (SELECT doc_id, lang,
+                        list_distinct(string_split(text, ' ')) AS tokset
+                 FROM documents
+                 WHERE doc_id % 5 = 0),
+      p AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                 AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      bytau AS (
+        SELECT tau, d1, d2
+        FROM p CROSS JOIN (SELECT unnest([0.7, 0.8, 0.9]) AS tau)
+        WHERE jaccard >= tau),
+      np AS (SELECT tau, count(*) AS n_pairs FROM bytau GROUP BY tau),
+      na AS (
+        SELECT tau, count(DISTINCT doc) AS n_docs FROM (
+          SELECT tau, d1 AS doc FROM bytau
+          UNION ALL SELECT tau, d2 AS doc FROM bytau)
+        GROUP BY tau),
+      tot AS (SELECT count(*) AS n_sample FROM d)
+      SELECT np.tau, np.n_pairs, na.n_docs,
+             floor(CAST(na.n_docs AS DOUBLE) / CAST(n_sample AS DOUBLE)
+               * 10000 + 0.5) / 10000 AS doc_share
+      FROM np JOIN na ON np.tau = na.tau CROSS JOIN tot
+      ORDER BY np.tau""",
     "q_dedup_split_leakage" -> """
       WITH d0 AS (
         SELECT doc_id, lang,

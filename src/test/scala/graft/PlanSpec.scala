@@ -1237,6 +1237,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_stats_delta_method: two nested hash aggs, no window") {
+    // events → per-user sums → per-type moments are both hash
+    // aggregates; the naive-SE frame joins back broadcast. No window,
+    // no cartesian over data-sized inputs.
+    val p = plan("q_stats_delta_method")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_dedup_threshold_sweep: one pair enumeration feeds all taus") {
+    // The pair list is checkpointed once (localCheckpoint shows as an
+    // ExistingRDD scan); the tau explode multiplies pairs 3x, never
+    // re-running the inverted-index join per threshold.
+    val p = plan("q_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_dedup_split_leakage: no cartesian, broadcast total") {
     // The 1-row total joins back via BroadcastNestedLoopJoin (a
     // 1×6 cross join), never a CartesianProduct over data-sized
