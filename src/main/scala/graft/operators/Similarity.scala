@@ -554,6 +554,53 @@ object Similarity extends QueryModule {
       .orderBy("qid")
   }
 
+  /** Matryoshka truncation audit — recall@10 of PREFIX-dimension
+    * search vs the full 64-dim exact top-10, at dim budgets 16/32/64:
+    * the measurement behind every truncated-embedding deployment
+    * (MRL-style indexes serve the first d dims to cut memory
+    * bandwidth; this curve says what that costs in retrieval
+    * quality, and whether these embeddings were trained to truncate).
+    * The 64-dim row is the built-in control — recall ≡ 1.0 by
+    * construction (QualitySpec-pinned). Hits stay exact BIGINTs; one
+    * division per output row.
+    *
+    * Scale: ONE corpus×queries broadcast pass computes all three
+    * prefix cosines (the corpus never shuffles — the
+    * simHardNegatives shape); the per-(query, dim) rank window runs
+    * over the scored candidates; the tiny top-10 frame is
+    * checkpointed once for its two consumers (truth + probe).
+    */
+  val embedMatryoshka: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val dims = Seq(16, 32, 64)
+    val scored = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          Norm.r4(cosine(slice(col("emb"), 1, d),
+            slice(col("qv"), 1, d))).as("cs"))): _*)).as("x"))
+      .select(col("qid"), col("vec_id"), col("x.dim").as("dim"),
+        col("x.cs").as("cs"))
+    val w = Window.partitionBy("qid", "dim")
+      .orderBy(col("cs").desc, col("vec_id"))
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .localCheckpoint() // tiny; feeds truth + probe
+    val truth = top.filter(col("dim") === 64)
+      .select(col("qid").as("tq"), col("vec_id").as("tv"))
+    val hits = top.join(truth,
+        col("qid") === col("tq") && col("vec_id") === col("tv"),
+        "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("sum_hits"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("dim"), col("sum_hits"), col("n_queries"),
+        Norm.r4tie(col("sum_hits").cast("double") /
+          (lit(10.0) * col("n_queries").cast("double"))).as("avg_recall"))
+      .orderBy("dim")
+  }
+
   /** Multimodal join: text stats + vector norm in one row
     * (documents ⋈ embeddings on doc_id = vec_id).
     */
@@ -1147,6 +1194,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_ann_recall" -> simAnnRecall,
     "q_sim_ndcg" -> simNdcg,
+    "q_embed_matryoshka" -> embedMatryoshka,
     "q_multimodal_join" -> multimodalJoin,
   )
 
@@ -1254,6 +1302,49 @@ object Similarity extends QueryModule {
       FROM irel i JOIN drel d ON i.qid = d.qid
       ORDER BY i.qid"""
   }
+
+  /** DuckDB twin of [[embedMatryoshka]]: prefix cosines over
+    * range(1, dim+1) with dim from an unnest'd budget list, the same
+    * (rounded cs desc, vec_id) rank discipline, exact hit counts.
+    */
+  private def matryoshkaOracle: String =
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      dims AS (SELECT unnest([16, 32, 64]) AS dim),
+      scored AS (
+        SELECT q.qid, e.vec_id, d.dim,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, d.dim + 1),
+                     i -> e.v[i] * q.qv[i])), (s, x) -> s + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, d.dim + 1),
+                        i -> e.v[i] * e.v[i])), (s, x) -> s + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(range(1, d.dim + 1),
+                          i -> q.qv[i] * q.qv[i])), (s, x) -> s + x))),
+                 4) AS cs
+        FROM e CROSS JOIN q CROSS JOIN dims d),
+      top AS (
+        SELECT qid, vec_id, dim,
+               row_number() OVER (PARTITION BY qid, dim
+                 ORDER BY cs DESC, vec_id) AS rnk
+        FROM scored QUALIFY rnk <= 10),
+      truth AS (SELECT qid, vec_id FROM top WHERE dim = 64),
+      hits AS (
+        SELECT t.dim, count(*) AS sum_hits
+        FROM top t JOIN truth x
+          ON t.qid = x.qid AND t.vec_id = x.vec_id
+        GROUP BY t.dim),
+      nq AS (SELECT count(*) AS n_queries FROM q)
+      SELECT dim, sum_hits, n_queries,
+             floor(CAST(sum_hits AS DOUBLE)
+                   / (10.0 * CAST(n_queries AS DOUBLE)) * 10000 + 0.5)
+               / 10000 AS avg_recall
+      FROM hits CROSS JOIN nq
+      ORDER BY dim"""
 
   /** DuckDB twin of [[simMmr]], generated by unrolling the fixed
     * `k`-pick greedy loop into CTE rounds (the kmeans/BPE-oracle
@@ -1509,6 +1600,7 @@ object Similarity extends QueryModule {
       ORDER BY qid, rank""",
     "q_sim_ann_recall" -> annRecallOracle,
     "q_sim_ndcg" -> simNdcgOracle,
+    "q_embed_matryoshka" -> matryoshkaOracle,
     "q_embed_pca_power" -> """
       WITH q AS (
         SELECT vec_id, i,

@@ -805,6 +805,32 @@ class QualitySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_embed_matryoshka: full-dim control is exactly 1.0, recall " +
+      "monotone in dim budget") {
+    // The 64-dim row compares the exact ranking with itself — recall
+    // must be identically 1.0 (sum_hits = 10·n_queries). More prefix
+    // dims can only refine the similarity toward the full-dim truth
+    // on THIS corpus; pin the measured monotone curve rather than
+    // assume it (monotonicity is an empirical property of the data,
+    // so assert and surface it, not silently rely on it).
+    val rows = SparkEntry.queries("q_embed_matryoshka")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("dim"))
+    assert(rows.map(_.getAs[Int]("dim")).toSeq === Seq(16, 32, 64))
+    val nq = rows.head.getAs[Long]("n_queries")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("avg_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("sum_hits") <= 10 * nq)
+    }
+    val last = rows.last
+    assert(last.getAs[Double]("avg_recall") === 1.0)
+    assert(last.getAs[Long]("sum_hits") === 10 * nq)
+    assert(rows(0).getAs[Double]("avg_recall") <=
+      rows(1).getAs[Double]("avg_recall"))
+    assert(rows(1).getAs[Double]("avg_recall") <=
+      rows(2).getAs[Double]("avg_recall"))
+  }
+
   test("q_privacy_pseudonym: injective on testdata keys and " +
       "join-preserving") {
     // The release-gate semantics: the salted 16-hex-char pseudonym
