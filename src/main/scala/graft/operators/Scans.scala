@@ -449,7 +449,57 @@ object Scans extends QueryModule {
       .orderBy("version", "o_orderpriority")
   }
 
+  /** Vacuum dry-run report — the storage-reclaim audit run before the
+    * explicitly destructive step: build the same 3-version
+    * copy-on-write history as [[lakeTimetravel]], then report what a
+    * retention-0 vacuum at the latest version would reclaim —
+    * rows live (readable at the head), rows in unreferenced files
+    * (added by some version, removed since:
+    * [[graft.sources.TxnLog.unreferencedFiles]]), and the physical
+    * share reclaimed. Live and unreferenced file sets are disjoint by
+    * log construction, so live + reclaimable IS the physical row
+    * total. The listing is deliberately dry-run: deleting
+    * unreferenced files destroys the older versions that reference
+    * them — a retention decision, not a library default.
+    *
+    * Scale: the report is two parquet-count aggregates over the
+    * metadata-selected file lists — O(log) metadata, no data shuffle.
+    */
+  val lakeVacuum: Q = (spark, dir) => {
+    import graft.sources.TxnLog
+    val base = tmpPath(spark, "lake_vacuum")
+    deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$base/d0")
+    val v0 = TxnLog.commit(spark, base, -1,
+      TxnLog.partFiles(spark, base, "d0"))
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.parquet(s"$base/d1")
+    val v1 = TxnLog.commit(spark, base, v0,
+      TxnLog.partFiles(spark, base, "d1"))
+    TxnLog.readAsOf(spark, base, v0)
+      .filter(col("o_totalprice") >= 100000.0)
+      .write.parquet(s"$base/d2")
+    TxnLog.commit(spark, base, v1,
+      adds = TxnLog.partFiles(spark, base, "d2"),
+      removes = TxnLog.partFiles(spark, base, "d0"))
+    val dead = TxnLog.unreferencedFiles(spark, base)
+    val live = TxnLog.readAsOf(spark, base)
+      .agg(count(lit(1)).as("rows_live"))
+    val reclaim = spark.read.parquet(dead: _*)
+      .agg(count(lit(1)).as("rows_reclaimable"))
+    live.crossJoin(reclaim)
+      .select(col("rows_live"), col("rows_reclaimable"),
+        Norm.r4tie(col("rows_reclaimable").cast("double") /
+          (col("rows_live") + col("rows_reclaimable")).cast("double"))
+          .as("reclaim_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lake_vacuum" -> lakeVacuum,
     "q_lake_timetravel" -> lakeTimetravel,
     "q_lake_compact" -> lakeCompact,
     "q_lake_incremental" -> lakeIncremental,
@@ -470,6 +520,22 @@ object Scans extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lake_vacuum" -> """
+      WITH t AS (
+        SELECT o_orderkey % 2 = 0 AS even,
+               o_totalprice >= 100000.0 AS exp
+        FROM orders),
+      f AS (
+        SELECT CAST(sum(CASE WHEN NOT even OR exp THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_live,
+               CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT)
+                 AS rows_reclaimable
+        FROM t)
+      SELECT rows_live, rows_reclaimable,
+             floor(CAST(rows_reclaimable AS DOUBLE)
+                   / CAST(rows_live + rows_reclaimable AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS reclaim_share
+      FROM f""",
     "q_lake_timetravel" -> """
       SELECT 0 AS version, o_orderpriority, count(*) AS n,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

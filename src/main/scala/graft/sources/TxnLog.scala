@@ -102,15 +102,15 @@ object TxnLog {
     readVersion + 1
   }
 
-  /** The live file set at `version` (or the latest when negative):
-    * replay adds/removes over log files 0..version in order. */
-  def filesAsOf(spark: SparkSession, base: String,
-                version: Int = -1): Seq[String] = {
+  /** Replay log files 0..version in order, calling `apply(isAdd,
+    * relativeFile)` per action — the one reader both [[filesAsOf]]
+    * and [[unreferencedFiles]] share. */
+  private def replay(spark: SparkSession, base: String, version: Int)
+                    (apply: (Boolean, String) => Unit): Unit = {
     val f = fs(spark, base)
     val upTo = if (version >= 0) version
       else latestVersion(spark, base)
     require(upTo >= 0, s"no committed version in $base")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
     (0 to upTo).foreach { v =>
       val p = versionFile(base, v)
       require(f.exists(p), s"log is missing version $v")
@@ -121,11 +121,39 @@ object TxnLog {
         // the two fixed shapes above — a full JSON parser would be
         // noise for a two-field line we also wrote
         val file = line.split("\"file\":\"")(1).stripSuffix("\"}")
-        if (line.contains("\"action\":\"add\"")) live += file
-        else live -= file
+        apply(line.contains("\"action\":\"add\""), file)
       }
     }
+  }
+
+  /** The live file set at `version` (or the latest when negative):
+    * replay adds/removes over log files 0..version in order. */
+  def filesAsOf(spark: SparkSession, base: String,
+                version: Int = -1): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    replay(spark, base, version) { (isAdd, file) =>
+      if (isAdd) live += file else live -= file
+    }
     live.toSeq.map(rel => s"$base/$rel")
+  }
+
+  /** Vacuum candidates (DRY RUN): files some version added that are
+    * no longer live at `version` (latest when negative) — exactly
+    * what a retention-0 VACUUM would delete. Listing is all this
+    * layer offers by design: the delete itself is the caller's
+    * explicitly destructive step, and the moment these files go,
+    * every older version that references them stops being
+    * reconstructible (that trade — history vs storage — belongs to a
+    * human-owned retention policy, not a library default).
+    */
+  def unreferencedFiles(spark: SparkSession, base: String,
+                        version: Int = -1): Seq[String] = {
+    val everAdded = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    replay(spark, base, version) { (isAdd, file) =>
+      if (isAdd) { everAdded += file; live += file } else live -= file
+    }
+    (everAdded -- live).toSeq.map(rel => s"$base/$rel")
   }
 
   /** `SELECT ... VERSION AS OF version`: read exactly the files the

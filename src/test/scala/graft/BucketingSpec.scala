@@ -179,4 +179,32 @@ class BucketingSpec extends SparkSpec {
     // and time travel still sees every historical state
     assert(TxnLog.readAsOf(spark, base, 0).count() === 2)
   }
+
+  test("txn log: unreferencedFiles lists exactly the removed adds") {
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_vacuum")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").write.parquet(s"$base/d0")
+    val d0 = TxnLog.partFiles(spark, base, "d0")
+    val v0 = TxnLog.commit(spark, base, -1, d0)
+    // nothing removed yet -> nothing to vacuum
+    assert(TxnLog.unreferencedFiles(spark, base).isEmpty)
+    Seq((1L, "x2"), (2L, "y2")).toDF("k", "v").write.parquet(s"$base/d1")
+    TxnLog.commit(spark, base, v0,
+      adds = TxnLog.partFiles(spark, base, "d1"), removes = d0)
+    // retention-0 candidates = exactly the d0 files, base-prefixed;
+    // live files are untouched and history BEFORE the vacuum works
+    val dead = TxnLog.unreferencedFiles(spark, base)
+    assert(dead.toSet === d0.map(f => s"$base/$f").toSet)
+    assert(TxnLog.filesAsOf(spark, base).toSet
+      .intersect(dead.toSet).isEmpty)
+    // asking at version 0 (before the remove) -> nothing unreferenced
+    assert(TxnLog.unreferencedFiles(spark, base, 0).isEmpty)
+  }
 }
