@@ -2618,6 +2618,39 @@ object ops {
           col("st.b").as("trend"))
     }
 
+    /** One-step-ahead Holt backtest per key: the same α = β = 0.5
+      * fold as [[holtSmooth]], extended to accumulate the absolute
+      * one-step forecast error |x_t − (l + b)_{t−1}| in fold order —
+      * the in-sample error series every rolling-origin evaluation
+      * reduces to for this recursion (each step's forecast uses
+      * exactly the prior state, so the fold IS the backtest).
+      * Output: (key, n, sae) with n − 1 error terms; divide by n − 1
+      * for MAE, by the naive lag-1 SAE for MASE.
+      */
+    def holtBacktest(key: Column, time: Column, x: Column): DataFrame = {
+      val base = df.select(key.as("key"), time.as("time"),
+        x.cast("double").as("x"))
+      base.groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          array_sort(collect_list(struct(col("time"), col("x"))))
+            .as("xs"))
+        .withColumn("st", expr("""
+          aggregate(xs,
+            named_struct('l', CAST(0.0 AS DOUBLE),
+                         'b', CAST(0.0 AS DOUBLE),
+                         'sae', CAST(0.0 AS DOUBLE), 'i', 0),
+            (a, v) -> IF(a.i = 0,
+              named_struct('l', v.x, 'b', CAST(0.0 AS DOUBLE),
+                           'sae', CAST(0.0 AS DOUBLE), 'i', 1),
+              named_struct(
+                'l', 0.5D * v.x + 0.5D * (a.l + a.b),
+                'b', 0.5D * ((0.5D * v.x + 0.5D * (a.l + a.b)) - a.l)
+                     + 0.5D * a.b,
+                'sae', a.sae + abs(v.x - (a.l + a.b)),
+                'i', 1)))"""))
+        .select(col("key"), col("n"), col("st.sae").as("sae"))
+    }
+
     /** Theil-Sen robust slope per key: the POSITIONAL median (index
       * (n+1)÷2 over (slope, t1, t2) order — no middle-pair averaging,
       * so tied slopes resolve identically on any engine) of all

@@ -1095,6 +1095,43 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Rolling one-step forecast backtest — the evaluation side of
+    * q_ts_holt, because a forecaster without a backtest is a guess:
+    * per event type, the Holt(0.5, 0.5) recursion's one-step-ahead
+    * absolute errors over the whole hourly series (the fold IS the
+    * rolling-origin backtest — each step's forecast uses exactly the
+    * prior state), reported as MAE and as MASE (error relative to the
+    * naive lag-1 forecaster — the standard scale-free skill metric;
+    * < 1 beats naive). The naive denominator is EXACT: Σ|x_t − x_t₋₁|
+    * over integer counts; the Holt SAE accumulates in fold order,
+    * replayed step-for-step by the oracle's recursive CTE.
+    *
+    * Scale: the fold runs per type over the collected (types × hours)
+    * series — the same bounded-frame argument as q_ts_holt; the naive
+    * SAE is one lag window over the hourly frame.
+    */
+  val tsBacktest: Q = (spark, dir) => {
+    import graft.api.ops._
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("xi"))
+    val holt = hourly.holtBacktest(col("event_type"), col("hr"),
+      col("xi"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hr")
+    val naive = hourly
+      .withColumn("prev", lag(col("xi"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("xi") - col("prev"))).as("naive_sae"))
+    holt.join(naive, col("key") === col("event_type"))
+      .select(col("event_type"), col("n").as("n_hours"),
+        Norm.r4tie(col("sae") / (col("n") - 1).cast("double")).as("mae"),
+        Norm.r4tie(col("sae") / col("naive_sae").cast("double"))
+          .as("mase"))
+      .orderBy("event_type")
+  }
+
   /** Theil-Sen robust trend estimate per event type — the median of
     * all pairwise slopes over the hourly series, the outlier-immune
     * alternative to the OLS slope (q_agg_linreg) and the magnitude
@@ -1523,6 +1560,7 @@ object TimeWindows extends QueryModule {
     "q_attribution_markov" -> attributionMarkov,
     "q_ts_theilsen" -> tsTheilSen,
     "q_ts_holt" -> tsHolt,
+    "q_ts_backtest" -> tsBacktest,
     "q_ts_interarrival" -> tsInterarrival,
     "q_ts_periodogram" -> tsPeriodogram,
     "q_ts_trend" -> tsTrend,
@@ -1944,6 +1982,47 @@ object TimeWindows extends QueryModule {
              floor(slope * 10000) / 10000 AS sen_slope
       FROM ranked WHERE rn = (n_pairs + 1) // 2
       ORDER BY event_type""",
+    "q_ts_backtest" -> """
+      WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               count(*) AS xi
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, CAST(xi AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS t,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+      holt AS (
+        SELECT event_type, t, n, x AS l, CAST(0.0 AS DOUBLE) AS b,
+               CAST(0.0 AS DOUBLE) AS sae
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t, s.n,
+               CAST(0.5 AS DOUBLE) * s.x
+                 + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+               CAST(0.5 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * s.x
+                     + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+                 + CAST(0.5 AS DOUBLE) * h.b,
+               h.sae + abs(s.x - (h.l + h.b))
+        FROM holt h
+        JOIN seq s ON s.event_type = h.event_type AND s.t = h.t + 1),
+      naive AS (
+        SELECT event_type,
+               CAST(sum(abs(xi - prev)) AS BIGINT) AS naive_sae
+        FROM (SELECT event_type, xi,
+                     lag(xi) OVER (PARTITION BY event_type
+                                   ORDER BY hr) AS prev
+              FROM hourly)
+        WHERE prev IS NOT NULL GROUP BY 1)
+      SELECT h.event_type, h.n AS n_hours,
+             floor(h.sae / CAST(h.n - 1 AS DOUBLE) * 10000 + 0.5)
+               / 10000 AS mae,
+             floor(h.sae / CAST(naive_sae AS DOUBLE) * 10000 + 0.5)
+               / 10000 AS mase
+      FROM holt h JOIN naive nv ON h.event_type = nv.event_type
+      WHERE h.t = h.n ORDER BY h.event_type""",
     "q_ts_holt" -> """
       WITH RECURSIVE hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -834,6 +834,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_ts_backtest matches a driver-side Holt recursion") {
+    // Independent sequential recomputation of the one-step backtest:
+    // the same α = β = 0.5 recursion, SAE accumulated in series
+    // order, naive lag-1 SAE on exact integers.
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2.getTime).map(_._3)
+      var l = xs.head.toDouble
+      var b = 0.0
+      var sae = 0.0
+      var naive = 0L
+      for (i <- 1 until xs.length) {
+        val x = xs(i).toDouble
+        sae += math.abs(x - (l + b))
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+        naive += math.abs(xs(i) - xs(i - 1))
+      }
+      val n = xs.length
+      t -> ((n.toLong,
+        math.floor(sae / (n - 1).toDouble * 10000 + 0.5) / 10000,
+        math.floor(sae / naive.toDouble * 10000 + 0.5) / 10000))
+    }
+    val got = SparkEntry.queries("q_ts_backtest")(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, mae, mase) = expected(t)
+      assert(r.getAs[Long]("n_hours") === n, s"type=$t n")
+      assert(r.getAs[Double]("mae") === mae, s"type=$t mae")
+      assert(r.getAs[Double]("mase") === mase, s"type=$t mase")
+    }
+  }
+
   test("q_stats_levene matches a driver-side brute-force W") {
     // Histogram-median + ANOVA-on-|z| algebra vs a naive driver
     // recomputation: per-type lower median over sorted cents, exact
