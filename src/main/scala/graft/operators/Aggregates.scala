@@ -927,6 +927,49 @@ object Aggregates extends QueryModule {
       .orderBy("rf")
   }
 
+  /** Two-proportion z-test on CONVERSION RATE — q_abtest's
+    * categorical sibling (that one compares purchase-value means;
+    * most experiments ship a rate metric first): per-user converted
+    * flag — purchase share above the uniform 1/5 expectation
+    * (5·purchases > events, an integer comparison; "any purchase
+    * ever" saturates to rate 1.0 at scale and zeroes the pooled
+    * variance) — variants by user-id parity, pooled-variance
+    * z = (p_A − p_B)/√(p̂(1−p̂)(1/n_A + 1/n_B)). Every count is an
+    * exact BIGINT off two nested hash aggs; the z closed form is one
+    * shared float expression.
+    *
+    * Scale: events → per-user flags (hash agg on user_id, the
+    * shuffle the funnel family already pays) → a 2-row variant
+    * rollup; the finish is row-local.
+    */
+  val statsTwoProportion: Q = (spark, dir) => {
+    val u = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) * 5 > count(lit(1))).cast("long").as("conv"))
+      .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), col("conv"))
+    // the 2-row rollup feeds both variant branches — pin it
+    val s = u.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      .localCheckpoint()
+    val a = s.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = s.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    def dd(c: Column) = c.cast("double")
+    val pA = dd(col("k_a")) / dd(col("n_a"))
+    val pB = dd(col("k_b")) / dd(col("n_b"))
+    val pp = dd(col("k_a") + col("k_b")) / dd(col("n_a") + col("n_b"))
+    val z = (pA - pB) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / dd(col("n_a")) + lit(1.0) / dd(col("n_b"))))
+    a.crossJoin(b)
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        Norm.r4tie(pA).as("rate_a"), Norm.r4tie(pB).as("rate_b"),
+        Norm.r4dn(z).as("z"))
+  }
+
   val abTest: Q = (spark, dir) => {
     val p = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -1833,6 +1876,7 @@ object Aggregates extends QueryModule {
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_mode" -> aggMode,
     "q_abtest" -> abTest,
+    "q_stats_two_proportion" -> statsTwoProportion,
     "q_stats_anova" -> statsAnova,
     "q_stats_mannwhitney" -> statsMannWhitney,
     "q_stats_ttest" -> statsTtest,
@@ -2692,6 +2736,39 @@ object Aggregates extends QueryModule {
                list(term ORDER BY t, h)), (a, x) -> a + x)
                * 10000 + 0.5) / 10000 AS chi2
       FROM terms""",
+    "q_stats_two_proportion" -> """
+      WITH u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) * 5 > count(*)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+      v AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                 AS variant,
+               conv
+        FROM u),
+      s AS (
+        SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+        FROM v GROUP BY variant),
+      a AS (SELECT n AS n_a, k AS k_a FROM s WHERE variant = 'A'),
+      b AS (SELECT n AS n_b, k AS k_b FROM s WHERE variant = 'B'),
+      f AS (
+        SELECT n_a, k_a, n_b, k_b,
+               CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+               CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+               CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                 AS pp
+        FROM a CROSS JOIN b)
+      SELECT n_a, k_a, n_b, k_b,
+             floor(pa * 10000 + 0.5) / 10000 AS rate_a,
+             floor(pb * 10000 + 0.5) / 10000 AS rate_b,
+             floor((pa - pb) /
+                   sqrt(pp * (1.0 - pp)
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE)))
+                   * 10000) / 10000 AS z
+      FROM f""",
     "q_abtest" -> """
       WITH p AS (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,

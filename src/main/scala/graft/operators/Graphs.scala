@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Norm, QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators (SURVEY.md §2.B LLM-pipeline / graph surface).
@@ -187,6 +189,51 @@ object Graphs extends QueryModule {
           .as("aa_score"))
   }
 
+  /** One-row graph profile of the bipartite customer↔supplier graph —
+    * the summary every graph pipeline prints before choosing
+    * algorithms (is this sparse or dense? skewed or flat? — the
+    * numbers that decide broadcast vs shuffle, cap sizes, and whether
+    * colorful sampling is needed): node counts per side, edge count,
+    * bipartite density m/(n_c·n_s), mean degrees, max degrees (the
+    * skew-cap input), and the exact lower-median supplier degree via
+    * the degree HISTOGRAM (2·cum ≥ total — the q_stats_levene median,
+    * never a raw sort).
+    *
+    * Scale: one fact join to the distinct edge list (checkpointed for
+    * its three consumers), two degree rollups, then aggregates over
+    * the bounded degree histogram.
+    */
+  val graphProfile: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
+      .distinct()
+      .localCheckpoint()
+    val m = edges.agg(count(lit(1)).as("m"))
+    val dc = edges.groupBy("cu").agg(count(lit(1)).as("d"))
+    val ds = edges.groupBy("su").agg(count(lit(1)).as("d"))
+    val cAgg = dc.agg(count(lit(1)).as("n_cust"),
+      max(col("d")).as("max_cust_deg"))
+    val sAgg = ds.agg(count(lit(1)).as("n_supp"),
+      max(col("d")).as("max_supp_deg"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sMed = ds.groupBy("d").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("cum") * 2 >= col("tot"))
+      .agg(min(col("d")).as("med_supp_deg"))
+    def dd(c: Column) = c.cast("double")
+    m.crossJoin(cAgg).crossJoin(sAgg).crossJoin(sMed)
+      .select(col("n_cust"), col("n_supp"), col("m").as("n_edges"),
+        Norm.r4tie(dd(col("m")) /
+          (dd(col("n_cust")) * dd(col("n_supp")))).as("density"),
+        Norm.r4tie(dd(col("m")) / dd(col("n_cust"))).as("avg_cust_deg"),
+        Norm.r4tie(dd(col("m")) / dd(col("n_supp"))).as("avg_supp_deg"),
+        col("max_cust_deg"), col("max_supp_deg"), col("med_supp_deg"))
+  }
+
   /** Degree assortativity of the bipartite customer↔supplier graph —
     * do high-volume customers buy from high-volume suppliers (r > 0)
     * or from the periphery (r < 0)? Pearson correlation over each
@@ -292,6 +339,7 @@ object Graphs extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "q_graph_jaccard" -> graphJaccard,
+    "q_graph_profile" -> graphProfile,
     "q_graph_modularity" -> graphModularity,
     "q_graph_assortativity" -> graphAssortativity,
     "q_graph_adamic_adar" -> graphAdamicAdar,
@@ -303,6 +351,37 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_profile" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS cu, l_suppkey AS su
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      m AS (SELECT count(*) AS m FROM edges),
+      dc AS (SELECT cu, count(*) AS d FROM edges GROUP BY cu),
+      ds AS (SELECT su, count(*) AS d FROM edges GROUP BY su),
+      ca AS (SELECT count(*) AS n_cust,
+                    CAST(max(d) AS BIGINT) AS max_cust_deg FROM dc),
+      sa AS (SELECT count(*) AS n_supp,
+                    CAST(max(d) AS BIGINT) AS max_supp_deg FROM ds),
+      hist AS (SELECT d, count(*) AS cnt FROM ds GROUP BY d),
+      cums AS (
+        SELECT d,
+               sum(cnt) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               sum(cnt) OVER () AS tot
+        FROM hist),
+      md AS (SELECT CAST(min(d) AS BIGINT) AS med_supp_deg
+             FROM cums WHERE cum * 2 >= tot)
+      SELECT n_cust, n_supp, m AS n_edges,
+             floor(CAST(m AS DOUBLE)
+                   / (CAST(n_cust AS DOUBLE) * CAST(n_supp AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS density,
+             floor(CAST(m AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS avg_cust_deg,
+             floor(CAST(m AS DOUBLE) / CAST(n_supp AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS avg_supp_deg,
+             max_cust_deg, max_supp_deg, med_supp_deg
+      FROM m CROSS JOIN ca CROSS JOIN sa CROSS JOIN md""",
     "q_graph_jaccard" -> """
       WITH edges AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
