@@ -115,6 +115,32 @@ object TextAnalysis extends QueryModule {
     * the DuckDB side, so it is oracle-checkable unlike the xxhash
     * signatures.
     */
+  /** Boilerplate-prefix detector — the header/footer screen whole-doc
+    * dedup misses: documents sharing their EXACT first-16-token
+    * prefix (crawl boilerplate, license headers, template intros are
+    * prefix-identical even when bodies diverge, so whole-doc hashing
+    * and Jaccard both under-count them). Clusters of ≥ 2 by the
+    * verbatim prefix string, reporting size, the canonical (min)
+    * doc_id, and the prefix itself; top-50 by (size desc, prefix) —
+    * the triage order a cleanup pass works through.
+    *
+    * Scale: ONE hash aggregate on the 16-token prefix (the full text
+    * never shuffles — only the ~100-byte prefix); the top-50 is a
+    * TakeOrdered heap, not a global sort.
+    */
+  val textBoilerplate: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 16), " ")
+          .as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("prefix"))
+      .limit(50)
+      .select(col("prefix"), col("n_docs"), col("min_doc"))
+  }
+
   val textFingerprint: Q = (spark, dir) => {
     val d = docs(spark, dir).withColumn("toks", split(col("text"), " "))
     d.select(col("doc_id"),
@@ -1328,6 +1354,7 @@ object TextAnalysis extends QueryModule {
     "q_text_quality" -> textQuality,
     "q_text_token_count" -> textTokenCount,
     "q_text_fingerprint" -> textFingerprint,
+    "q_text_boilerplate" -> textBoilerplate,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2354,6 +2381,18 @@ object TextAnalysis extends QueryModule {
                (acc, c) -> acc + c) AS n_bpe_pieces
       FROM documents
       ORDER BY doc_id""",
+    "q_text_boilerplate" -> """
+      WITH p AS (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:16], ' ')
+                 AS prefix
+        FROM documents),
+      g AS (
+        SELECT prefix, count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM p GROUP BY prefix HAVING count(*) >= 2)
+      SELECT prefix, n_docs, min_doc
+      FROM g ORDER BY n_docs DESC, prefix LIMIT 50""",
     "q_text_fingerprint" -> """
       SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),

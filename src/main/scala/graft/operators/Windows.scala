@@ -221,7 +221,46 @@ object Windows extends QueryModule {
       .orderBy("segment")
   }
 
+  /** Top movers — the leaderboard-delta report every ops dashboard
+    * ships: supplier revenue RANK in the last month vs the month
+    * before (among suppliers active in both), the 20 biggest rank
+    * jumps either direction. Revenue stays exact BIGINT cents; the
+    * two reporting months come from the data (row_number over the
+    * distinct-month frame, ~80 rows), per-month ranks are windows
+    * over the bounded (suppliers × 2) frame keyed by month, and the
+    * final top-20 is a TakeOrdered heap on
+    * (|Δrank| desc, supp) — never a global sort.
+    */
+  val windowTopMovers: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val monthly = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_suppkey").as("supp"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val months = monthly.select("month").distinct()
+      .withColumn("mrk", row_number().over(Window.orderBy(col("month").desc)))
+      .filter(col("mrk") <= 2)
+    val ranked = monthly.join(broadcast(months), "month")
+      .withColumn("rnk", row_number().over(Window.partitionBy("month")
+        .orderBy(col("cents").desc, col("supp"))))
+    val last = ranked.filter(col("mrk") === 1)
+      .select(col("supp"), col("rnk").as("rank_last"),
+        col("cents").as("cents_last"))
+    val prev = ranked.filter(col("mrk") === 2)
+      .select(col("supp").as("supp_p"), col("rnk").as("rank_prev"))
+    last.join(prev, col("supp") === col("supp_p"))
+      .select(col("supp").as("s_suppkey"), col("rank_prev"),
+        col("rank_last"),
+        (col("rank_prev") - col("rank_last")).cast("long").as("delta"),
+        col("cents_last"))
+      .orderBy(abs(col("rank_prev") - col("rank_last")).desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_top_movers" -> windowTopMovers,
     "q_window_pareto" -> windowPareto,
     "q_window_median" -> windowMedian,
     "q_skyline" -> skyline,
@@ -236,6 +275,34 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_top_movers" -> """
+      WITH monthly AS (
+        SELECT l_suppkey AS supp,
+               date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      months AS (
+        SELECT month, row_number() OVER (ORDER BY month DESC) AS mrk
+        FROM (SELECT DISTINCT month FROM monthly)
+        QUALIFY mrk <= 2),
+      ranked AS (
+        SELECT m.supp, ms.mrk, m.cents,
+               row_number() OVER (PARTITION BY m.month
+                 ORDER BY m.cents DESC, m.supp) AS rnk
+        FROM monthly m JOIN months ms ON m.month = ms.month),
+      lastm AS (
+        SELECT supp, rnk AS rank_last, cents AS cents_last
+        FROM ranked WHERE mrk = 1),
+      prevm AS (
+        SELECT supp, rnk AS rank_prev FROM ranked WHERE mrk = 2)
+      SELECT l.supp AS s_suppkey, p.rank_prev, l.rank_last,
+             CAST(p.rank_prev - l.rank_last AS BIGINT) AS delta,
+             l.cents_last
+      FROM lastm l JOIN prevm p ON l.supp = p.supp
+      ORDER BY abs(p.rank_prev - l.rank_last) DESC, l.supp
+      LIMIT 20""",
     "q_window_pareto" -> """
       WITH spend AS (
         SELECT c_mktsegment AS segment, c_custkey,
