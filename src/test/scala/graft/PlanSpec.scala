@@ -1237,6 +1237,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_text_boilerplate: prefix hash-agg + TakeOrdered heap") {
+    // The full text never reaches a shuffle — only the 16-token
+    // prefix aggregates; the top-50 compiles to
+    // TakeOrderedAndProject, not a global Sort.
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_window_top_movers: heap top-k, no cartesian") {
+    val p = plan("q_window_top_movers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_stats_two_proportion and q_graph_profile: no cartesian") {
+    // Both finishers cross-join 1-row frames only (BNLJ over
+    // broadcast singletons); the data-sized aggregations sit behind
+    // the pinned localCheckpoint, so the visible plan is the 1-row
+    // join tree.
+    for (q <- Seq("q_stats_two_proportion", "q_graph_profile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("q_stats_delta_method: two nested hash aggs, no window") {
     // events → per-user sums → per-type moments are both hash
     // aggregates; the naive-SE frame joins back broadcast. No window,
