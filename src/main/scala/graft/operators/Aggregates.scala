@@ -692,6 +692,51 @@ object Aggregates extends QueryModule {
           .as("eta_sq"))
   }
 
+  /** Population Stability Index — the drift monitor production
+    * scoring pipelines alert on: per event type, the value-cents
+    * distribution over fixed $10 bins in the month's FIRST half
+    * (reference) vs its SECOND half (current), PSI = Σ (p −
+    * q)·ln(p/q). Bins are fixed-width integer buckets (c div 1000,
+    * capped at 9) — production PSI pins the reference binning, it
+    * does not re-quantile per window — and bins empty on either side
+    * are skipped (the ε-free convention; both engines skip
+    * identically via the same integer predicate). Counts stay exact
+    * BIGINTs; each term is one shared float shape; the ≤10-term
+    * per-type sum folds in bin order (the ordered-fold discipline —
+    * a groupBy double sum is partial-agg-order-dependent). The
+    * conventional alert at PSI ≥ 0.1 compares the ROUNDED value, so
+    * the flag is as deterministic as the hash.
+    *
+    * Scale: one conditional-sum pass to (types × 10 bins), a
+    * broadcast totals join, a bounded fold.
+    */
+  val statsPsi: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type").as("t"),
+        (dayofmonth(col("ts")) <= 15).as("ref"),
+        expr("least(CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000, 9)")
+          .as("bin"))
+    val cells = e.groupBy("t", "bin").agg(
+      sum(when(col("ref"), 1L).otherwise(0L)).as("nr"),
+      sum(when(!col("ref"), 1L).otherwise(0L)).as("nc"))
+    val tot = cells.groupBy("t").agg(
+      sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    def dd(c: String) = col(c).cast("double")
+    val p = dd("nr") / dd("tr")
+    val q = dd("nc") / dd("tc")
+    val terms = cells.join(broadcast(tot), "t")
+      .filter(col("nr") > 0 && col("nc") > 0)
+      .select(col("t"), col("bin"), ((p - q) * log(p / q)).as("term"))
+    val psi = aggregate(
+      array_sort(collect_list(struct(col("bin"), col("term")))),
+      lit(0.0), (acc, s) => acc + s.getField("term"))
+    terms.groupBy("t")
+      .agg(count(lit(1)).as("n_bins"), Norm.r4tie(psi).as("psi"))
+      .select(col("t").as("event_type"), col("n_bins"), col("psi"),
+        (col("psi") >= 0.1).as("drifted"))
+      .orderBy("event_type")
+  }
+
   /** Delta-method standard error for a ratio metric with USER-level
     * clustering — the A/B-platform correction naive per-event SEs get
     * wrong: revenue-per-event R = Σx/Σy is a ratio of sums whose
@@ -1871,6 +1916,7 @@ object Aggregates extends QueryModule {
     "q_stats_bh_fdr" -> statsBhFdr,
     "q_stats_levene" -> statsLevene,
     "q_stats_delta_method" -> statsDeltaMethod,
+    "q_stats_psi" -> statsPsi,
     "q_sql_entry" -> sqlEntry,
     "q_agg_corr_matrix" -> aggCorrMatrix,
     "q_agg_percentiles" -> aggPercentiles,
@@ -1913,6 +1959,43 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_psi" -> """
+      WITH e AS (
+        SELECT event_type AS t,
+               date_part('day', ts) <= 15 AS ref,
+               least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000,
+                     9) AS bin
+        FROM events),
+      cells AS (
+        SELECT t, bin,
+               CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nr,
+               CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nc
+        FROM e GROUP BY 1, 2),
+      tot AS (
+        SELECT t, CAST(sum(nr) AS BIGINT) AS tr,
+               CAST(sum(nc) AS BIGINT) AS tc
+        FROM cells GROUP BY 1),
+      terms AS (
+        SELECT c.t, c.bin,
+               (CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)
+                - CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))
+               * ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+                    / (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))) AS term
+        FROM cells c JOIN tot ON c.t = tot.t
+        WHERE nr > 0 AND nc > 0),
+      lists AS (
+        SELECT t, count(*) AS n_bins,
+               list(term ORDER BY bin) AS ts
+        FROM terms GROUP BY 1),
+      fin AS (
+        SELECT t, n_bins,
+               floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                 (a, x) -> a + x) * 10000 + 0.5) / 10000 AS psi
+        FROM lists)
+      SELECT t AS event_type, n_bins, psi, psi >= 0.1 AS drifted
+      FROM fin ORDER BY event_type""",
     "q_stats_delta_method" -> """
       WITH e AS (
         SELECT event_type AS t, user_id,
