@@ -306,6 +306,52 @@ object Similarity extends QueryModule {
       .orderBy("label", "pos")
   }
 
+  /** Embedding-centroid drift monitor — the representation-space
+    * twin of q_stats_psi: per label, the cosine gap 1 − cos(c_ref,
+    * c_cur) between the class centroid over the md5-half REFERENCE
+    * slice and the other half, plus both centroid NORMS. On encoder
+    * embeddings with class structure (‖c‖ well above the 1/√n noise
+    * floor) the halves are exchangeable and drift ≈ 0; a re-embedded
+    * or retrained feed shows up as a per-label jump long before
+    * downstream metrics move. The norms are what make the reading
+    * honest: THIS corpus is label-isotropic (centroids ≈ 0 while
+    * per-vector norms ≈ 1 — consistent with its max pairwise
+    * cos ≈ 0.51), so the centroid direction is pure sampling noise
+    * and drift reads ≈ 1; the monitor's correct interpretation is
+    * gated on ‖c‖, exactly as this query exposes it. Cosine runs
+    * over the two mean vectors through the same one-pass kernel as
+    * every embedding query (scale-invariant, so mean-vs-sum is a
+    * no-op — the mean is kept because the oracle replays avg());
+    * per-half counts ride along.
+    *
+    * Scale: the [[graft.functions.CentroidAgg]] partial-agg argument
+    * — the shuffle carries one 64-double buffer per (label × half ×
+    * partition), never vectors.
+    */
+  val embedDrift: Q = (spark, dir) => {
+    import graft.api.ops._
+    val halves = Tables(spark, dir, "embeddings")
+      .select(col("label"), md5Bucket(col("vec_id"), 2).as("half"),
+        col("embedding"))
+    val cents = halves
+      .centroidPerKey(struct(col("label"), col("half")), col("embedding"))
+      .select(col("key.label").as("label"), col("key.half").as("half"),
+        col("centroid"))
+    val ns = halves.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val both = cents.join(ns, Seq("label", "half"))
+    val ref = both.filter(col("half") === 0)
+      .select(col("label"), col("centroid").as("c0"), col("n").as("n_ref"))
+    val cur = both.filter(col("half") === 1)
+      .select(col("label").as("label_c"), col("centroid").as("c1"),
+        col("n").as("n_cur"))
+    ref.join(cur, col("label") === col("label_c"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        Norm.r4tie(sqrt(dot(col("c0"), col("c0")))).as("norm_ref"),
+        Norm.r4tie(sqrt(dot(col("c1"), col("c1")))).as("norm_cur"),
+        Norm.r4tie(lit(1.0) - cosine(col("c0"), col("c1"))).as("drift"))
+      .orderBy("label")
+  }
+
   /** ANN via sign-LSH: `numPlanes` deterministic pseudo-random
     * hyperplanes ([[graft.api.ops.lshPlanes]], fixed seed, materialized
     * as literal arrays so the per-row work is `numPlanes` zip_with
@@ -1195,6 +1241,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_recall" -> simAnnRecall,
     "q_sim_ndcg" -> simNdcg,
     "q_embed_matryoshka" -> embedMatryoshka,
+    "q_embed_drift" -> embedDrift,
     "q_multimodal_join" -> multimodalJoin,
   )
 
@@ -1301,6 +1348,68 @@ object Similarity extends QueryModule {
              floor(d.dcg / i.idcg * 10000) / 10000 AS ndcg_at_10
       FROM irel i JOIN drel d ON i.qid = d.qid
       ORDER BY i.qid"""
+  }
+
+  /** DuckDB twin of [[embedDrift]]: md5-half split, per-(label,
+    * half) elementwise avg() centroids (the q_centroid_per_label
+    * replay), the standard three-fold cosine between the two mean
+    * vectors.
+    */
+  private def embedDriftOracle: String = {
+    def sumsq(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65), d -> $a[d] * $a[d])),
+           (s, x) -> s + x)"""
+    def cos(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65), d -> $a[d] * $b[d])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), d -> $a[d] * $a[d])),
+              (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65), d -> $b[d] * $b[d])),
+                (s, x) -> s + x)))"""
+    s"""
+      WITH h AS (
+        SELECT label, embedding,
+               ((strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(vec_id AS VARCHAR))), 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(vec_id AS VARCHAR))), 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(vec_id AS VARCHAR))), 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(vec_id AS VARCHAR))), 4, 1)) - 1)) % 2 AS half
+        FROM embeddings),
+      m AS (
+        SELECT label, half, pos, avg(v) AS mv
+        FROM (SELECT label, half,
+                     generate_subscripts(embedding, 1) AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM h)
+        GROUP BY 1, 2, 3),
+      cent AS (
+        SELECT label, half, list(mv ORDER BY pos) AS c
+        FROM m GROUP BY 1, 2),
+      ns AS (SELECT label, half, count(*) AS n FROM h GROUP BY 1, 2),
+      r AS (SELECT cent.label, c AS c0, n AS n_ref
+            FROM cent JOIN ns ON cent.label = ns.label
+              AND cent.half = ns.half
+            WHERE cent.half = 0),
+      u AS (SELECT cent.label, c AS c1, n AS n_cur
+            FROM cent JOIN ns ON cent.label = ns.label
+              AND cent.half = ns.half
+            WHERE cent.half = 1)
+      SELECT r.label, n_ref, n_cur,
+             floor(sqrt(${sumsq("c0")}) * 10000 + 0.5) / 10000
+               AS norm_ref,
+             floor(sqrt(${sumsq("c1")}) * 10000 + 0.5) / 10000
+               AS norm_cur,
+             floor((1.0 - ${cos("c0", "c1")}) * 10000 + 0.5) / 10000
+               AS drift
+      FROM r JOIN u ON r.label = u.label
+      ORDER BY r.label"""
   }
 
   /** DuckDB twin of [[embedMatryoshka]]: prefix cosines over
@@ -1601,6 +1710,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_recall" -> annRecallOracle,
     "q_sim_ndcg" -> simNdcgOracle,
     "q_embed_matryoshka" -> matryoshkaOracle,
+    "q_embed_drift" -> embedDriftOracle,
     "q_embed_pca_power" -> """
       WITH q AS (
         SELECT vec_id, i,
