@@ -113,8 +113,9 @@ object Mutations extends QueryModule {
       .orderBy("o_orderkey")
   }
 
-  /** SCD2 dimension history: customer as a type-2 dimension (key,
-    * name, mktsegment + validity columns), merged with a change set
+  /** SCD2 dimension history — the merged customer type-2 dimension
+    * q_scd2_merge scores and q_join_pit consumes: (key, name,
+    * mktsegment + validity columns) with a 1998-06-01 change batch
     * derived from the table itself so the oracle re-derives it —
     * every 10th customer moves segment (→ close + new version), every
     * 100th+7 arrives as a brand-new negated-key customer (→ insert),
@@ -122,7 +123,8 @@ object Mutations extends QueryModule {
     * attr compare). 'MOVED' is not a TPC-H segment value, so matched
     * changes always differ by construction.
     */
-  val scd2: Q = (spark, dir) => {
+  private def scd2DimMerged(spark: SparkSession, dir: String)
+      : DataFrame = {
     import graft.api.ops._
     val dim = Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -142,12 +144,46 @@ object Mutations extends QueryModule {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         to_date(lit("1998-06-01")).as("ts"))
     dim.scd2Merge(moved.unionByName(arrived).unionByName(noop),
-        "c_custkey", "ts")
+      "c_custkey", "ts")
+  }
+
+  val scd2: Q = (spark, dir) =>
+    scd2DimMerged(spark, dir)
       // Dates emit as strings for the oracle compare (repo convention:
       // pandas reads Spark DATE as date, DuckDB DATE as Timestamp).
       .withColumn("valid_from", graft.Norm.dstr(col("valid_from")))
       .withColumn("valid_to", graft.Norm.dstr(col("valid_to")))
       .orderBy("c_custkey", "valid_from")
+
+  /** Point-in-time join against the SCD2 dimension — the
+    * feature-store correctness primitive (Kappa "as-of" semantics on
+    * validity intervals): every order joins the dimension version
+    * valid AT ITS ORDER DATE (valid_from ≤ d < valid_to, half-open —
+    * the change-day order already sees the new version), so a
+    * customer re-segmented in 1998 contributes 1995-1998 revenue to
+    * the OLD segment and later revenue to MOVED. Joining
+    * `is_current` instead (the classic leakage bug) would silently
+    * rewrite history — the row counts per segment ARE the audit.
+    * Revenue stays exact BIGINT cents with one final division.
+    *
+    * Scale: the dimension (≤ 2 versions/key) broadcasts; the range
+    * predicate rides the broadcast hash join as a post-filter —
+    * orders shuffle zero times.
+    */
+  val joinPit: Q = (spark, dir) => {
+    val dim = scd2DimMerged(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"),
+        col("valid_from"), col("valid_to"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    o.join(broadcast(dim), col("o_custkey") === col("k") &&
+        col("o_orderdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("revenue"))
+      .orderBy("c_mktsegment")
   }
 
   /** Incremental materialized-view refresh: a per-status (count, sum)
@@ -216,6 +252,7 @@ object Mutations extends QueryModule {
     "q_merge_upsert" -> mergeUpsert,
     "q_mutation_update_delete" -> updateDelete,
     "q_scd2_merge" -> scd2,
+    "q_join_pit" -> joinPit,
     "q_snapshot_diff" -> snapshotDiff,
   )
 
@@ -313,6 +350,18 @@ object Mutations extends QueryModule {
       FROM t
       WHERE NOT (o_custkey % 7 = 0)
       ORDER BY o_orderkey""",
+    "q_join_pit" -> """
+      WITH seg AS (
+        SELECT o_orderkey,
+               CASE WHEN c_custkey % 10 = 0
+                         AND o_orderdate >= DATE '1998-06-01'
+                    THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+      FROM seg GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
     "q_scd2_merge" -> """
       WITH dim AS (
         SELECT c_custkey, c_name, c_mktsegment,

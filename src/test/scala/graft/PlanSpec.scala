@@ -1237,6 +1237,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_join_pit: the fact-side join is a broadcast hash join") {
+    // The SCD2 dim (≤ 2 versions/key) rides a BroadcastHashJoin with
+    // the validity-range predicate as the join's extra condition —
+    // orders never shuffle before the final aggregate. (The dim
+    // BUILD's own full-outer scd2 merge may sort-merge at its
+    // dimension-sized scale; that's upstream of the broadcast.)
+    val p = plan("q_join_pit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_boilerplate: prefix hash-agg + TakeOrdered heap") {
     // The full text never reaches a shuffle — only the 16-token
     // prefix aggregates; the top-50 compiles to
