@@ -115,6 +115,51 @@ object TextAnalysis extends QueryModule {
     * the DuckDB side, so it is oracle-checkable unlike the xxhash
     * signatures.
     */
+  /** Train→test n-gram coverage — decontamination's inverse-direction
+    * metric: what share of the TEST split's distinct 3-grams (within
+    * the same lang) already appear in TRAIN? Decontamination asks
+    * "which eval grams leaked into train so I can drop them"; this
+    * asks "how memorizable is my held-out split" — coverage → 1 means
+    * test perplexity measures recall, not generalization, and after
+    * near-dup-aware splitting this number is what should drop. Same
+    * md5 split as q_sample_hash_split, same gram expansion as
+    * q_text_decontaminate; counts exact BIGINT, one division.
+    *
+    * Scale: grams reduce to md5 hashes before the distinct (text
+    * never shuffles); the (lang, gram) join is a hash join on
+    * 16-byte keys — the decontaminate shape with the broadcast
+    * flipped (train-side gram sets are corpus-sized, so they
+    * shuffle; the TEST side of a real pipeline is the small side).
+    */
+  val textSplitCoverage: Q = (spark, dir) => {
+    import graft.api.ops._
+    val d = docs(spark, dir).withHashSplit(col("doc_id"))
+      .select(col("lang"), col("split"), split(col("text"), " ").as("t"))
+    val grams = when(size(col("t")) >= 3,
+      transform(sequence(lit(0), size(col("t")) - 3),
+        i => concat_ws(" ",
+          element_at(col("t"), (i + 1).cast("int")),
+          element_at(col("t"), (i + 2).cast("int")),
+          element_at(col("t"), (i + 3).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+    val inst = d.select(col("lang"), col("split"), explode(grams).as("gs"))
+      .select(col("lang"), col("split"), md5(col("gs")).as("g"))
+      .localCheckpoint() // feeds the train and test legs
+    val train = inst.filter(col("split") === "train")
+      .select("lang", "g").distinct()
+      .withColumn("hit", lit(1L))
+    val test = inst.filter(col("split") === "test")
+      .select("lang", "g").distinct()
+    test.join(train, Seq("lang", "g"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_test_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+      .select(col("lang"), col("n_test_grams"), col("n_covered"),
+        Norm.r4tie(col("n_covered").cast("double") /
+          col("n_test_grams").cast("double")).as("coverage"))
+      .orderBy("lang")
+  }
+
   /** Boilerplate-prefix detector — the header/footer screen whole-doc
     * dedup misses: documents sharing their EXACT first-16-token
     * prefix (crawl boilerplate, license headers, template intros are
@@ -1355,6 +1400,7 @@ object TextAnalysis extends QueryModule {
     "q_text_token_count" -> textTokenCount,
     "q_text_fingerprint" -> textFingerprint,
     "q_text_boilerplate" -> textBoilerplate,
+    "q_text_split_coverage" -> textSplitCoverage,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2381,6 +2427,42 @@ object TextAnalysis extends QueryModule {
                (acc, c) -> acc + c) AS n_bpe_pieces
       FROM documents
       ORDER BY doc_id""",
+    "q_text_split_coverage" -> """
+      WITH d0 AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t,
+               ((strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(lower(md5(
+                   CAST(doc_id AS VARCHAR))), 4, 1)) - 1)) % 100 AS bucket
+        FROM documents),
+      s AS (
+        SELECT lang, t,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM d0),
+      inst AS (
+        SELECT DISTINCT lang, split,
+               md5(array_to_string(t[i:i+2], ' ')) AS g
+        FROM (SELECT lang, split, t,
+                     unnest(range(1, len(t) - 1)) AS i
+              FROM s WHERE len(t) >= 3)),
+      tr AS (SELECT lang, g FROM inst WHERE split = 'train'),
+      te AS (SELECT lang, g FROM inst WHERE split = 'test')
+      SELECT te.lang, count(*) AS n_test_grams,
+             CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             floor(CAST(sum(CASE WHEN tr.g IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS coverage
+      FROM te LEFT JOIN tr ON te.lang = tr.lang AND te.g = tr.g
+      GROUP BY te.lang
+      ORDER BY te.lang""",
     "q_text_boilerplate" -> """
       WITH p AS (
         SELECT doc_id,
