@@ -145,6 +145,58 @@ object Joins extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join — the sensor-alignment variant of
+    * [[joinAsof]]: each event matches its temporally CLOSEST order
+    * (backward or forward, ties to backward — the past is the safer
+    * default when both are equidistant), not just the latest
+    * preceding one. Same single union-sort shape: one window carries
+    * the last preceding order date forward, a mirrored window
+    * carries the first following one backward, and the pick is an
+    * exact integer-µs gap comparison. Orders sort before events on
+    * timestamp ties (tag 0 < 1), so a same-instant order is a
+    * backward match at gap 0 — the ≥ semantics both engines share.
+    *
+    * Scale: identical to joinAsof — one shuffle by key, one sort,
+    * two linear window scans; no range nested-loop anywhere.
+    */
+  val joinAsofNearest: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(1).as("tag"),
+        lit(null).cast("timestamp").as("odate"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"),
+        col("o_orderdate").as("odate"))
+    val wOrd = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wNext = wOrd.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val gapB = expr("unix_micros(t) - unix_micros(prev)")
+    val gapF = expr("unix_micros(nxt) - unix_micros(t)")
+    e.unionByName(o)
+      .withColumn("prev", last(col("odate"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("nxt", first(col("odate"), ignoreNulls = true)
+        .over(wNext))
+      .filter(col("tag") === 1)
+      .withColumn("dir",
+        when(col("prev").isNull && col("nxt").isNull, "none")
+          .when(col("nxt").isNull, "backward")
+          .when(col("prev").isNull, "forward")
+          .when(gapB <= gapF, "backward")
+          .otherwise("forward"))
+      .select(col("event_id"), col("k").as("user_id"),
+        Norm.tstr(col("t")).as("ts"),
+        coalesce(Norm.dstr(when(col("dir") === "backward", col("prev"))
+          .otherwise(col("nxt"))), lit("none")).as("nearest_order_date"),
+        col("dir"),
+        coalesce(when(col("dir") === "backward", gapB)
+          .when(col("dir") === "forward", gapF), lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval self-join: pairs of events within 1 hour of each other,
     * counted by (earlier event's type, later event's type), ties by
     * event_id. NO pair enumeration: the naive cell-bucketed self-join
@@ -431,6 +483,7 @@ object Joins extends QueryModule {
     "q_join_anti" -> joinAnti,
     "q_join_theta_range" -> joinThetaRange,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_nearest" -> joinAsofNearest,
     "q_join_interval" -> joinInterval,
   )
 
@@ -573,6 +626,38 @@ object Joins extends QueryModule {
       ASOF LEFT JOIN orders o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       ORDER BY e.event_id""",
+    "q_join_asof_nearest" -> """
+      WITH b AS (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS prev
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+      f AS (
+        SELECT e.event_id, o.o_orderdate AS nxt
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+      j AS (
+        SELECT b.event_id, b.user_id, b.ts, b.prev, f.nxt,
+               CASE WHEN b.prev IS NULL AND f.nxt IS NULL THEN 'none'
+                    WHEN f.nxt IS NULL THEN 'backward'
+                    WHEN b.prev IS NULL THEN 'forward'
+                    WHEN epoch_us(b.ts) - epoch_us(CAST(b.prev AS TIMESTAMP))
+                         <= epoch_us(CAST(f.nxt AS TIMESTAMP)) - epoch_us(b.ts)
+                    THEN 'backward' ELSE 'forward' END AS dir
+        FROM b JOIN f ON b.event_id = f.event_id)
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             coalesce(strftime(
+               CASE WHEN dir = 'backward' THEN prev ELSE nxt END,
+               '%Y-%m-%d'), 'none') AS nearest_order_date,
+             dir,
+             coalesce(CASE WHEN dir = 'backward'
+                           THEN epoch_us(ts) - epoch_us(CAST(prev AS TIMESTAMP))
+                           WHEN dir = 'forward'
+                           THEN epoch_us(CAST(nxt AS TIMESTAMP)) - epoch_us(ts)
+                      END, -1) AS gap_us
+      FROM j ORDER BY event_id""",
     "q_join_asof" -> """
       SELECT e.event_id, e.user_id,
              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -813,6 +813,42 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "peak_hour")
   }
 
+  /** Rolling robust quantile bands — the non-parametric Bollinger:
+    * per event-type hourly series, the exact p10/p50/p90 of the
+    * ±12-hour window (lower-quantile convention: element ⌈q·25⌉ of
+    * the sorted 25-row window — positions 3/13/23, pure integer
+    * selection, no interpolation) plus the outside-the-band flag.
+    * This is q_ts_anomaly's distribution-free sibling: the 3σ rule
+    * assumes normality, the p10/p90 band doesn't. Reported for the
+    * final 48 hours per type (the dashboard's live tail); boundary
+    * hours without a full ±12 window are ineligible, not truncated.
+    *
+    * Scale: the 25-element sort-per-row rides the (types × hours)
+    * frame — calendar-bounded, volume-free after the hourly agg.
+    */
+  val tsBands: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hr")
+    val wBand = wOrd.rowsBetween(-12, 12)
+    val wType = Window.partitionBy("event_type")
+    hourly
+      .withColumn("base", collect_list(col("x")).over(wBand))
+      .withColumn("hmax", max(col("h")).over(wType))
+      .filter(size(col("base")) === 25 && col("h") > col("hmax") - 48)
+      .withColumn("s", array_sort(col("base")))
+      .select(col("event_type"), Norm.tstr(col("hr")).as("hour"),
+        col("x"), element_at(col("s"), 3).as("p10"),
+        element_at(col("s"), 13).as("p50"),
+        element_at(col("s"), 23).as("p90"),
+        (col("x") < element_at(col("s"), 3) ||
+          col("x") > element_at(col("s"), 23)).as("outside"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Shared matrix-profile pair frame (q_ts_motif / q_ts_discord):
     * per-type w-hour window vectors over the hourly count series with
     * exact-BIGINT sufficient statistics (zero-variance windows gated
@@ -1569,6 +1605,7 @@ object TimeWindows extends QueryModule {
     "q_ts_motif" -> tsMotif,
     "q_ts_discord" -> tsDiscord,
     "q_ts_peaks" -> tsPeaks,
+    "q_ts_bands" -> tsBands,
     "q_ts_autocorr" -> tsAutocorr,
     "q_ts_seasonal" -> tsSeasonal,
     "q_seq_pattern" -> seqPattern,
@@ -2209,6 +2246,27 @@ object TimeWindows extends QueryModule {
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY dist, i, j) = 1
       ORDER BY event_type""",
+    "q_ts_bands" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+        FROM events GROUP BY 1, 2),
+      wins AS (
+        SELECT event_type, hr, x, h,
+               list(x) OVER (wo ROWS BETWEEN 12 PRECEDING
+                 AND 12 FOLLOWING) AS base,
+               max(h) OVER (PARTITION BY event_type) AS hmax
+        FROM hourly
+        WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
+      f AS (
+        SELECT event_type, hr, x, list_sort(base) AS s
+        FROM wins
+        WHERE len(base) = 25 AND h > hmax - 48)
+      SELECT event_type,
+             strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+             x, s[3] AS p10, s[13] AS p50, s[23] AS p90,
+             x < s[3] OR x > s[23] AS outside
+      FROM f ORDER BY event_type, hour""",
     "q_ts_peaks" -> """
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
