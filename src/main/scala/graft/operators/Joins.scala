@@ -162,12 +162,34 @@ object Joins extends QueryModule {
   val joinAsofNearest: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
       .select(col("user_id").as("k"), col("ts").as("t"),
-        col("event_id"), lit(1).as("tag"),
-        lit(null).cast("timestamp").as("odate"))
+        col("event_id"))
     val o = Tables(spark, dir, "orders")
-      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
-        lit(null).cast("long").as("event_id"), lit(0).as("tag"),
-        col("o_orderdate").as("odate"))
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("odate"))
+    nearestAsofCore(e, o)
+      .select(col("event_id"), col("k").as("user_id"),
+        Norm.tstr(col("t")).as("ts"),
+        coalesce(Norm.dstr(when(col("dir") === "backward", col("prev"))
+          .otherwise(col("nxt"))), lit("none")).as("nearest_order_date"),
+        col("dir"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Core of [[joinAsofNearest]], factored for planted-fixture specs:
+    * probes (k, t, event_id) × points (k, odate) → one row per probe
+    * with (prev, nxt, dir, gap_us) — backward wins exact gap ties,
+    * same-instant points sort before probes so they are backward
+    * matches at gap 0.
+    */
+  private[graft] def nearestAsofCore(
+      probes: org.apache.spark.sql.DataFrame,
+      points: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = probes.select(col("k"), col("t"), col("event_id"),
+      lit(1).as("tag"), lit(null).cast("timestamp").as("odate"))
+    val o = points.select(col("k"), col("odate").as("t"),
+      lit(null).cast("long").as("event_id"), lit(0).as("tag"),
+      col("odate"))
     val wOrd = Window.partitionBy("k").orderBy(col("t"), col("tag"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
@@ -187,14 +209,9 @@ object Joins extends QueryModule {
           .when(col("prev").isNull, "forward")
           .when(gapB <= gapF, "backward")
           .otherwise("forward"))
-      .select(col("event_id"), col("k").as("user_id"),
-        Norm.tstr(col("t")).as("ts"),
-        coalesce(Norm.dstr(when(col("dir") === "backward", col("prev"))
-          .otherwise(col("nxt"))), lit("none")).as("nearest_order_date"),
-        col("dir"),
+      .withColumn("gap_us",
         coalesce(when(col("dir") === "backward", gapB)
-          .when(col("dir") === "forward", gapF), lit(-1L)).as("gap_us"))
-      .orderBy("event_id")
+          .when(col("dir") === "forward", gapF), lit(-1L)))
   }
 
   /** Interval self-join: pairs of events within 1 hour of each other,

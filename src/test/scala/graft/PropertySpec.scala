@@ -834,6 +834,93 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q_join_asof_nearest matches a driver-side nearest scan") {
+    // Independent recomputation: per user, sorted order dates; per
+    // event, binary-search the nearest (backward wins exact ties,
+    // same-instant orders are backward matches at gap 0).
+    val fmtD = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmtD.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // orders are timestamp_ntz (LocalDateTime rows), events plain
+    // timestamp — read either as UTC epoch micros
+    def us(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          d.getNano / 1000L
+    }
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0), us(r.get(1))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val got = SparkEntry.queries("q_join_asof_nearest")(spark, sfDir)
+      .select("event_id", "user_id", "nearest_order_date", "dir",
+        "gap_us").collect()
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), us(r.get(2)))).toMap
+    assert(got.nonEmpty)
+    var checkedFwd = 0
+    var checkedBwd = 0
+    got.foreach { r =>
+      val (uid, tus) = evs(r.getAs[Long]("event_id"))
+      val ods = orders.getOrElse(uid, Array.empty[Long])
+      if (ods.isEmpty) {
+        assert(r.getAs[String]("dir") === "none")
+        assert(r.getAs[Long]("gap_us") === -1L)
+      } else {
+        val prev = ods.filter(_ <= tus).lastOption
+        val nxt = ods.filter(_ > tus).headOption
+        val (dir, gap, pick) = (prev, nxt) match {
+          case (Some(p), None) => ("backward", tus - p, p)
+          case (None, Some(n)) => ("forward", n - tus, n)
+          case (Some(p), Some(n)) =>
+            if (tus - p <= n - tus) ("backward", tus - p, p)
+            else ("forward", n - tus, n)
+          case (None, None) => ("none", -1L, 0L)
+        }
+        assert(r.getAs[String]("dir") === dir, s"event ${r.get(0)}")
+        assert(r.getAs[Long]("gap_us") === gap, s"event ${r.get(0)}")
+        assert(r.getAs[String]("nearest_order_date") ===
+          fmtD.format(new java.util.Date(pick / 1000L)))
+        if (dir == "forward") checkedFwd += 1 else checkedBwd += 1
+      }
+    }
+    // this corpus is backward-only (events postdate every order), so
+    // the forward / exact-tie branches are pinned by the PLANTED
+    // fixture below, not here
+    assert(checkedBwd > 0)
+  }
+
+  test("nearestAsofCore: planted forward, tie, and same-instant cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: point strictly after (forward); key 2: equidistant pair
+    // (backward wins the tie); key 3: same-instant point (backward,
+    // gap 0); key 4: no points (none).
+    val probes = Seq(
+      (1L, ts("2020-01-01 10:00:00"), 100L),
+      (2L, ts("2020-01-01 12:00:00"), 200L),
+      (3L, ts("2020-01-01 08:00:00"), 300L),
+      (4L, ts("2020-01-01 09:00:00"), 400L))
+      .toDF("k", "t", "event_id")
+    val points = Seq(
+      (1L, ts("2020-01-01 11:30:00")),
+      (2L, ts("2020-01-01 11:00:00")),
+      (2L, ts("2020-01-01 13:00:00")),
+      (3L, ts("2020-01-01 08:00:00")))
+      .toDF("k", "odate")
+    val out = graft.operators.Joins.nearestAsofCore(probes, points)
+      .select(col("event_id"), col("dir"), col("gap_us"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out(100L) === ("forward", 5400L * 1000000L))
+    assert(out(200L) === ("backward", 3600L * 1000000L)) // tie → past
+    assert(out(300L) === ("backward", 0L)) // same instant
+    assert(out(400L) === ("none", -1L))
+  }
+
   test("q_ts_backtest matches a driver-side Holt recursion") {
     // Independent sequential recomputation of the one-step backtest:
     // the same α = β = 0.5 recursion, SAE accumulated in series
