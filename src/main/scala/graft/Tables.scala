@@ -75,6 +75,16 @@ object Norm {
     */
   def r4tie(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Deterministic 4dp rounding for SIGNED rank keys and outputs:
+    * the same floor(x*1e4 + 0.5)/1e4 expression as [[r4tie]], but
+    * documented for inputs of either sign (cosines in [-1, 1]). For
+    * negatives it rounds half-toward-+inf rather than HALF_UP — fine
+    * wherever the requirement is that both engines emit the IDENTICAL
+    * double (rank ordering keys, audit outputs), not a specific
+    * half-tie convention. Oracle twin: floor(x * 10000 + 0.5) / 10000.
+    */
+  def r4s(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   /** Sign-safe deterministic 4dp truncation: floor(x*1e4)/1e4 — rounds
     * toward -inf, so unlike [[r4tie]] it needs no non-negativity
     * precondition and unlike [[r4]] it has no half-way tie (floor is a

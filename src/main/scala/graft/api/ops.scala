@@ -1763,7 +1763,12 @@ object ops {
         .select(id.as("id"), vec.as("_emb"))
         .crossJoin(broadcast(ev))
         .select(col("id"),
-          graft.Norm.r4(GraftFunctions.cosine_sim(col("_emb"),
+          // r4s, not round: the max below ranks these values, and a
+          // cosine landing exactly on .xxxx5 would round differently
+          // in Spark (HALF_UP) vs the replaying oracle — the r11
+          // knife-edge class. floor(x*1e4+0.5)/1e4 is the same IEEE
+          // expression in both engines for either sign.
+          graft.Norm.r4s(GraftFunctions.cosine_sim(col("_emb"),
             col("_ev_emb"))).as("_c"))
         .groupBy("id")
         .agg(max(col("_c")).as("max_cos_eval"))
@@ -2748,6 +2753,13 @@ object ops {
       * quantized to ⌊J·10⁶⌋ by BIGINT division before the (desc, d1,
       * d2) top-K, so ranking never compares floats.
       *
+      * Cap bias — explicit, not silent: when `maxDeg` binds, wedges
+      * through over-cap srcs are excluded from the intersection while
+      * the union keeps true degrees, so reported scores can only
+      * UNDERESTIMATE true Jaccard. Every output row carries
+      * `n_capped_hubs` (how many srcs exceeded the cap); 0 ⇒ the
+      * scores are exact.
+      *
       * Scale shape: distinct partial-aggs duplicate edges map-side;
       * the wedge join fans out only through hub `src` nodes with
       * 2..`maxDeg` neighbors (degree-1 srcs cannot contribute to any
@@ -2761,8 +2773,17 @@ object ops {
       val edges = df.select(src.as("src"), dst.as("dst")).distinct()
         .localCheckpoint()
       val degDst = edges.groupBy("dst").agg(count(lit(1)).as("deg"))
-      val hub = edges.groupBy("src").agg(count(lit(1)).as("sd"))
-        .filter(col("sd").between(2, maxDeg)).select("src")
+      val srcDeg = edges.groupBy("src").agg(count(lit(1)).as("sd"))
+      val hub = srcDeg.filter(col("sd").between(2, maxDeg)).select("src")
+      // When the maxDeg cap binds, wedges through over-cap srcs are
+      // dropped from n_common while the union term keeps the TRUE
+      // degrees — so the reported score UNDERESTIMATES Jaccard (never
+      // inflates). The cap must not engage silently: n_capped_hubs
+      // rides along on every row (a broadcast 1-row rollup, not an
+      // action), so callers — and the oracle — see exactly how many
+      // hubs were excluded. 0 means the scores are exact Jaccard.
+      val nCapped = srcDeg.filter(col("sd") > maxDeg)
+        .agg(count(lit(1)).as("n_capped_hubs"))
       val capped = edges.join(hub, "src")
       val left = capped.select(col("src"), col("dst").as("d1"))
       val right = capped.select(col("src").as("src_r"),
@@ -2776,6 +2797,7 @@ object ops {
           col("deg").as("deg2")), "d2")
         .withColumn("jacc_int",
           expr("n_common * 1000000 DIV (deg1 + deg2 - n_common)"))
+        .crossJoin(broadcast(nCapped))
         .orderBy(col("jacc_int").desc, col("d1"), col("d2"))
         .limit(topK)
     }

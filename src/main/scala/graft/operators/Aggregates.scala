@@ -283,6 +283,129 @@ object Aggregates extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** KMV distinct-count estimator — the DETERMINISTIC twin of
+    * `q_agg_approx_distinct`'s HLL ([[aggKmvIntersect]]'s proven
+    * pattern): per event type, keep the k = 64 distinct user_ids whose
+    * (md5, id) sort first (BottomKAgg — partial-aggregable, ≤ k hashes
+    * per group cross the shuffle), and estimate D̂ = (k−1)/U₍k₎ where
+    * U₍k₎ is the k-th smallest md5 normalized to [0,1) (first 15 hex
+    * chars / 16¹⁵ — exact in a 60-bit long, exact as a double). Because
+    * the "randomness" is md5, the DuckDB twin replays the estimator
+    * hash-for-hash — an exactly-checked approximate-distinct operator,
+    * closing the oracle gap the murmur-based HLL demo can't. Exact
+    * count rides along to exhibit the error; groups smaller than k
+    * fall back to the exact count (standard KMV). Scale: ONE pass +
+    * kilobyte summaries, same as HLL; the estimate is mergeable
+    * because bottom-k sets are.
+    */
+  val aggDistinctKmv: Q = (spark, dir) => {
+    import graft.functions.BottomKAgg
+    val K = 64
+    val du = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = du.groupBy("event_type")
+      .agg(BottomKAgg.bottomK(K)(
+          md5(col("user_id").cast("string")), col("user_id")).as("ids"),
+        count(lit(1)).as("n_exact"))
+    // The bottomK array is (md5, id)-ordered, so element K is the
+    // k-th smallest; its 60-bit hash prefix is exact in a long.
+    val kth = conv(substring(
+      md5(element_at(col("ids"), K).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    sk.select(col("event_type"), col("n_exact"),
+        when(size(col("ids")) < K, col("n_exact").cast("double"))
+          .otherwise(Norm.r4tie(lit(63.0) /
+            (kth.cast("double") / lit(1.152921504606846976e18))))
+          .as("kmv_est"))
+      .orderBy("event_type")
+  }
+
+  /** Count-Min frequency sketch — the DETERMINISTIC md5-bucketed twin
+    * of `q_agg_count_min`: a d = 4 × w = 64 grid where row j buckets
+    * item x by 16 md5 bits of "j:x", each event increments its 4
+    * cells (one partial-agg pass to 256 integer cells — the whole
+    * "sketch" that crosses the shuffle), and the estimate for a probe
+    * item is the MIN over its 4 cells — ≥ the true count by
+    * construction (CM's one-sided guarantee, visible in the
+    * `overcount` column). Probes = the top-20 users by exact count
+    * (the heavy-hitter clientele CM exists for), selected by the
+    * engines' shared (count desc, id) tie rule. Every number is an
+    * exact BIGINT, so the DuckDB twin hash-matches the full grid
+    * arithmetic — the oracle-checked form the murmur-based
+    * `count_min_sketch()` demo can't give.
+    */
+  val aggCountMinTwin: Q = (spark, dir) => {
+    val D = 4
+    val W = 64
+    def bucket(j: Int, x: Column): Column =
+      conv(substring(md5(concat(lit(j.toString), lit(":"),
+        x.cast("string"))), 1, 4), 16, 10).cast("long") % W
+    val e = Tables(spark, dir, "events").select(col("user_id"))
+    val rows = 0 until D
+    val cells = e.select(explode(array(rows.map(j =>
+        struct(lit(j).as("j"), bucket(j, col("user_id")).as("b"))): _*))
+        .as("x"))
+      .groupBy(col("x.j").as("j"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = e.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+    val probes = top.select(col("user_id"), col("n_exact"),
+        explode(array(rows.map(j => struct(lit(j).as("j"),
+          bucket(j, col("user_id")).as("b"))): _*)).as("x"))
+      .select(col("user_id"), col("n_exact"),
+        col("x.j").as("j"), col("x.b").as("b"))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy("user_id", "n_exact").agg(min(col("c")).as("cm_est"))
+      .select(col("user_id"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  /** Bottom-k-sample quantile sketch — the DETERMINISTIC twin of
+    * `q_agg_approx_quantile`'s Greenwald–Khanna demo: per order
+    * status, the k = 128 orders whose (md5(orderkey), orderkey) sort
+    * first form a uniform-by-hash sample (Bar-Yossef-style bottom-k —
+    * partial-aggregable, mergeable, ≤ k ids per group cross the
+    * shuffle), and q̂(p) is the ⌈p·m⌉-th smallest sampled cent value.
+    * The exact ⌈p·n⌉-rank quantiles ride along (one in-group sort —
+    * the cost the sketch exists to avoid at 100 TB) so the error is
+    * visible; every output is an exact BIGINT, so the DuckDB twin
+    * hash-matches the whole estimator, rank arithmetic included.
+    */
+  val aggQuantileTwin: Q = (spark, dir) => {
+    import graft.functions.BottomKAgg
+    val K = 128
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderstatus").as("st"),
+        col("o_orderkey").cast("long").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val sk = o.groupBy("st").agg(
+      BottomKAgg.bottomK(K)(md5(col("k").cast("string")), col("k"))
+        .as("ids"),
+      count(lit(1)).as("n"))
+    val ids = sk.select(col("st"), explode(col("ids")).as("k"))
+    val sample = o.join(broadcast(ids), Seq("st", "k"))
+      .groupBy("st").agg(sort_array(collect_list(col("cents"))).as("s"))
+    def estAt(p: Double): Column =
+      element_at(col("s"), ceil(size(col("s")) * p).cast("int"))
+    val wq = Window.partitionBy("st").orderBy(col("cents"), col("k"))
+    val ranked = o.withColumn("rn", row_number().over(wq))
+      .join(sk.select(col("st"), col("n")), "st")
+    def exactAt(p: Double, name: String): org.apache.spark.sql.DataFrame =
+      ranked.filter(col("rn") ===
+          ceil(col("n").cast("double") * p).cast("long"))
+        .select(col("st"), col("cents").as(name))
+    sk.select("st", "n").join(sample, "st")
+      .join(exactAt(0.5, "p50_exact_cents"), "st")
+      .join(exactAt(0.95, "p95_exact_cents"), "st")
+      .select(col("st").as("o_orderstatus"), col("n"),
+        size(col("s")).as("m"),
+        estAt(0.5).as("p50_est_cents"),
+        estAt(0.95).as("p95_est_cents"),
+        col("p50_exact_cents"), col("p95_exact_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Correlated scalar subquery — orders 1.5× above their customer's
     * average. Catalyst decorrelates this (RewriteCorrelatedScalarSubquery)
     * into an aggregate + join, so it runs as two shuffles, not a
@@ -759,12 +882,25 @@ object Aggregates extends QueryModule {
         floor(col("value") * 100 + 0.5).cast("long").as("c"))
     val users = e.groupBy("t", "user_id")
       .agg(sum(col("c")).as("x"), count(lit(1)).as("y"))
+    // Cross moments in decimal(38,0), not LongType: the DuckDB twin
+    // sums in HUGEINT and its BIGINT cast ERRORS on overflow, while a
+    // LongType sum here would silently wrap — the worst cross-engine
+    // divergence (plausible wrong number vs loud failure). Every input
+    // to these sums is non-null by construction and each group has
+    // >= 1 row, so a NULL out of the sum can ONLY mean decimal
+    // overflow — convert it into a loud task failure (the
+    // embedPcaPower discipline).
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def orOverflow(c: Column, what: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        s"decimal(38,0) overflow in statsDeltaMethod ($what) — " +
+          "per-user cent totals exceed the 38-digit moment budget")))
     val g = users.groupBy("t").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      orOverflow(sum(d19(col("x")) * d19(col("x"))), "sxx").as("sxx"),
+      orOverflow(sum(d19(col("y")) * d19(col("y"))), "syy").as("syy"),
+      orOverflow(sum(d19(col("x")) * d19(col("y"))), "sxy").as("sxy"))
     def dd(c: String) = col(c).cast("double")
     val r = dd("sx") / dd("sy")
     val vx = (dd("sxx") - dd("sx") * dd("sx") / dd("n")) / (dd("n") - 1)
@@ -778,7 +914,8 @@ object Aggregates extends QueryModule {
     // clustering inflation a naive A/B readout understates by
     val ev = e.groupBy("t").agg(
       count(lit(1)).as("ne"),
-      sum(col("c")).as("se_"), sum(col("c") * col("c")).as("qe"))
+      sum(col("c")).as("se_"),
+      orOverflow(sum(d19(col("c")) * d19(col("c"))), "qe").as("qe"))
     val vEvent = (dd("qe") - dd("se_") * dd("se_") / dd("ne")) /
       (dd("ne") - 1)
     val seNaive = sqrt(vEvent / dd("ne"))
@@ -1409,16 +1546,34 @@ object Aggregates extends QueryModule {
     *
     * Scale: the hour-pair join is quadratic in the CALENDAR (hours²,
     * per type pair), not in data volume — events partial-agg to
-    * (types × hours) first. For multi-year spans, switch to the
-    * O(n log n) merge-sort inversion count per type pair (each
-    * series fits one task) — the join form is preferred while
-    * hours² stays in the millions because it whole-stage-codegens.
+    * (types × hours) first. Past `mergeSpanHours` distinct hours
+    * (multi-year spans) the query SWITCHES to Knight's O(n log n)
+    * merge-sort pair count per type pair
+    * ([[graft.functions.KendallKnight]] — each series fits one task);
+    * the join form is preferred while hours² stays in the millions
+    * because it whole-stage-codegens. The two forms produce
+    * bit-identical counts (PropertySpec fuzzes the equivalence), so
+    * the switch is invisible to the oracle.
     */
-  val statsKendall: Q = (spark, dir) => {
+  val statsKendall: Q = (spark, dir) =>
+    statsKendallImpl(spark, dir, mergeSpanHours = 5000)
+
+  /** [[statsKendall]] with the span threshold exposed: the scored
+    * entry's 30-day fixture (≤ 720 hours) takes the join form;
+    * PropertySpec forces `mergeSpanHours = 0` to pin merge ≡ join on
+    * the same data. The span probe is one partial-agg'd count over
+    * the (types × hours) aggregate — trivial beside either form.
+    */
+  def statsKendallImpl(spark: org.apache.spark.sql.SparkSession,
+                       dir: String,
+                       mergeSpanHours: Int): org.apache.spark.sql.DataFrame = {
     val e = Tables(spark, dir, "events")
     val hourly = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("x"))
+      // both the span probe and the chosen form read this; the pin
+      // keeps the events scan from running twice
+      .localCheckpoint()
     val aT = hourly.select(col("event_type").as("type_a"), col("hr"),
       col("x"))
     val bT = hourly.select(col("event_type").as("type_b"),
@@ -1427,22 +1582,45 @@ object Aggregates extends QueryModule {
     val series = aT.join(bT, col("hr") === col("hr_b") &&
         col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"), col("hr"), col("x"), col("y"))
-    val p1 = series.select(col("type_a"), col("type_b"),
-      col("hr").as("h1"), col("x").as("x1"), col("y").as("y1"))
-    val p2 = series.select(col("type_a").as("ta2"), col("type_b").as("tb2"),
-      col("hr").as("h2"), col("x").as("x2"), col("y").as("y2"))
-    val dx = col("x1") - col("x2")
-    val dy = col("y1") - col("y2")
-    val agg = p1.join(p2, col("type_a") === col("ta2") &&
-        col("type_b") === col("tb2") && col("h1") < col("h2"))
-      .groupBy("type_a", "type_b").agg(
-        count(lit(1)).as("n0"),
-        sum(when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), 1L)
-          .otherwise(0L)).as("conc"),
-        sum(when((dx > 0 && dy < 0) || (dx < 0 && dy > 0), 1L)
-          .otherwise(0L)).as("disc"),
-        sum(when(dx === 0, 1L).otherwise(0L)).as("tie_x"),
-        sum(when(dy === 0, 1L).otherwise(0L)).as("tie_y"))
+    val spanHours = hourly.select("hr").distinct().count()
+    val agg =
+      if (spanHours <= mergeSpanHours) {
+        val p1 = series.select(col("type_a"), col("type_b"),
+          col("hr").as("h1"), col("x").as("x1"), col("y").as("y1"))
+        val p2 = series.select(col("type_a").as("ta2"),
+          col("type_b").as("tb2"),
+          col("hr").as("h2"), col("x").as("x2"), col("y").as("y2"))
+        val dx = col("x1") - col("x2")
+        val dy = col("y1") - col("y2")
+        p1.join(p2, col("type_a") === col("ta2") &&
+            col("type_b") === col("tb2") && col("h1") < col("h2"))
+          .groupBy("type_a", "type_b").agg(
+            count(lit(1)).as("n0"),
+            sum(when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), 1L)
+              .otherwise(0L)).as("conc"),
+            sum(when((dx > 0 && dy < 0) || (dx < 0 && dy > 0), 1L)
+              .otherwise(0L)).as("disc"),
+            sum(when(dx === 0, 1L).otherwise(0L)).as("tie_x"),
+            sum(when(dy === 0, 1L).otherwise(0L)).as("tie_y"))
+      } else {
+        // Long-span path: one Knight pass per type pair. The shuffle
+        // carries (pair, x, y) triples — the hourly AGGREGATE, never
+        // events — and each pair's series sorts in a single task:
+        // O(n log n) where the join form is O(n²).
+        import spark.implicits._
+        series.select(col("type_a"), col("type_b"), col("x"), col("y"))
+          .as[(String, String, Long, Long)]
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (key: (String, String),
+                        it: Iterator[(String, String, Long, Long)]) =>
+            val pts = it.map(r => (r._3, r._4)).toArray
+            val (n0, c, d, tx, ty) = graft.functions.KendallKnight.stats(pts)
+            (key._1, key._2, n0, c, d, tx, ty)
+          }
+          .toDF("type_a", "type_b", "n0", "conc", "disc",
+            "tie_x", "tie_y")
+          .filter(col("n0") > 0) // the join form emits no 1-hour pairs
+      }
     def d(c: String) = col(c).cast("double")
     val tau = (d("conc") - d("disc")) /
       sqrt((d("n0") - d("tie_x")) * (d("n0") - d("tie_y")))
@@ -1943,6 +2121,9 @@ object Aggregates extends QueryModule {
     "q_agg_pricing_summary" -> pricingSummary,
     "q_agg_hll_sketch" -> aggHllSketch,
     "q_agg_kmv_intersect" -> aggKmvIntersect,
+    "q_agg_distinct_kmv" -> aggDistinctKmv,
+    "q_agg_count_min_twin" -> aggCountMinTwin,
+    "q_agg_quantile_twin" -> aggQuantileTwin,
     "q_subquery_correlated" -> subqueryCorrelated,
     "q_recursive_spine" -> recursiveSpine,
     "q_agg_pivot" -> aggPivot,
@@ -3073,6 +3254,81 @@ object Aggregates extends QueryModule {
                                   FROM orders o2
                                   WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""",
+    "q_agg_distinct_kmv" -> """
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      n AS (SELECT event_type, count(*) AS n_exact FROM du GROUP BY 1),
+      r AS (SELECT event_type, user_id,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+            FROM du),
+      kth AS (SELECT event_type,
+                CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) AS h
+              FROM r WHERE rn = 64)
+      SELECT n.event_type, n.n_exact,
+             CASE WHEN kth.h IS NULL THEN CAST(n.n_exact AS DOUBLE)
+                  ELSE floor(63.0 / (CAST(kth.h AS DOUBLE)
+                         / 1152921504606846976.0) * 10000 + 0.5) / 10000
+             END AS kmv_est
+      FROM n LEFT JOIN kth ON n.event_type = kth.event_type
+      ORDER BY n.event_type""",
+    "q_agg_count_min_twin" -> """
+      WITH u AS (SELECT user_id FROM events),
+      js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cell AS (
+        SELECT j,
+               CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+                 CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 64 AS b,
+               count(*) AS c
+        FROM u CROSS JOIN js GROUP BY 1, 2),
+      cnt AS (SELECT user_id, count(*) AS n_exact FROM u GROUP BY 1),
+      top AS (SELECT user_id, n_exact FROM (
+                SELECT user_id, n_exact,
+                       row_number() OVER (ORDER BY n_exact DESC,
+                         user_id) AS rn
+                FROM cnt) WHERE rn <= 20),
+      probe AS (
+        SELECT t.user_id, t.n_exact, js.j,
+               CAST(('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':'
+                 || CAST(t.user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 64
+                 AS b
+        FROM top t CROSS JOIN js)
+      SELECT p.user_id, p.n_exact, min(c.c) AS cm_est,
+             min(c.c) - p.n_exact AS overcount
+      FROM probe p JOIN cell c ON c.j = p.j AND c.b = p.b
+      GROUP BY 1, 2 ORDER BY p.user_id""",
+    "q_agg_quantile_twin" -> """
+      WITH o AS (SELECT o_orderstatus AS st, o_orderkey AS k,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS cents
+                 FROM orders),
+      hr AS (SELECT st, k, cents,
+               row_number() OVER (PARTITION BY st
+                 ORDER BY md5(CAST(k AS VARCHAR)), k) AS hrn
+             FROM o),
+      sm AS (SELECT st, list(cents ORDER BY cents) AS s
+             FROM hr WHERE hrn <= 128 GROUP BY st),
+      n AS (SELECT st, count(*) AS n FROM o GROUP BY 1),
+      rr AS (SELECT st, cents,
+               row_number() OVER (PARTITION BY st
+                 ORDER BY cents, k) AS rn
+             FROM o),
+      e50 AS (SELECT rr.st, cents AS p50_exact_cents
+              FROM rr JOIN n ON rr.st = n.st
+              WHERE rn = CAST(ceil(CAST(n.n AS DOUBLE) * 0.5)
+                AS BIGINT)),
+      e95 AS (SELECT rr.st, cents AS p95_exact_cents
+              FROM rr JOIN n ON rr.st = n.st
+              WHERE rn = CAST(ceil(CAST(n.n AS DOUBLE) * 0.95)
+                AS BIGINT))
+      SELECT n.st AS o_orderstatus, n.n, len(s) AS m,
+             s[CAST(ceil(len(s) * 0.5) AS BIGINT)] AS p50_est_cents,
+             s[CAST(ceil(len(s) * 0.95) AS BIGINT)] AS p95_est_cents,
+             e50.p50_exact_cents, e95.p95_exact_cents
+      FROM n JOIN sm ON n.st = sm.st
+      JOIN e50 ON n.st = e50.st
+      JOIN e95 ON n.st = e95.st
+      ORDER BY o_orderstatus""",
     "q_agg_kmv_intersect" -> """
       WITH du AS (
         SELECT DISTINCT 'd' || CAST(day(ts) AS VARCHAR) AS seg, user_id

@@ -55,11 +55,17 @@ object Dedup extends QueryModule {
     val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
     val cand = d.minhashCandidatePairs(col("doc_id"), col("tokset"))
     val ts = d.select(col("doc_id"), col("tokset"))
+    // Same threshold predicate as the truth set: jaccardPairs compares
+    // the 4dp-ROUNDED Jaccard against the threshold, so the verify
+    // filter must too — otherwise a knife-edge pair with raw J in
+    // [0.89995, 0.9) is truth but can never verify, and precision /
+    // recall silently use two different definitions of "duplicate".
     val verified = cand
       .join(ts.select(col("doc_id").as("d1"), col("tokset").as("s1")), "d1")
       .join(ts.select(col("doc_id").as("d2"), col("tokset").as("s2")), "d2")
-      .filter(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-        size(array_union(col("s1"), col("s2"))) >= 0.9)
+      .filter(round(
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))), 4) >= 0.9)
       .select(col("d1"), col("d2"))
     val truth = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
       threshold = 0.9, maxDf = 1000).select(col("d1"), col("d2"))
@@ -657,8 +663,8 @@ object Dedup extends QueryModule {
         SELECT c.d1, c.d2 FROM cand c
         JOIN d a ON a.doc_id = c.d1
         JOIN d b ON b.doc_id = c.d2
-        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9),
+        WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.9),
       truth AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2
         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id

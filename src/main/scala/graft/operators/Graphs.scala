@@ -334,7 +334,8 @@ object Graphs extends QueryModule {
         maxDeg = 1000)
       .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
         Norm.r4tie(col("jacc_int").cast("double") / lit(1000000.0))
-          .as("jaccard"))
+          .as("jaccard"),
+        col("n_capped_hubs"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -400,11 +401,17 @@ object Graphs extends QueryModule {
                    (n_common * 1000000) // (d1.d + d2.d - n_common)
                      AS ji
             FROM cm JOIN deg d1 ON d1.supp = cm.s1
-                    JOIN deg d2 ON d2.supp = cm.s2)
+                    JOIN deg d2 ON d2.supp = cm.s2),
+      capped AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
+                 FROM (SELECT cust, count(*) AS sd
+                       FROM edges GROUP BY cust)
+                 WHERE sd > 1000)
       SELECT s1, s2, n_common,
              floor(CAST(ji AS DOUBLE) / 1000000.0 * 10000 + 0.5)
-               / 10000 AS jaccard
-      FROM j ORDER BY ji DESC, s1, s2 LIMIT 20""",
+               / 10000 AS jaccard,
+             n_capped_hubs
+      FROM j CROSS JOIN capped
+      ORDER BY ji DESC, s1, s2 LIMIT 20""",
     "q_graph_modularity" -> """
       WITH e0 AS (
         SELECT DISTINCT o_custkey AS s, -l_suppkey AS t

@@ -498,7 +498,71 @@ object Scans extends QueryModule {
           .as("reclaim_share"))
   }
 
+  /** Checkpointed transaction log — what keeps [[lakeTimetravel]]'s
+    * metadata layer readable after YEARS of commits: a real table
+    * accretes thousands of versions, and replaying the full prefix on
+    * every read ([[graft.sources.TxnLog.filesAsOf]] pre-r12) is
+    * O(versions) metadata work per query. `commit(checkpointEvery=4)`
+    * snapshots the live file set every 4th commit; a read then seeds
+    * from the nearest checkpoint ≤ the target version and replays
+    * only the commit SUFFIX — O(4), whatever the history length (the
+    * Delta `_last_checkpoint` idea in its smallest honest form).
+    *
+    * Fixture: 10 slice-append commits (v0..v9, checkpoints land at v3
+    * and v7) + one copy-on-write delete commit (v10, exercising a
+    * REMOVE applied on top of a checkpoint seed). The query then
+    * DELETES log versions 0..2 — covered by the v3 checkpoint — and
+    * reads v5 (checkpoint 3 + logs 4..5) and v10 (checkpoint 7 + logs
+    * 8..10): the scored result itself fails loudly if the
+    * checkpoint-seeded path ever regresses to full replay, because
+    * the full prefix no longer exists.
+    *
+    * Scale: each read touches ≤ 1 checkpoint + 3 log files of KB-size
+    * metadata regardless of history length; the data scan is the
+    * metadata-selected parquet list, as in every lake query.
+    */
+  val lakeCheckpoint: Q = (spark, dir) => {
+    import graft.sources.TxnLog
+    val base = tmpPath(spark, "lake_checkpoint")
+    deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    var v = -1
+    (0 to 9).foreach { r =>
+      orders.filter(col("o_orderkey") % 10 === r)
+        .write.parquet(s"$base/d$r")
+      v = TxnLog.commit(spark, base, v,
+        TxnLog.partFiles(spark, base, s"d$r"), checkpointEvery = 4)
+    }
+    // copy-on-write delete: slice 0 keeps only its expensive rows
+    TxnLog.readAsOf(spark, base, 0)
+      .filter(col("o_totalprice") >= 100000.0)
+      .write.parquet(s"$base/d10")
+    v = TxnLog.commit(spark, base, v,
+      adds = TxnLog.partFiles(spark, base, "d10"),
+      removes = TxnLog.partFiles(spark, base, "d0"),
+      checkpointEvery = 4)
+    // Sever the pre-checkpoint prefix: reads below can only succeed
+    // through the checkpoint-seeded path.
+    (0 to 2).foreach { lv =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        base, "_graft_log", f"$lv%08d.json"))
+    }
+    def snap(ver: Int) = TxnLog.readAsOf(spark, base, ver)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_price"))
+      .withColumn("version", lit(ver))
+    snap(5).unionByName(snap(10))
+      .select(col("version"), col("o_orderpriority"), col("n"),
+        col("sum_price"))
+      .orderBy("version", "o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lake_checkpoint" -> lakeCheckpoint,
     "q_lake_vacuum" -> lakeVacuum,
     "q_lake_timetravel" -> lakeTimetravel,
     "q_lake_compact" -> lakeCompact,
@@ -536,6 +600,20 @@ object Scans extends QueryModule {
                    / CAST(rows_live + rows_reclaimable AS DOUBLE)
                    * 10000 + 0.5) / 10000 AS reclaim_share
       FROM f""",
+    "q_lake_checkpoint" -> """
+      SELECT 5 AS version, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
+      FROM orders WHERE o_orderkey % 10 <= 5
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 10, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders
+      WHERE o_orderkey % 10 <> 0 OR o_totalprice >= 100000.0
+      GROUP BY o_orderpriority
+      ORDER BY version, o_orderpriority""",
     "q_lake_timetravel" -> """
       SELECT 0 AS version, o_orderpriority, count(*) AS n,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

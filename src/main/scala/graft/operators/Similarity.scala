@@ -39,6 +39,28 @@ object Similarity extends QueryModule {
     Tables(spark, dir, "embeddings")
       .withColumn("emb", dbl(col("embedding")))
 
+  /** Deterministic ABSOLUTE-size audit batch: the `n` rows whose ids
+    * sort first by (md5(vec_id), vec_id) — a content-stable pseudo-
+    * random sample whose SIZE does not grow with the corpus. The old
+    * fraction batches (`vec_id % 50/10`) made the exact side of every
+    * brute-force audit O(n²/50): correct, but then the scale
+    * rehearsal measures the quadratic audit instead of the linear
+    * queries×corpus stream a production deployment (fixed eval set /
+    * training batch) actually pays. Plan: TakeOrderedAndProject — one
+    * corpus scan with a per-partition top-n heap, no shuffle. Oracle
+    * twin: ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT n.
+    */
+  private def auditBatch(e: DataFrame, n: Int): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
+
+  /** Query-batch size for the ANN quality audits (recall / NDCG /
+    * Matryoshka) — fixed absolutely, like a benchmark's eval set. */
+  private val AuditN = 40
+
+  /** Anchor-batch size for the batch-shaped ops (hard negatives, kNN
+    * graph, semantic decontamination's eval side). */
+  private val AnchorN = 200
+
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   val simCosineTopk: Q = (spark, dir) => {
     val e = emb(spark, dir)
@@ -70,7 +92,8 @@ object Similarity extends QueryModule {
   }
 
   /** Hard-negative mining for contrastive training: for each anchor
-    * (deterministic 1-in-10 subsample — "the current training batch"),
+    * (deterministic md5-top-[[AnchorN]] batch — "the current training
+    * batch", ABSOLUTE size so cost is linear in the corpus),
     * the most cosine-similar embedding with a DIFFERENT label. The
     * exact form here is the oracle-checkable baseline; its plan is the
     * scale-correct one for a real pipeline: the anchor batch (bounded,
@@ -85,7 +108,7 @@ object Similarity extends QueryModule {
     */
   val simHardNegatives: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val anchors = e.filter(col("vec_id") % 10 === 0)
+    val anchors = auditBatch(e, AnchorN)
       .select(col("vec_id").as("aid"), col("label").as("label"),
         col("emb").as("ae"))
     val cands = e.select(col("vec_id").as("hard_neg"),
@@ -94,7 +117,7 @@ object Similarity extends QueryModule {
       .orderBy(col("cos_sim").desc, col("hard_neg"))
     cands.join(broadcast(anchors), col("label") =!= col("neg_label"))
       .select(col("aid"), col("label"), col("hard_neg"), col("neg_label"),
-        Norm.r4(cosine(col("ae"), col("be"))).as("cos_sim"))
+        Norm.r4s(cosine(col("ae"), col("be"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("aid"), col("label"), col("hard_neg"), col("neg_label"),
@@ -103,7 +126,8 @@ object Similarity extends QueryModule {
   }
 
   /** Exact k-NN graph over an anchor batch: for each anchor
-    * (deterministic 1-in-10 subsample), its 3 nearest neighbors by
+    * (deterministic md5-top-[[AnchorN]] batch — ABSOLUTE size, so the
+    * full-corpus stream stays linear), its 3 nearest neighbors by
     * cosine, any label, self excluded — the graph-construction step
     * under SemDeDup-style clustering, kNN-LM retrieval, and UMAP-ish
     * corpus maps. Same scale shape as [[simHardNegatives]]: the
@@ -118,14 +142,14 @@ object Similarity extends QueryModule {
     */
   val simKnnGraph: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val anchors = e.filter(col("vec_id") % 10 === 0)
+    val anchors = auditBatch(e, AnchorN)
       .select(col("vec_id").as("src"), col("emb").as("ae"))
     val cands = e.select(col("vec_id").as("dst"), col("emb").as("be"))
     val w = Window.partitionBy("src")
       .orderBy(col("cos_sim").desc, col("dst"))
     cands.join(broadcast(anchors), col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        Norm.r4(cosine(col("ae"), col("be"))).as("cos_sim"))
+        Norm.r4s(cosine(col("ae"), col("be"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("src"), col("rank"), col("dst"), col("cos_sim"))
@@ -471,7 +495,8 @@ object Similarity extends QueryModule {
     * brute force.
     */
   def annIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
-             k: Int, nProbe: Int, topK: Int = 3): DataFrame = {
+             k: Int, nProbe: Int, topK: Int = 3,
+             batchN: Option[Int] = None): DataFrame = {
     import graft.api.ops._
     require(nProbe >= 1 && nProbe <= k,
       s"nProbe must be in [1, $k], got $nProbe")
@@ -483,7 +508,12 @@ object Similarity extends QueryModule {
     val ranked = array(anchors.indices.map(i =>
       struct((-cosine(col("qv"), aLit.getItem(i))).as("negsim"),
         lit(i).as("i"))): _*)
-    val queries = e.filter(col("vec_id") % 50 === 0)
+    // batchN = Some(n): the md5-top-n ABSOLUTE batch the quality
+    // audits use (recall/NDCG must probe exactly the batch they
+    // compare against); None: the scored entry's 1-in-50 sweep.
+    val qsrc = batchN.map(n => auditBatch(emb(spark, dir), n))
+      .getOrElse(emb(spark, dir).filter(col("vec_id") % 50 === 0))
+    val queries = qsrc
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
       .select(col("qid"), col("qv"),
         explode(transform(slice(array_sort(ranked), 1, nProbe),
@@ -492,7 +522,7 @@ object Similarity extends QueryModule {
       .orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(queries, "cell")
       .select(col("qid"), col("vec_id"),
-        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+        Norm.r4s(cosine(col("emb"), col("qv"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .orderBy("qid", "rank")
@@ -500,6 +530,111 @@ object Similarity extends QueryModule {
 
   /** Scored entry: 16 cells, 2 probes — sized to this corpus. */
   val simAnnIvf: Q = (spark, dir) => annIvf(spark, dir, k = 16, nProbe = 2)
+
+  /** Graph-ANN: NSW-style beam search over a pivot graph — the one
+    * classic index family LSH/IVF/PQ don't cover (HNSW/SPANN lineage).
+    * The index has two bounded layers, both deterministic:
+    *
+    *  - **pivot graph**: the md5-top-[[AnchorN]] vectors are pivots;
+    *    each links to its `M` nearest OTHER pivots by rounded cosine
+    *    (pivots × pivots — index metadata, bytes at any corpus size);
+    *  - **leaf attachment**: each pivot owns its `L` nearest corpus
+    *    vectors — built in ONE corpus stream against the broadcast
+    *    pivot table (the SPANN posting-list idea; the only
+    *    data-volume-dependent index pass, and it is linear).
+    *
+    * Search per query: start at the FIXED entry pivot (smallest
+    * (md5, id) — deterministic, like every seed here), then `rounds`
+    * beam steps: frontier = beam-width-`W` best visited pivots by
+    * cosine-to-query, expand their graph links, union into visited.
+    * Final candidates = visited pivots ∪ their leaves; result = exact
+    * top-10 over candidates. Scored with the SAME recall@10 audit as
+    * IVF (`q_sim_ann_recall`) so the two index families are directly
+    * comparable on one number; the exact side streams the corpus once
+    * against the broadcast [[AuditN]] query batch.
+    *
+    * Every step — graph build, beam ranks, candidate set, final rank
+    * — replays in DuckDB (rounds unrolled to CTEs, the kmeans/BPE
+    * discipline), so the whole walk is hash-checked, not just its
+    * quality bounds. Driver holds only loop CONTROL (3 unrolled
+    * rounds); all data flows stay in the plan.
+    */
+  val simAnnNsw: Q = (spark, dir) =>
+    annNswRecall(spark, dir, beamW = 4, rounds = 3)
+
+  /** [[simAnnNsw]] with the beam knobs exposed for QualitySpec. */
+  def annNswRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   beamW: Int, rounds: Int): DataFrame = {
+    val M = 3 // pivot out-degree
+    val L = 8 // leaves per pivot
+    val e = emb(spark, dir)
+    val anch = auditBatch(e, AnchorN)
+      .select(col("vec_id").as("aid"), col("emb").as("aemb"))
+      .localCheckpoint() // bounded (AnchorN × dim); feeds 4 consumers
+    val q = auditBatch(e, AuditN)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val wA = Window.partitionBy("aid")
+      .orderBy(col("acs").desc, col("nid"))
+    val agraph = anch.join(broadcast(anch.select(col("aid").as("nid"),
+        col("aemb").as("nemb"))), col("aid") =!= col("nid"))
+      .select(col("aid"), col("nid"),
+        Norm.r4s(cosine(col("aemb"), col("nemb"))).as("acs"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= M).select("aid", "nid")
+    val wL = Window.partitionBy("aid")
+      .orderBy(col("lcs").desc, col("vec_id"))
+    val leaves = e.crossJoin(broadcast(anch))
+      .select(col("aid"), col("vec_id"),
+        Norm.r4s(cosine(col("emb"), col("aemb"))).as("lcs"))
+      .withColumn("rn", row_number().over(wL))
+      .filter(col("rn") <= L)
+      .select(col("aid"), col("vec_id").as("lid"))
+    // query→pivot scores: AuditN × AnchorN rows, reused every round
+    val qa = q.crossJoin(broadcast(anch))
+      .select(col("qid"), col("aid"),
+        Norm.r4s(cosine(col("qv"), col("aemb"))).as("qac"))
+      .localCheckpoint()
+    val entry = anch
+      .orderBy(md5(col("aid").cast("string")), col("aid")).limit(1)
+      .select("aid")
+    var visited = q.select(col("qid")).crossJoin(broadcast(entry))
+    (1 to rounds).foreach { _ =>
+      val wF = Window.partitionBy("qid")
+        .orderBy(col("qac").desc, col("aid"))
+      val frontier = visited.join(qa, Seq("qid", "aid"))
+        .withColumn("rn", row_number().over(wF))
+        .filter(col("rn") <= beamW).select("qid", "aid")
+      val expand = frontier.join(broadcast(agraph), "aid")
+        .select(col("qid"), col("nid").as("aid"))
+      visited = visited.unionByName(expand).distinct()
+    }
+    val cand = visited.join(broadcast(leaves), "aid")
+      .select(col("qid"), col("lid").as("vec_id"))
+      .unionByName(visited.select(col("qid"), col("aid").as("vec_id")))
+      .distinct()
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id"))
+    val nsw10 = cand
+      .join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        Norm.r4s(cosine(col("emb"), col("qv"))).as("cs"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10).select("qid", "vec_id")
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        Norm.r4s(cosine(col("emb"), col("qv"))).as("cs"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10).select("qid", "vec_id")
+    val hits = exact.join(nsw10, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_10",
+        Norm.r4tie(col("n_hits").cast("double") / 10.0))
+      .orderBy("qid")
+  }
 
   /** ANN quality audit: recall@10 of the IVF index (16 cells, 2
     * probes) against the exact cosine top-10, per query. This is the
@@ -520,17 +655,18 @@ object Similarity extends QueryModule {
   def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
                 nProbe: Int): DataFrame = {
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") % 50 === 0)
+    val queries = auditBatch(e, AuditN)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val wq = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val exact = e.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+        Norm.r4s(cosine(col("emb"), col("qv"))).as("cos_sim"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 10)
       .select(col("qid"), col("vec_id"))
-    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10)
+    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10,
+        batchN = Some(AuditN))
       .select(col("qid"), col("vec_id"))
     val hits = exact.join(ann, Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
@@ -577,16 +713,17 @@ object Similarity extends QueryModule {
           s.getField("cos_sim") * element_at(wLit, i + 1)),
         lit(0.0), (acc, x) => acc + x)
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") % 50 === 0)
+    val queries = auditBatch(e, AuditN)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val wq = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val exact = e.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        Norm.r4(cosine(col("emb"), col("qv"))).as("cos_sim"))
+        Norm.r4s(cosine(col("emb"), col("qv"))).as("cos_sim"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= 10)
-    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10)
+    val ann = annIvf(spark, dir, k = 16, nProbe = nProbe, topK = 10,
+      batchN = Some(AuditN))
     val dcg = ann.groupBy("qid")
       .agg(dcgFold(collect_list(struct(col("rank"), col("cos_sim"))))
         .as("dcg"))
@@ -618,13 +755,13 @@ object Similarity extends QueryModule {
     */
   val embedMatryoshka: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") % 50 === 0)
+    val queries = auditBatch(e, AuditN)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val dims = Seq(16, 32, 64)
     val scored = e.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         explode(array(dims.map(d => struct(lit(d).as("dim"),
-          Norm.r4(cosine(slice(col("emb"), 1, d),
+          Norm.r4s(cosine(slice(col("emb"), 1, d),
             slice(col("qv"), 1, d))).as("cs"))): _*)).as("x"))
       .select(col("qid"), col("vec_id"), col("x.dim").as("dim"),
         col("x.cs").as("cs"))
@@ -814,7 +951,10 @@ object Similarity extends QueryModule {
     * vector whose max cosine against ANY eval-set vector crosses τ
     * (paraphrased eval leakage that exact n-gram overlap misses —
     * the Phi/FineWeb-style semantic decontamination pass). Eval set =
-    * vec_id % 10 == 0, the deterministic benchmark stand-in.
+    * the md5-top-[[AnchorN]] ids — an ABSOLUTE-size deterministic
+    * benchmark stand-in, like a real eval set: its size is fixed, so
+    * the broadcast side stays O(AnchorN·dim) bytes and the whole pass
+    * is linear in the corpus at every scale factor.
     *
     * Scale shape mirrors the n-gram form exactly: benchmarks are MBs
     * against a TB corpus, so the EVAL side broadcasts and the check
@@ -826,8 +966,16 @@ object Similarity extends QueryModule {
   val decontaminateSemantic: Q = (spark, dir) => {
     import graft.api.ops._
     val e = emb(spark, dir)
-    e.semanticDecontaminate(col("vec_id"), col("emb"),
-        col("vec_id") % 10 === 0, tau = 0.4)
+    // Membership in the absolute eval batch as a per-row flag: a
+    // broadcast left join against the AnchorN eval ids (bytes), so
+    // the predicate API stays a Column and the corpus never shuffles.
+    val evalIds = auditBatch(e, AnchorN)
+      .select(col("vec_id"), lit(true).as("_is_eval"))
+    val marked = e.join(broadcast(evalIds.select(col("vec_id"),
+        col("_is_eval"))), Seq("vec_id"), "left")
+      .withColumn("_is_eval", coalesce(col("_is_eval"), lit(false)))
+    marked.semanticDecontaminate(col("vec_id"), col("emb"),
+        col("_is_eval"), tau = 0.4)
       .withColumnRenamed("id", "vec_id")
       .join(broadcast(e.select(col("vec_id"), col("label"))), "vec_id")
       .select("vec_id", "label", "max_cos_eval", "contaminated")
@@ -1238,6 +1386,7 @@ object Similarity extends QueryModule {
     "q_sim_ann_lsh" -> simAnnLsh,
     "q_sim_ann_multiprobe" -> simAnnMultiProbe,
     "q_sim_ann_ivf" -> simAnnIvf,
+    "q_sim_ann_nsw" -> simAnnNsw,
     "q_sim_ann_recall" -> simAnnRecall,
     "q_sim_ndcg" -> simNdcg,
     "q_embed_matryoshka" -> embedMatryoshka,
@@ -1276,6 +1425,8 @@ object Similarity extends QueryModule {
                (CAST(${graft.api.ops.ivfAnchorsSql(16, 64)}
                  AS DOUBLE[][]))[i] AS a
         FROM generate_series(1, 16) AS g(i)),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40),
       sims AS (
         SELECT e.vec_id, e.v, an.cell, ${cos("e.v", "an.a")} AS sim
         FROM e CROSS JOIN an),
@@ -1285,26 +1436,127 @@ object Similarity extends QueryModule {
                                    ORDER BY sim DESC, cell) = 1),
       probes AS (
         SELECT s.vec_id AS qid, s.v AS qv, s.cell
-        FROM sims s WHERE s.vec_id % 50 = 0
+        FROM sims s JOIN q ON q.qid = s.vec_id
         QUALIFY row_number() OVER (PARTITION BY s.vec_id
                                    ORDER BY s.sim DESC, s.cell) <= 2),
       ann AS (
         SELECT p.qid, a.vec_id,
-               round(${cos("a.v", "p.qv")}, 4) AS cos_sim,
+               floor((${cos("a.v", "p.qv")}) * 10000 + 0.5) / 10000
+                 AS cos_sim,
                row_number() OVER (PARTITION BY p.qid
-                 ORDER BY round(${cos("a.v", "p.qv")}, 4) DESC,
+                 ORDER BY floor((${cos("a.v", "p.qv")}) * 10000 + 0.5)
+                            / 10000 DESC,
                           a.vec_id) AS rnk
         FROM assigned a JOIN probes p ON a.cell = p.cell
         QUALIFY rnk <= 10),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
       exact AS (
         SELECT q.qid, e.vec_id,
-               round(${cos("e.v", "q.qv")}, 4) AS cos_sim,
+               floor((${cos("e.v", "q.qv")}) * 10000 + 0.5) / 10000
+                 AS cos_sim,
                row_number() OVER (PARTITION BY q.qid
-                 ORDER BY round(${cos("e.v", "q.qv")}, 4) DESC,
+                 ORDER BY floor((${cos("e.v", "q.qv")}) * 10000 + 0.5)
+                            / 10000 DESC,
                           e.vec_id) AS rnk
         FROM e CROSS JOIN q
         QUALIFY rnk <= 10)"""
+  }
+
+  /** DuckDB twin of [[annNswRecall]] (beamW=4, rounds=3): the pivot
+    * graph / leaf / query-score CTEs, the beam walk unrolled to one
+    * (frontier, visited) CTE pair per round (the kmeans/BPE-oracle
+    * discipline), the same candidate union and rank-10 compare.
+    */
+  private def annNswOracle(beamW: Int, rounds: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65), d -> $a[d] * $b[d])),
+           (s, x) -> s + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, 65), d -> $a[d] * $a[d])),
+              (s, x) -> s + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, 65), d -> $b[d] * $b[d])),
+                (s, x) -> s + x))))"""
+    def r4(x: String): String = s"floor($x * 10000 + 0.5) / 10000"
+    val walk = (1 to rounds).map { t =>
+      s"""f$t AS (
+        SELECT qid, aid FROM (
+          SELECT v.qid, v.aid,
+                 row_number() OVER (PARTITION BY v.qid
+                   ORDER BY qa.qac DESC, v.aid) AS rn
+          FROM v${t - 1} v JOIN qa ON qa.qid = v.qid AND qa.aid = v.aid)
+        WHERE rn <= $beamW),
+      v$t AS (
+        SELECT DISTINCT qid, aid FROM (
+          SELECT qid, aid FROM v${t - 1}
+          UNION ALL
+          SELECT f.qid, g.nid AS aid
+          FROM f$t f JOIN agraph g ON g.aid = f.aid))"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40),
+      anch AS (SELECT vec_id AS aid, v AS av FROM e
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+      agraph AS (
+        SELECT aid, nid FROM (
+          SELECT a.aid, b.aid AS nid,
+                 row_number() OVER (PARTITION BY a.aid
+                   ORDER BY ${r4(cos("a.av", "b.av"))} DESC, b.aid)
+                   AS rn
+          FROM anch a JOIN anch b ON a.aid <> b.aid)
+        WHERE rn <= 3),
+      leaves AS (
+        SELECT aid, lid FROM (
+          SELECT a.aid, e.vec_id AS lid,
+                 row_number() OVER (PARTITION BY a.aid
+                   ORDER BY ${r4(cos("e.v", "a.av"))} DESC, e.vec_id)
+                   AS rn
+          FROM anch a CROSS JOIN e)
+        WHERE rn <= 8),
+      qa AS (SELECT q.qid, a.aid, ${r4(cos("q.qv", "a.av"))} AS qac
+             FROM q CROSS JOIN anch a),
+      entry AS (SELECT aid FROM anch
+                ORDER BY md5(CAST(aid AS VARCHAR)), aid LIMIT 1),
+      v0 AS (SELECT q.qid, entry.aid FROM q CROSS JOIN entry),
+      $walk,
+      cand AS (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT v.qid, l.lid AS vec_id
+          FROM v$rounds v JOIN leaves l ON l.aid = v.aid
+          UNION ALL
+          SELECT qid, aid AS vec_id FROM v$rounds)),
+      nsw10 AS (
+        SELECT qid, vec_id FROM (
+          SELECT c.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY c.qid
+                   ORDER BY ${r4(cos("e.v", "q.qv"))} DESC, c.vec_id)
+                   AS rn
+          FROM cand c JOIN e ON e.vec_id = c.vec_id
+                      JOIN q ON q.qid = c.qid)
+        WHERE rn <= 10),
+      exact AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${r4(cos("e.v", "q.qv"))} DESC, e.vec_id)
+                   AS rn
+          FROM e CROSS JOIN q)
+        WHERE rn <= 10),
+      hits AS (
+        SELECT x.qid, count(*) AS n_hits
+        FROM exact x JOIN nsw10 n
+          ON n.qid = x.qid AND n.vec_id = x.vec_id
+        GROUP BY x.qid)
+      SELECT q.qid,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0
+               * 10000 + 0.5) / 10000 AS recall_at_10
+      FROM q LEFT JOIN hits h ON h.qid = q.qid
+      ORDER BY q.qid"""
   }
 
   private def annRecallOracle: String =
@@ -1421,11 +1673,12 @@ object Similarity extends QueryModule {
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40),
       dims AS (SELECT unnest([16, 32, 64]) AS dim),
       scored AS (
         SELECT q.qid, e.vec_id, d.dim,
-               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, d.dim + 1),
                      i -> e.v[i] * q.qv[i])), (s, x) -> s + x)
                  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1433,8 +1686,8 @@ object Similarity extends QueryModule {
                         i -> e.v[i] * e.v[i])), (s, x) -> s + x))
                     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                         list_transform(range(1, d.dim + 1),
-                          i -> q.qv[i] * q.qv[i])), (s, x) -> s + x))),
-                 4) AS cs
+                          i -> q.qv[i] * q.qv[i])), (s, x) -> s + x))))
+                 * 10000 + 0.5) / 10000 AS cs
         FROM e CROSS JOIN q CROSS JOIN dims d),
       top AS (
         SELECT qid, vec_id, dim,
@@ -1688,7 +1941,7 @@ object Similarity extends QueryModule {
                                    ORDER BY s.sim DESC, s.cell) <= 2),
       scored AS (
         SELECT p.qid, a.vec_id,
-               round(
+               floor((
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, 65), d -> a.v[d] * p.qv[d])),
                    (s, x) -> s + x)
@@ -1699,7 +1952,8 @@ object Similarity extends QueryModule {
                     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                         list_transform(range(1, 65),
                           d -> p.qv[d] * p.qv[d])),
-                        (s, x) -> s + x))), 4) AS cos_sim
+                        (s, x) -> s + x)))) * 10000 + 0.5) / 10000
+                 AS cos_sim
         FROM assigned a JOIN probes p ON a.cell = p.cell)
       SELECT qid, vec_id, cos_sim,
              CAST(row_number() OVER (PARTITION BY qid
@@ -1708,6 +1962,7 @@ object Similarity extends QueryModule {
       QUALIFY rank <= 3
       ORDER BY qid, rank""",
     "q_sim_ann_recall" -> annRecallOracle,
+    "q_sim_ann_nsw" -> annNswOracle(beamW = 4, rounds = 3),
     "q_sim_ndcg" -> simNdcgOracle,
     "q_embed_matryoshka" -> matryoshkaOracle,
     "q_embed_drift" -> embedDriftOracle,
@@ -1916,10 +2171,11 @@ object Similarity extends QueryModule {
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings),
-      ev AS (SELECT emb AS eemb FROM e WHERE vec_id % 10 = 0),
+      ev AS (SELECT vec_id AS eid, emb AS eemb FROM e
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
       scored AS (
         SELECT t.vec_id, t.label,
-               round(
+               floor((
                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(range(1, 65), i -> t.emb[i] * ev.eemb[i])),
                    (s, v) -> s + v)
@@ -1929,9 +2185,9 @@ object Similarity extends QueryModule {
                   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                       list_transform(range(1, 65),
                         i -> ev.eemb[i] * ev.eemb[i])),
-                      (s, v) -> s + v))), 4) AS c
+                      (s, v) -> s + v)))) * 10000 + 0.5) / 10000 AS c
         FROM e t CROSS JOIN ev
-        WHERE t.vec_id % 10 <> 0)
+        WHERE t.vec_id NOT IN (SELECT eid FROM ev))
       SELECT vec_id, label, max(c) AS max_cos_eval,
              max(c) >= 0.4 AS contaminated
       FROM scored
@@ -2213,6 +2469,8 @@ object Similarity extends QueryModule {
     "q_sim_hard_negatives" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
+      anch AS (SELECT vec_id, label, emb FROM e
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
       pairs AS (
         SELECT a.vec_id AS aid, a.label AS label,
                b.vec_id AS hard_neg, b.label AS neg_label,
@@ -2225,19 +2483,21 @@ object Similarity extends QueryModule {
                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                  list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
                  (s, v) -> s + v)) AS nb
-        FROM e a JOIN e b ON a.label <> b.label
-        WHERE a.vec_id % 10 = 0),
+        FROM anch a JOIN e b ON a.label <> b.label),
       scored AS (
         SELECT aid, label, hard_neg, neg_label,
-               round(dot / (na * nb), 4) AS cos_sim,
+               floor(dot / (na * nb) * 10000 + 0.5) / 10000 AS cos_sim,
                row_number() OVER (PARTITION BY aid
-                 ORDER BY round(dot / (na * nb), 4) DESC, hard_neg) AS rn
+                 ORDER BY floor(dot / (na * nb) * 10000 + 0.5) / 10000
+                   DESC, hard_neg) AS rn
         FROM pairs)
       SELECT aid, label, hard_neg, neg_label, cos_sim
       FROM scored WHERE rn = 1 ORDER BY aid""",
     "q_sim_knn_graph" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
+      anch AS (SELECT vec_id, emb FROM e
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
       pairs AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2249,12 +2509,13 @@ object Similarity extends QueryModule {
                sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                  list_transform(range(1, 65), i -> b.emb[i] * b.emb[i])),
                  (s, v) -> s + v)) AS nb
-        FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        WHERE a.vec_id % 10 = 0),
+        FROM anch a JOIN e b ON a.vec_id <> b.vec_id),
       scored AS (
-        SELECT src, dst, round(dot / (na * nb), 4) AS cos_sim,
+        SELECT src, dst,
+               floor(dot / (na * nb) * 10000 + 0.5) / 10000 AS cos_sim,
                row_number() OVER (PARTITION BY src
-                 ORDER BY round(dot / (na * nb), 4) DESC, dst) AS rank
+                 ORDER BY floor(dot / (na * nb) * 10000 + 0.5) / 10000
+                   DESC, dst) AS rank
         FROM pairs)
       SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos_sim
       FROM scored WHERE rank <= 3 ORDER BY src, rank""",

@@ -49,6 +49,21 @@ object TxnLog {
   private def versionFile(base: String, v: Int): Path =
     new Path(logDir(base), f"$v%08d.json")
 
+  /** Checkpoint file `<base>/_graft_log/<%08d>.checkpoint.json`: the
+    * LIVE file set after replaying commits 0..v, one `add` action
+    * line per file — the same line shape as the log, so the reader is
+    * shared. Checkpoints are DERIVED, idempotent data: two racing
+    * writers produce byte-identical content (the live set is a pure
+    * function of the immutable log prefix), so overwrite-create is
+    * safe, and deleting one only costs read-time replay, never
+    * correctness. This is what bounds read cost on a long-lived
+    * table: a real lake accretes thousands of commits, and without
+    * checkpoints every read replays O(versions) log files (the Delta
+    * `_last_checkpoint` idea in its smallest honest form).
+    */
+  private def checkpointFile(base: String, v: Int): Path =
+    new Path(logDir(base), f"$v%08d.checkpoint.json")
+
   /** Latest committed version, or -1 for an empty/absent log. */
   def latestVersion(spark: SparkSession, base: String): Int = {
     val f = fs(spark, base)
@@ -64,9 +79,17 @@ object TxnLog {
     * `readVersion`. Returns the new version. Throws
     * [[VersionConflictException]] if another writer committed
     * `readVersion + 1` first — re-read the table and retry.
+    *
+    * `checkpointEvery = n > 0` writes a [[checkpoint]] after every
+    * n-th commit (versions n−1, 2n−1, …) — the periodic snapshot that
+    * keeps read-side metadata cost O(n) instead of O(versions) as the
+    * table's history grows. The checkpoint rides AFTER the committed
+    * version is published, so a crash between the two steps loses
+    * only the optimization, never the commit.
     */
   def commit(spark: SparkSession, base: String, readVersion: Int,
-             adds: Seq[String], removes: Seq[String] = Nil): Int = {
+             adds: Seq[String], removes: Seq[String] = Nil,
+             checkpointEvery: Int = 0): Int = {
     val f = fs(spark, base)
     f.mkdirs(logDir(base))
     val target = versionFile(base, readVersion + 1)
@@ -92,6 +115,21 @@ object TxnLog {
         dir.resolve(target.getName), tmp)
       catch {
         case e: java.nio.file.FileAlreadyExistsException => conflict(e)
+        case _: UnsupportedOperationException =>
+          // Filesystem without hard-link support (some overlay /
+          // network mounts): degrade to exclusive-create. CREATE_NEW
+          // still fails on an existing target, so the losing writer
+          // conflicts correctly; what we give up vs link(2) is only
+          // the write-then-publish atomicity (a reader could glimpse
+          // a partially-written file), the same exposure the generic
+          // HDFS branch below accepts.
+          try java.nio.file.Files.write(dir.resolve(target.getName),
+            payload.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              conflict(e)
+          }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out =
@@ -99,43 +137,113 @@ object TxnLog {
         catch { case e: java.io.IOException => conflict(e) }
       try out.write(payload.getBytes("UTF-8")) finally out.close()
     }
-    readVersion + 1
+    val v = readVersion + 1
+    if (checkpointEvery > 0 && (v + 1) % checkpointEvery == 0)
+      checkpoint(spark, base, v)
+    v
   }
 
-  /** Replay log files 0..version in order, calling `apply(isAdd,
-    * relativeFile)` per action — the one reader both [[filesAsOf]]
-    * and [[unreferencedFiles]] share. */
+  /** Parse one action file (log version OR checkpoint — same line
+    * shape), calling `apply(isAdd, relativeFile)` per action. */
+  private def readActions(spark: SparkSession, base: String, p: Path)
+                         (apply: (Boolean, String) => Unit): Unit = {
+    val f = fs(spark, base)
+    require(f.exists(p), s"log is missing ${p.getName}")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      // the two fixed shapes above — a full JSON parser would be
+      // noise for a two-field line we also wrote
+      val file = line.split("\"file\":\"")(1).stripSuffix("\"}")
+      apply(line.contains("\"action\":\"add\""), file)
+    }
+  }
+
+  /** Replay log files from..to in order — the shared reader under
+    * both the checkpoint-seeded fast path ([[filesAsOf]]) and the
+    * full-history scans ([[unreferencedFiles]]). */
+  private def replayRange(spark: SparkSession, base: String,
+                          from: Int, to: Int)
+                         (apply: (Boolean, String) => Unit): Unit =
+    (from to to).foreach { v =>
+      readActions(spark, base, versionFile(base, v))(apply)
+    }
+
+  /** Replay the FULL log prefix 0..version. Deliberately checkpoint-
+    * blind: [[unreferencedFiles]] needs every add that ever happened
+    * (a file added at v2 and removed at v5 is invisible to any
+    * checkpoint ≥ 5 — it is exactly the vacuum candidate), so the
+    * maintenance scans stay O(versions) by design while the hot read
+    * path below is O(suffix). */
   private def replay(spark: SparkSession, base: String, version: Int)
                     (apply: (Boolean, String) => Unit): Unit = {
-    val f = fs(spark, base)
     val upTo = if (version >= 0) version
       else latestVersion(spark, base)
     require(upTo >= 0, s"no committed version in $base")
-    (0 to upTo).foreach { v =>
-      val p = versionFile(base, v)
-      require(f.exists(p), s"log is missing version $v")
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        // the two fixed shapes above — a full JSON parser would be
-        // noise for a two-field line we also wrote
-        val file = line.split("\"file\":\"")(1).stripSuffix("\"}")
-        apply(line.contains("\"action\":\"add\""), file)
+    replayRange(spark, base, 0, upTo)(apply)
+  }
+
+  /** Latest checkpoint version ≤ `atOrBefore`, or None. */
+  def latestCheckpoint(spark: SparkSession, base: String,
+                       atOrBefore: Int): Option[Int] = {
+    val f = fs(spark, base)
+    val d = logDir(base)
+    if (!f.exists(d)) None
+    else f.listStatus(d).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toInt)
+      .filter(_ <= atOrBefore)
+      .reduceOption(math.max)
+  }
+
+  /** Write a checkpoint of the live file set as of `version` (latest
+    * when negative). Returns the checkpointed version. Idempotent and
+    * race-safe: content is a pure function of the immutable log
+    * prefix, so overwrite-create can only rewrite identical bytes.
+    */
+  def checkpoint(spark: SparkSession, base: String,
+                 version: Int = -1): Int = {
+    val upTo = if (version >= 0) version
+      else latestVersion(spark, base)
+    require(upTo >= 0, s"no committed version in $base")
+    val payload = filesAsOfRel(spark, base, upTo)
+      .map(p => s"""{"action":"add","file":"$p"}""")
+      .mkString("", "\n", "\n")
+    val f = fs(spark, base)
+    val out = f.create(checkpointFile(base, upTo), /* overwrite = */ true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    upTo
+  }
+
+  /** Live RELATIVE file set at `version`: seed from the nearest
+    * checkpoint ≤ version, then replay only the commit SUFFIX — the
+    * read cost is O(commits since last checkpoint), not O(versions),
+    * which is the difference between a millisecond and a minute of
+    * metadata work on a table with thousands of commits. */
+  private def filesAsOfRel(spark: SparkSession, base: String,
+                           version: Int): Seq[String] = {
+    val upTo = if (version >= 0) version
+      else latestVersion(spark, base)
+    require(upTo >= 0, s"no committed version in $base")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val cp = latestCheckpoint(spark, base, upTo)
+    cp.foreach { v =>
+      readActions(spark, base, checkpointFile(base, v)) {
+        (isAdd, file) => if (isAdd) live += file else live -= file
       }
     }
+    replayRange(spark, base, cp.map(_ + 1).getOrElse(0), upTo) {
+      (isAdd, file) => if (isAdd) live += file else live -= file
+    }
+    live.toSeq
   }
 
   /** The live file set at `version` (or the latest when negative):
-    * replay adds/removes over log files 0..version in order. */
+    * nearest checkpoint + suffix replay (see [[filesAsOfRel]]). */
   def filesAsOf(spark: SparkSession, base: String,
-                version: Int = -1): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    replay(spark, base, version) { (isAdd, file) =>
-      if (isAdd) live += file else live -= file
-    }
-    live.toSeq.map(rel => s"$base/$rel")
-  }
+                version: Int = -1): Seq[String] =
+    filesAsOfRel(spark, base, version).map(rel => s"$base/$rel")
 
   /** Vacuum candidates (DRY RUN): files some version added that are
     * no longer live at `version` (latest when negative) — exactly

@@ -180,6 +180,81 @@ class BucketingSpec extends SparkSpec {
     assert(TxnLog.readAsOf(spark, base, 0).count() === 2)
   }
 
+  test("txn log: checkpointed reads touch O(suffix), not O(versions), " +
+      "log files; semantics identical to full replay") {
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_checkpoint")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    import spark.implicits._
+    // 12 single-row append commits with checkpointEvery = 5 →
+    // checkpoints at v4 and v9.
+    var v = -1
+    (0 to 11).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.parquet(s"$base/d$i")
+      v = TxnLog.commit(spark, base, v,
+        TxnLog.partFiles(spark, base, s"d$i"), checkpointEvery = 5)
+    }
+    assert(v === 11)
+    assert(TxnLog.latestCheckpoint(spark, base, 11) === Some(9))
+    assert(TxnLog.latestCheckpoint(spark, base, 8) === Some(4))
+    assert(TxnLog.latestCheckpoint(spark, base, 3) === None)
+    // Checkpoint-seeded result ≡ full replay at every version.
+    val full = (0 to 11).map(ver =>
+      TxnLog.readAsOf(spark, base, ver).count())
+    assert(full === (1L to 12L))
+    // THE pin: delete every log file the v9 checkpoint covers — a
+    // head read (checkpoint 9 + logs 10, 11) must still succeed,
+    // which is only possible through the O(suffix) path.
+    (0 to 9).foreach { lv =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        base, "_graft_log", f"$lv%08d.json"))
+    }
+    assert(TxnLog.filesAsOf(spark, base, 11).size === 12)
+    assert(TxnLog.readAsOf(spark, base, 11).count() === 12)
+    // ...and at v8 the nearest checkpoint is v4 whose suffix logs
+    // (5..8) are gone → the read must fail LOUDLY, not silently
+    // return the checkpoint state.
+    intercept[IllegalArgumentException] {
+      TxnLog.filesAsOf(spark, base, 8)
+    }
+    // unreferencedFiles is checkpoint-blind (needs dead prefix adds)
+    // and must also fail loudly once the prefix is severed.
+    intercept[IllegalArgumentException] {
+      TxnLog.unreferencedFiles(spark, base, 11)
+    }
+  }
+
+  test("txn log: checkpoint sees through removes (checkpoint seed + " +
+      "remove suffix)") {
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_checkpoint_rm")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    import spark.implicits._
+    var v = -1
+    (0 to 3).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.parquet(s"$base/d$i")
+      v = TxnLog.commit(spark, base, v,
+        TxnLog.partFiles(spark, base, s"d$i"), checkpointEvery = 4)
+    }
+    // checkpoint at v3; v4 removes d1 on top of the checkpoint seed
+    assert(TxnLog.latestCheckpoint(spark, base, v) === Some(3))
+    v = TxnLog.commit(spark, base, v, adds = Nil,
+      removes = TxnLog.partFiles(spark, base, "d1"))
+    val live = TxnLog.readAsOf(spark, base, v)
+      .select("k").as[Long].collect().sorted
+    assert(live === Seq(0L, 2L, 3L), "remove over checkpoint seed")
+  }
+
   test("txn log: unreferencedFiles lists exactly the removed adds") {
     import graft.sources.TxnLog
     import graft.operators.Scans

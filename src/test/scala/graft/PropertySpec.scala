@@ -31,6 +31,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KendallKnight.stats ≡ quadratic sign-count on fuzzed tied series") {
+    import graft.functions.KendallKnight
+    def brute(pts: Array[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        n0 += 1
+        val dx = pts(i)._1 - pts(j)._1
+        val dy = pts(i)._2 - pts(j)._2
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+        if ((dx > 0 && dy > 0) || (dx < 0 && dy < 0)) c += 1
+        if ((dx > 0 && dy < 0) || (dx < 0 && dy > 0)) d += 1
+      }
+      (n0, c, d, tx, ty)
+    }
+    // Heavy ties (small value range) are the regime where the Knight
+    // identity has to get every correction term right.
+    for (seed <- 1 to 8; n <- Seq(0, 1, 2, 3, 50, 500)) {
+      val g = Gen.listOfN(n, Gen.zip(
+        Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      val pts = sample(g, seed * 1000L + n).toArray
+      assert(KendallKnight.stats(pts) === brute(pts),
+        s"mismatch at seed=$seed n=$n")
+    }
+    // and a wide-range regime (few ties, inversions dominate)
+    for (seed <- 1 to 3) {
+      val g = Gen.listOfN(800, Gen.zip(
+        Gen.choose(-1000000L, 1000000L), Gen.choose(-1000000L, 1000000L)))
+      val pts = sample(g, 77L + seed).toArray
+      assert(KendallKnight.stats(pts) === brute(pts),
+        s"wide-range mismatch at seed=$seed")
+    }
+  }
+
+  test("q_stats_kendall: merge path ≡ join path on the scored fixture") {
+    // mergeSpanHours = 0 forces Knight's per-series path; MaxValue
+    // forces the hour-pair join. Same rows bit-for-bit, so the
+    // production span switch is invisible to the oracle.
+    val viaMerge = operators.Aggregates
+      .statsKendallImpl(spark, sfDir, mergeSpanHours = 0)
+      .collect().map(_.toSeq).toSeq
+    val viaJoin = operators.Aggregates
+      .statsKendallImpl(spark, sfDir, mergeSpanHours = Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(viaMerge.nonEmpty)
+    assert(viaMerge === viaJoin)
+  }
+
   test("hmac_sha256 is deterministic and key-sensitive on random inputs") {
     import spark.implicits._
     import graft.functions.GraftFunctions.hmac_sha256

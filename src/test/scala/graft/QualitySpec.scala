@@ -649,6 +649,78 @@ class QualitySpec extends SparkSpec {
       f"KMV estimate $jEst%.4f off true $jTrue%.4f beyond 3/sqrt(k)")
   }
 
+  test("q_agg_distinct_kmv: estimator within KMV error; exact below k") {
+    // Deterministic md5 "randomness", so these are exact assertions.
+    // Relative standard error of the (k-1)/U_(k) estimator is
+    // ~1/sqrt(k-2) (k=64 → ~0.127); 3x that is the bound.
+    val rows = SparkEntry.queries("q_agg_distinct_kmv")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("kmv_est")
+      if (n < 64) assert(est === n.toDouble,
+        s"${r.getString(0)}: below-k group must fall back to exact")
+      else {
+        val rel = math.abs(est - n) / n
+        info(f"${r.getString(0)}: n=$n est=$est%.1f rel=$rel%.3f")
+        assert(rel < 3.0 / math.sqrt(62.0),
+          f"${r.getString(0)}: KMV rel error $rel%.3f beyond 3/sqrt(62)")
+      }
+    }
+  }
+
+  test("q_agg_count_min_twin: one-sided guarantee, bounded overcount") {
+    val n = Tables(spark, sfDir, "events").count()
+    val distinctUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    val rows = SparkEntry.queries("q_agg_count_min_twin")(spark, sfDir)
+      .collect()
+    // Probe set is the top-20 users — capped by the population when the
+    // sf is small enough that fewer than 20 users exist (sf0.001: 15).
+    assert(rows.length === math.min(20L, distinctUsers))
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("cm_est")
+      val over = r.getAs[Long]("overcount")
+      assert(est >= exact,
+        s"user ${r.get(0)}: CM must never undercount ($est < $exact)")
+      assert(over === est - exact)
+      // e/w bound with slack: expected cell load is N/64; the min over
+      // d=4 rows concentrates well below 3x that.
+      assert(over <= math.max(8L, 3L * n / 64L),
+        s"user ${r.get(0)}: overcount $over above 3N/w")
+    }
+  }
+
+  test("q_agg_quantile_twin: sample quantiles land at the right CDF " +
+      "position (DKW-style rank bound)") {
+    import org.apache.spark.sql.Row
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val rows = SparkEntry.queries("q_agg_quantile_twin")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getAs[String]("o_orderstatus")
+      val n = r.getAs[Long]("n")
+      Seq(("p50_est_cents", 0.5), ("p95_est_cents", 0.95)).foreach {
+        case (c, p) =>
+          val est = r.getAs[Long](c)
+          val below = o.filter(col("st") === st &&
+            col("cents") <= est).count()
+          val frac = below.toDouble / n
+          info(f"$st $c: est=$est F(est)=$frac%.3f target=$p")
+          assert(math.abs(frac - p) <= 0.2,
+            f"$st $c: CDF position $frac%.3f off $p by > 0.2")
+      }
+      // Exact-rank columns are genuine group quantiles.
+      assert(r.getAs[Long]("p50_exact_cents") <=
+        r.getAs[Long]("p95_exact_cents"))
+    }
+  }
+
   /** MMR reranker invariants vs plain cosine top-k (q_sim_mmr has no
     * SQL oracle — greedy argmax isn't relational).
     */
