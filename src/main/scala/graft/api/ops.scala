@@ -39,6 +39,48 @@ object ops {
   def cosineSim(a: Column, b: Column): Column =
     GraftFunctions.cosine_sim(a, b)
 
+  /** Dynamic-time-warping distance between two BIGINT-array series
+    * with L1 cell cost — exact integer DP, expressed as an
+    * anti-diagonal wavefront fold so plain higher-order functions can
+    * run it (the row-major recurrence is sequential in both indices;
+    * cells of diagonal d = i+j depend only on diagonals d−1/d−2, so
+    * each new diagonal is a pure `transform` and the whole DP is one
+    * `aggregate` over d = 1..n+m carrying two diagonal arrays). Cost
+    * O(n·m) per row with O(min(n,m)) state. `n`/`m` must be the exact
+    * lengths of `a`/`b`. Out-of-range lookups resolve to +INF via an
+    * explicit bounds guard (ANSI element_at throws on index 0).
+    */
+  def dtwCost(a: Column, b: Column, n: Column, m: Column): Column = {
+    val inf = lit(1000000000000L)
+    def at(arr: Column, idx: Column): Column =
+      when(idx >= 1 && idx <= size(arr),
+        element_at(arr, idx.cast("int"))).otherwise(inf)
+    aggregate(
+      sequence(lit(1L), (n + m).cast("long")),
+      struct(array().cast("array<bigint>").as("p2"),
+        array(lit(0L)).as("p1")),
+      (st, d) => {
+        val lo = greatest(lit(0L), d - m)
+        val hi = least(n.cast("long"), d)
+        val lo1 = greatest(lit(0L), d - 1 - m)
+        val lo2 = greatest(lit(0L), d - 2 - m)
+        val nd = transform(sequence(lo, hi), i => {
+          val j = d - i
+          when(i === 0 && j === 0, lit(0L))
+            .when(i === 0 || j === 0, inf)
+            .otherwise(
+              abs(element_at(a, i.cast("int"))
+                - element_at(b, j.cast("int"))) +
+              least(
+                at(st.getField("p1"), i - lo1),
+                at(st.getField("p1"), i - lo1 + 1),
+                at(st.getField("p2"), i - 1 - lo2 + 1)))
+        })
+        struct(st.getField("p1").as("p2"), nd.as("p1"))
+      },
+      st => element_at(st.getField("p1"), 1))
+  }
+
   /** Deterministic hyperplane matrix for sign-LSH: `numPlanes` rows of
     * `dim` coordinates from a seeded PRNG. Bucket count = 2^numPlanes,
     * so size numPlanes ≈ log2(n / targetBucketSize) and GROW it with

@@ -2075,7 +2075,87 @@ object Aggregates extends QueryModule {
         Norm.r4tie(cov * cov / (vx * vy) * 100).as("var_reduction_pct"))
   }
 
+  /** Cohen's kappa between two deterministic document "raters" — the
+    * inter-annotator-agreement number every labeling pipeline reports
+    * before trusting auto-labels. Rater A flags long docs
+    * (n_chars >= 306, the corpus median), rater B flags wordy docs
+    * (>= 46 whitespace-split tokens); kappa = (p_o − p_e)/(1 − p_e)
+    * from the per-language 2×2 confusion. Everything up to the final
+    * quotient is exact BIGINT counts: p_o and p_e are formed from
+    * integer products over n², so both engines divide the identical
+    * integers — one tie-proof round at the end.
+    *
+    * Scale: one pass over documents (both raters are row-local
+    * expressions, no shuffle beyond the per-language hash agg), then a
+    * |langs|-row closed form. Nothing grows with corpus size except
+    * the single scan.
+    */
+  val statsCohensKappa: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val ra = (col("n_chars") >= 306).cast("long")
+    // token count = spaces + 1; space count via length differencing
+    // (identical expression shape in the oracle)
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val rb = (spaces + 1 >= 46).cast("long")
+    val g = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(ra * rb).as("n11"),
+      sum((lit(1) - ra) * (lit(1) - rb)).as("n00"),
+      sum(ra).as("na1"),
+      sum(rb).as("nb1"))
+    def d(c: Column) = c.cast("double")
+    val po = d(col("n11") + col("n00")) / d(col("n"))
+    // p_e·n² as one exact integer so both engines divide identical values
+    val peNum = col("na1") * col("nb1") +
+      (col("n") - col("na1")) * (col("n") - col("nb1"))
+    val pe = d(peNum) / d(col("n") * col("n"))
+    g.select(col("lang"), col("n"), col("n11"), col("n00"),
+        Norm.r4tie(po).as("p_o"), Norm.r4tie(pe).as("p_e"),
+        Norm.r4s((po - pe) / (lit(1.0) - pe)).as("kappa"))
+      .orderBy("lang")
+  }
+
+  /** Wald-style sequential test (SPRT) per event type, in integer
+    * log-odds units: observations arrive in event-time order, each
+    * contributes +1 (value >= 35, the "success" the alternative
+    * predicts) or −1, and the cumulative walk S_t decides at the first
+    * |S_t| >= 12 — accept H1 on +12, H0 on −12, else keep sampling.
+    * The symmetric-odds SPRT is EXACTLY this integer random walk
+    * (log-likelihood increments are ±log(p1(1−p0)/(p0(1−p1))), one
+    * common factor), so the whole decision path is exact BIGINT
+    * arithmetic — no libm anywhere.
+    *
+    * Scale: one cumulative-sum window per type over the ordered stream
+    * + a first-crossing min — O(n) state-light window work; the
+    * decision typically fires after O(1/KL) observations, so a
+    * streaming deployment stops reading each arm early.
+    */
+  val statsSprt: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val step = when(col("value") >= 35, 1L).otherwise(-1L)
+    val walk = e.select(col("event_type"), col("ts"), col("event_id"),
+        step.as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("s", sum(col("x")).over(w))
+    walk.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min(when(col("s") >= 12, col("t"))).as("t_up"),
+        min(when(col("s") <= -12, col("t"))).as("t_dn"),
+        sum(col("x")).as("s_final"))
+      .select(col("event_type"), col("n"),
+        when(coalesce(col("t_up"), lit(Long.MaxValue)) <
+             coalesce(col("t_dn"), lit(Long.MaxValue)), lit("h1"))
+          .when(col("t_dn").isNotNull, lit("h0"))
+          .otherwise(lit("continue")).as("decision"),
+        least(col("t_up"), col("t_dn")).cast("long").as("t_decide"),
+        col("s_final"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cohens_kappa" -> statsCohensKappa,
+    "q_stats_sprt" -> statsSprt,
     "q_stats_cuped" -> statsCuped,
     "q_stats_bowley" -> statsBowley,
     "q_sql_analytics" -> sqlAnalytics,
@@ -2140,6 +2220,55 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_cohens_kappa" -> """
+      WITH r AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN length(text) - length(replace(text, ' ', ''))
+                      + 1 >= 46 THEN 1 ELSE 0 END AS rb
+        FROM documents),
+      g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra * rb) AS BIGINT) AS n11,
+               CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+               CAST(sum(ra) AS BIGINT) AS na1,
+               CAST(sum(rb) AS BIGINT) AS nb1
+        FROM r GROUP BY lang)
+      SELECT lang, n, n11, n00,
+             floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS p_o,
+             floor(CAST(na1 * nb1 + (n - na1) * (n - nb1) AS DOUBLE)
+                   / CAST(n * n AS DOUBLE) * 10000 + 0.5) / 10000 AS p_e,
+             floor((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(na1 * nb1 + (n - na1) * (n - nb1) AS DOUBLE)
+                      / CAST(n * n AS DOUBLE))
+                   / (1.0 - CAST(na1 * nb1 + (n - na1) * (n - nb1)
+                                 AS DOUBLE) / CAST(n * n AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS kappa
+      FROM g ORDER BY lang""",
+    "q_stats_sprt" -> """
+      WITH walk AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS t,
+               sum(CASE WHEN value >= 35 THEN 1 ELSE -1 END)
+                 OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS s,
+               CASE WHEN value >= 35 THEN 1 ELSE -1 END AS x
+        FROM events),
+      g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               min(CASE WHEN s >= 12 THEN t END) AS t_up,
+               min(CASE WHEN s <= -12 THEN t END) AS t_dn,
+               CAST(sum(x) AS BIGINT) AS s_final
+        FROM walk GROUP BY event_type)
+      SELECT event_type, n,
+             CASE WHEN coalesce(t_up, 9223372036854775807)
+                       < coalesce(t_dn, 9223372036854775807) THEN 'h1'
+                  WHEN t_dn IS NOT NULL THEN 'h0'
+                  ELSE 'continue' END AS decision,
+             CAST(least(t_up, t_dn) AS BIGINT) AS t_decide, s_final
+      FROM g ORDER BY event_type""",
     "q_stats_psi" -> """
       WITH e AS (
         SELECT event_type AS t,

@@ -338,7 +338,57 @@ object Graphs extends QueryModule {
         col("n_capped_hubs"))
   }
 
+  /** Deterministic random-walk corpus over the customer↔supplier
+    * graph — the node2vec/DeepWalk INPUT step: walks become the
+    * "sentences" a graph-embedding trainer consumes, so this op is
+    * graph → sequence-corpus generation, the LLM-pipeline shape. Ten
+    * md5-top seeds (ABSOLUTE batch size, the auditBatch discipline)
+    * each walk 4 steps; at each step the walker moves to the neighbor
+    * minimizing md5(step:cur:neighbor) — a content-derived coin that
+    * both engines replay exactly (the withHashSplit portability
+    * argument), standing in for the RNG draw a production walker
+    * would make.
+    *
+    * Scale: the adjacency (distinct edges, both directions) builds
+    * once from one fact join; each step is one join of the
+    * seed-count-sized frontier (broadcast side) against it, and the
+    * per-seed argmin is min(struct(hash, dst)) — a partial-agg'd
+    * aggregate (map-side combine), NOT a window sort. Steps are a
+    * fixed small count, so the loop is O(steps) broadcast joins with
+    * driver-held control only; 10⁶ seeds would shuffle the frontier
+    * instead of broadcasting, same plan otherwise.
+    */
+  val graphRandomWalks: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val e = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cu"), (-col("l_suppkey")).as("su"))
+      .distinct()
+    val adj = e.select(col("cu").as("src"), col("su").as("dst"))
+      .unionByName(e.select(col("su").as("src"), col("cu").as("dst")))
+      .localCheckpoint(eager = false)
+    val seeds = e.select(col("cu")).distinct()
+      .orderBy(md5(col("cu").cast("string")), col("cu"))
+      .limit(10)
+      .select(col("cu").as("seed"), col("cu").as("node"))
+    var frontier = seeds
+    var walk = seeds.withColumn("step", lit(0))
+    for (s <- 1 to 4) {
+      val h = md5(concat_ws(":", lit(s), col("src"), col("dst")))
+      val nxt = frontier
+        .join(adj, frontier("node") === adj("src"))
+        .groupBy(col("seed"))
+        .agg(min(struct(h.as("h"), col("dst").as("d"))).as("pick"))
+        .select(col("seed"), col("pick.d").as("node"))
+      walk = walk.unionByName(nxt.withColumn("step", lit(s)))
+      frontier = nxt
+    }
+    walk.select(col("seed"), col("step"), col("node"))
+      .orderBy("seed", "step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_random_walks" -> graphRandomWalks,
     "q_graph_jaccard" -> graphJaccard,
     "q_graph_profile" -> graphProfile,
     "q_graph_modularity" -> graphModularity,
@@ -352,6 +402,43 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_random_walks" -> """
+      WITH e AS (
+        SELECT DISTINCT o_custkey AS cu, -l_suppkey AS su
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      adj AS (
+        SELECT cu AS src, su AS dst FROM e
+        UNION ALL
+        SELECT su AS src, cu AS dst FROM e),
+      w0 AS (
+        SELECT cu AS seed, cu AS node FROM (SELECT DISTINCT cu FROM e)
+        ORDER BY md5(CAST(cu AS VARCHAR)), cu LIMIT 10),
+      c1 AS (
+        SELECT f.seed, a.dst, row_number() OVER (PARTITION BY f.seed
+          ORDER BY md5(concat(1, ':', a.src, ':', a.dst)), a.dst) AS rn
+        FROM w0 f JOIN adj a ON a.src = f.node),
+      w1 AS (SELECT seed, dst AS node FROM c1 WHERE rn = 1),
+      c2 AS (
+        SELECT f.seed, a.dst, row_number() OVER (PARTITION BY f.seed
+          ORDER BY md5(concat(2, ':', a.src, ':', a.dst)), a.dst) AS rn
+        FROM w1 f JOIN adj a ON a.src = f.node),
+      w2 AS (SELECT seed, dst AS node FROM c2 WHERE rn = 1),
+      c3 AS (
+        SELECT f.seed, a.dst, row_number() OVER (PARTITION BY f.seed
+          ORDER BY md5(concat(3, ':', a.src, ':', a.dst)), a.dst) AS rn
+        FROM w2 f JOIN adj a ON a.src = f.node),
+      w3 AS (SELECT seed, dst AS node FROM c3 WHERE rn = 1),
+      c4 AS (
+        SELECT f.seed, a.dst, row_number() OVER (PARTITION BY f.seed
+          ORDER BY md5(concat(4, ':', a.src, ':', a.dst)), a.dst) AS rn
+        FROM w3 f JOIN adj a ON a.src = f.node),
+      w4 AS (SELECT seed, dst AS node FROM c4 WHERE rn = 1)
+      SELECT seed, 0 AS step, node FROM w0
+      UNION ALL SELECT seed, 1, node FROM w1
+      UNION ALL SELECT seed, 2, node FROM w2
+      UNION ALL SELECT seed, 3, node FROM w3
+      UNION ALL SELECT seed, 4, node FROM w4
+      ORDER BY seed, step""",
     "q_graph_profile" -> """
       WITH edges AS (
         SELECT DISTINCT o_custkey AS cu, l_suppkey AS su

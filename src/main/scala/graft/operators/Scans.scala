@@ -449,6 +449,64 @@ object Scans extends QueryModule {
       .orderBy("version", "o_orderpriority")
   }
 
+  /** RESTORE TABLE ... TO VERSION — roll the table head back to an
+    * earlier snapshot as a NEW commit (Delta's RESTORE semantics):
+    * the restore commit's file set IS version 0's, computed as a
+    * set-diff against the current head (adds = target − current,
+    * removes = current − target), so nothing is rewritten or deleted
+    * — history stays intact and the restore itself is time-travelable.
+    * Built on the same 3-version copy-on-write history as
+    * [[lakeTimetravel]]; the output proves both properties at once:
+    * the v3 (restored-head) aggregate rows equal v0's exactly, AND
+    * v2 remains readable after the restore.
+    *
+    * Scale: the restore commit is pure METADATA — two file-set
+    * replays (checkpoint + suffix each, see [[graft.sources.TxnLog]])
+    * and one log append; zero data bytes move regardless of table
+    * size, which is the reason RESTORE exists instead of
+    * re-ingesting the old snapshot.
+    */
+  val lakeRestore: Q = (spark, dir) => {
+    import graft.sources.TxnLog
+    val base = tmpPath(spark, "lake_restore")
+    deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$base/d0")
+    val v0 = TxnLog.commit(spark, base, -1,
+      TxnLog.partFiles(spark, base, "d0"))
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.parquet(s"$base/d1")
+    val v1 = TxnLog.commit(spark, base, v0,
+      TxnLog.partFiles(spark, base, "d1"))
+    TxnLog.readAsOf(spark, base, v0)
+      .filter(col("o_totalprice") >= 100000.0)
+      .write.parquet(s"$base/d2")
+    val v2 = TxnLog.commit(spark, base, v1,
+      adds = TxnLog.partFiles(spark, base, "d2"),
+      removes = TxnLog.partFiles(spark, base, "d0"))
+    // RESTORE TO v0: metadata-only set-diff commit
+    def rel(v: Int) = TxnLog.filesAsOf(spark, base, v)
+      .map(_.stripPrefix(s"$base/")).toSet
+    val target = rel(v0)
+    val cur = rel(v2)
+    val v3 = TxnLog.commit(spark, base, v2,
+      adds = (target -- cur).toSeq.sorted,
+      removes = (cur -- target).toSeq.sorted)
+    def snap(v: Int) = TxnLog.readAsOf(spark, base, v)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / lit(100.0)).as("sum_price"))
+      .withColumn("version", lit(v))
+    snap(v0).unionByName(snap(v2)).unionByName(snap(v3))
+      .select(col("version"), col("o_orderpriority"), col("n"),
+        col("sum_price"))
+      .orderBy("version", "o_orderpriority")
+  }
+
   /** Vacuum dry-run report — the storage-reclaim audit run before the
     * explicitly destructive step: build the same 3-version
     * copy-on-write history as [[lakeTimetravel]], then report what a
@@ -565,6 +623,7 @@ object Scans extends QueryModule {
     "q_lake_checkpoint" -> lakeCheckpoint,
     "q_lake_vacuum" -> lakeVacuum,
     "q_lake_timetravel" -> lakeTimetravel,
+    "q_lake_restore" -> lakeRestore,
     "q_lake_compact" -> lakeCompact,
     "q_lake_incremental" -> lakeIncremental,
     "q_source_quarantine" -> sourceQuarantine,
@@ -612,6 +671,26 @@ object Scans extends QueryModule {
                AS DOUBLE) / 100.0
       FROM orders
       WHERE o_orderkey % 10 <> 0 OR o_totalprice >= 100000.0
+      GROUP BY o_orderpriority
+      ORDER BY version, o_orderpriority""",
+    "q_lake_restore" -> """
+      SELECT 0 AS version, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders
+      WHERE o_orderkey % 2 <> 0 OR o_totalprice >= 100000.0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 3, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY o_orderpriority
       ORDER BY version, o_orderpriority""",
     "q_lake_timetravel" -> """

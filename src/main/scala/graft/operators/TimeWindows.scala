@@ -1585,7 +1585,177 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "wyear", "week")
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of the hourly
+    * series per type — the long-memory diagnostic (H ≈ 0.5 random
+    * walk, H > 0.5 trending/persistent, H < 0.5 mean-reverting) that
+    * decides whether naive day-over-day forecasts are even admissible.
+    * The series splits into non-overlapping chunks at three window
+    * sizes w ∈ {30, 60, 120}; per chunk, R/S is computed in the
+    * OVERFLOW-SAFE integer form R·w / (w·S) where both the range of
+    * cumulative deviations and the variance argument are pre-scaled
+    * by w: cumdev·w = w·cumsum − t·sum and w²·S² = w·Σx² − sum² are
+    * exact BIGINTs, so R/S = (max−min of cumdev·w) / sqrt(w·Σx²−sum²)
+    * is ONE division of identical exact integers on both engines.
+    * Per-(type,w) means of the chunk R/S values use the ordered-fold
+    * sum (sort by chunk index, then fold — partial-agg summation
+    * order must not differ between engines), and H is the 3-point
+    * log-log regression slope.
+    *
+    * Scale: the series pre-aggregates to O(hours) rows; chunk
+    * statistics are one hash-agg over (type, w, chunk) keys (the 3×
+    * row explosion is over the HOURLY frame, not events); the fold
+    * arrays are chunk-count-sized. For year-scale series everything
+    * stays O(hours in calendar) — event volume only touches the
+    * first agg.
+    */
+  val tsHurst: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val chunks = hourly
+      .withColumn("t0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("wsz", explode(array(lit(30L), lit(60L), lit(120L))))
+      .withColumn("chunk", expr("t0 div wsz"))
+      .withColumn("t", col("t0") % col("wsz") + 1)
+    val wc = Window.partitionBy("event_type", "wsz", "chunk")
+    val dev = chunks
+      .withColumn("cum", sum("x").over(wc.orderBy("t")))
+      .withColumn("stot", sum("x").over(wc))
+      // cumdev pre-scaled by w: exact BIGINT (safe through ~10⁷
+      // events/hour; decimal(38,0) beyond — the statsDeltaMethod
+      // discipline)
+      .withColumn("d", col("cum") * col("wsz") - col("t") * col("stot"))
+    val rs = dev.groupBy("event_type", "wsz", "chunk")
+      .agg(count(lit(1)).as("nc"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        max("d").as("mxd"), min("d").as("mnd"))
+      .filter(col("nc") === col("wsz"))           // complete chunks only
+      .filter(col("wsz") * col("sxx") > col("sx") * col("sx")) // S > 0
+      .withColumn("rs", (col("mxd") - col("mnd")).cast("double") /
+        sqrt((col("wsz") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")))
+    // mean of chunk R/S per (type, w): ordered fold, not avg() — the
+    // identical doubles must also SUM in the identical order
+    val folded = rs.groupBy("event_type", "wsz")
+      .agg(collect_list(struct(col("chunk"), col("rs"))).as("arr"))
+      .select(col("event_type"), col("wsz"),
+        size(col("arr")).as("n_chunks"),
+        (aggregate(array_sort(col("arr")), lit(0.0),
+          (acc, s) => acc + s.getField("rs")) /
+          size(col("arr")).cast("double")).as("avg_rs"))
+    val wide = folded.groupBy("event_type")
+      .agg(max(when(col("wsz") === 30, col("avg_rs"))).as("a30"),
+        max(when(col("wsz") === 60, col("avg_rs"))).as("a60"),
+        max(when(col("wsz") === 120, col("avg_rs"))).as("a120"),
+        sum(col("n_chunks")).as("n_chunks"))
+    // the 3 window sizes are log-equidistant (ratio 2), so the 3-point
+    // log-log regression slope collapses to (ln a120 − ln a30)/(2 ln 2);
+    // the denominator is interpolated as a plan literal so both engines
+    // parse the identical double
+    val twoLn2 = 2.0 * math.log(2.0)
+    wide.select(col("event_type"), col("n_chunks"),
+        Norm.r4tie(col("a30")).as("avg_rs_30"),
+        Norm.r4tie(col("a60")).as("avg_rs_60"),
+        Norm.r4tie(col("a120")).as("avg_rs_120"),
+        Norm.r4s((log(col("a120")) - log(col("a30"))) / lit(twoLn2))
+          .as("hurst"))
+      .orderBy("event_type")
+  }
+
+  /** SAX symbolization (Lin et al.) of the hourly series per type:
+    * PAA-compress the ordered hours into 8 equal segments
+    * (seg = (rn−1)·8 div n — exact integer bucketing, no float
+    * boundaries), then assign each segment a 4-letter alphabet symbol
+    * by ntile(4) over the segment means — the data-adaptive quantile
+    * breakpoints variant (both engines' ntile distributes remainders
+    * to leading tiles identically, and the ORDER BY key is the
+    * UNROUNDED quotient of exact integers — identical IEEE doubles on
+    * both sides — with the segment index as tiebreak). SAX words are
+    * what motif/novelty indexes store instead of raw series.
+    *
+    * Scale: the series is pre-aggregated to O(hours) rows per type;
+    * segments are a fixed 8 per type, so the ntile window runs on a
+    * bounded frame. Nothing here grows with event count except the
+    * first hash agg.
+    */
+  val tsSax: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val seg = hourly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("seg", expr("((rn - 1) * 8) div nh"))
+    val segs = seg.groupBy("event_type", "seg")
+      .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"))
+      .withColumn("mean_key",
+        col("sx").cast("double") / col("n_hours").cast("double"))
+    val ws = Window.partitionBy("event_type")
+      .orderBy(col("mean_key"), col("seg"))
+    segs.withColumn("q", ntile(4).over(ws))
+      .select(col("event_type"), col("seg"), col("n_hours"),
+        Norm.r4tie(col("mean_key")).as("seg_mean"),
+        expr("char(96 + q)").as("sym"))
+      .orderBy("event_type", "seg")
+  }
+
+  /** Dynamic-time-warping distance between the per-type DAILY series —
+    * the alignment-tolerant series distance (a one-day phase shift
+    * costs ~nothing, unlike Euclidean). Full O(n·m) DP with L1 cost on
+    * integer daily counts, so every DP cell is an exact BIGINT.
+    *
+    * The recurrence D[i][j] = |aᵢ−bⱼ| + min(D[i−1][j], D[i][j−1],
+    * D[i−1][j−1]) is sequential in both indices, which no flat
+    * fold can express — but cells on one ANTI-DIAGONAL d = i+j depend
+    * only on diagonals d−1 and d−2, so the whole DP is a fold over
+    * d = 1..n+m carrying two diagonal arrays as state: `aggregate`
+    * over a `sequence`, each new diagonal a pure `transform` (no
+    * intra-step dependency). The DuckDB twin replays the identical
+    * wavefront as a recursive CTE carrying the two LIST columns.
+    * Out-of-range lookups are guarded to +INF (element_at is 1-based
+    * and ANSI-throws on 0, hence the explicit bounds CaseWhen; DuckDB
+    * list_extract returns NULL, coalesced to the same INF).
+    *
+    * Scale: series length is CALENDAR-bounded (days in the window), so
+    * the DP is O(days²) per pair and pairs are O(|types|²) — both
+    * independent of event count; the only data-sized work is the first
+    * daily hash-agg. For year-scale series, swap in the banded
+    * (Sakoe–Chiba) variant: clamp each diagonal's transform range to
+    * the band — same fold, shorter arrays.
+    */
+  val tsDtw: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val arrs = daily.groupBy("event_type")
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("x")))),
+          s => s.getField("x")).as("arr"),
+        count(lit(1)).cast("int").as("len"))
+    val a = arrs.select(col("event_type").as("type_a"),
+      col("arr").as("a"), col("len").as("n"))
+    val b = arrs.select(col("event_type").as("type_b"),
+      col("arr").as("b"), col("len").as("m"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+    val dtwCol =
+      graft.api.ops.dtwCost(col("a"), col("b"), col("n"), col("m"))
+    pairs.select(col("type_a"), col("type_b"),
+        col("n").cast("long").as("n"), col("m").cast("long").as("m"),
+        dtwCol.as("dtw"))
+      .withColumn("dtw_per_step",
+        Norm.r4tie(col("dtw").cast("double") /
+          (col("n") + col("m")).cast("double")))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_sax" -> tsSax,
+    "q_ts_dtw" -> tsDtw,
+    "q_ts_hurst" -> tsHurst,
     "q_ts_wow" -> tsWow,
     "q_ts_intervention" -> tsIntervention,
     "q_ts_rate_limit" -> tsRateLimit,
@@ -1674,6 +1844,129 @@ object TimeWindows extends QueryModule {
                  0.0)) * 10000 + 0.5) / 10000"""
 
   val oracle: Map[String, String] = Map(
+    "q_ts_hurst" -> s"""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY hr) - 1 AS BIGINT) AS t0
+        FROM hourly),
+      chunks AS (
+        SELECT s.event_type, s.x, w.wsz,
+               s.t0 // w.wsz AS chunk, s.t0 % w.wsz + 1 AS t
+        FROM seq s CROSS JOIN (VALUES (CAST(30 AS BIGINT)),
+          (CAST(60 AS BIGINT)), (CAST(120 AS BIGINT))) w(wsz)),
+      dev AS (
+        SELECT event_type, wsz, chunk, x, t,
+               CAST(sum(x) OVER (PARTITION BY event_type, wsz, chunk
+                     ORDER BY t) * wsz
+                 - t * sum(x) OVER (PARTITION BY event_type, wsz, chunk)
+                 AS BIGINT) AS d
+        FROM chunks),
+      rsr AS (
+        SELECT event_type, wsz, chunk, count(*) AS nc,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(max(d) AS BIGINT) AS mxd,
+               CAST(min(d) AS BIGINT) AS mnd
+        FROM dev GROUP BY 1, 2, 3),
+      rs2 AS (
+        SELECT event_type, wsz, chunk,
+               CAST(mxd - mnd AS DOUBLE)
+                 / sqrt(CAST(wsz * sxx - sx * sx AS DOUBLE)) AS rs
+        FROM rsr WHERE nc = wsz AND wsz * sxx > sx * sx),
+      folded AS (
+        SELECT event_type, wsz, CAST(count(*) AS INT) AS n_chunks,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(rs ORDER BY chunk)), (a, b) -> a + b)
+                 / CAST(count(*) AS DOUBLE) AS avg_rs
+        FROM rs2 GROUP BY 1, 2),
+      wide AS (
+        SELECT event_type,
+               max(CASE WHEN wsz = 30 THEN avg_rs END) AS a30,
+               max(CASE WHEN wsz = 60 THEN avg_rs END) AS a60,
+               max(CASE WHEN wsz = 120 THEN avg_rs END) AS a120,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+        FROM folded GROUP BY 1)
+      SELECT event_type, n_chunks,
+             floor(a30 * 10000 + 0.5) / 10000 AS avg_rs_30,
+             floor(a60 * 10000 + 0.5) / 10000 AS avg_rs_60,
+             floor(a120 * 10000 + 0.5) / 10000 AS avg_rs_120,
+             floor((ln(a120) - ln(a30)) / ${2.0 * math.log(2.0)}
+                   * 10000 + 0.5) / 10000 AS hurst
+      FROM wide ORDER BY event_type""",
+    "q_ts_sax" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nh
+        FROM hourly),
+      segs AS (
+        SELECT event_type, ((rn - 1) * 8) // nh AS seg,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM seq GROUP BY 1, 2),
+      keyed AS (
+        SELECT event_type, seg, n_hours,
+               CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_key
+        FROM segs)
+      SELECT event_type, seg, n_hours,
+             floor(mean_key * 10000 + 0.5) / 10000 AS seg_mean,
+             chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY mean_key, seg) AS INT)) AS sym
+      FROM keyed ORDER BY event_type, seg""",
+    "q_ts_dtw" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      arrs AS (
+        SELECT event_type, list(x ORDER BY day) AS arr,
+               CAST(count(*) AS BIGINT) AS len
+        FROM daily GROUP BY event_type),
+      pairs AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               x.arr AS a, y.arr AS b, x.len AS n, y.len AS m
+        FROM arrs x JOIN arrs y ON x.event_type < y.event_type),
+      dp AS (
+        SELECT type_a, type_b, a, b, n, m, CAST(0 AS BIGINT) AS d,
+               CAST([] AS BIGINT[]) AS p2,
+               [CAST(0 AS BIGINT)] AS p1
+        FROM pairs
+        UNION ALL
+        SELECT type_a, type_b, a, b, n, m, d + 1, p1,
+               list_transform(
+                 range(greatest(CAST(0 AS BIGINT), d + 1 - m),
+                       least(n, d + 1) + 1),
+                 i -> CASE
+                   WHEN i = 0 AND d + 1 - i = 0 THEN CAST(0 AS BIGINT)
+                   WHEN i = 0 OR d + 1 - i = 0
+                     THEN CAST(1000000000000 AS BIGINT)
+                   ELSE abs(a[CAST(i AS INT)] - b[CAST(d + 1 - i AS INT)])
+                     + least(
+                         coalesce(p1[CAST(i - greatest(CAST(0 AS BIGINT),
+                                     d - m) AS INT)],
+                                  CAST(1000000000000 AS BIGINT)),
+                         coalesce(p1[CAST(i - greatest(CAST(0 AS BIGINT),
+                                     d - m) + 1 AS INT)],
+                                  CAST(1000000000000 AS BIGINT)),
+                         coalesce(p2[CAST(i - greatest(CAST(0 AS BIGINT),
+                                     d - 1 - m) AS INT)],
+                                  CAST(1000000000000 AS BIGINT)))
+                 END)
+        FROM dp WHERE d < n + m)
+      SELECT type_a, type_b, n, m, p1[1] AS dtw,
+             floor(CAST(p1[1] AS DOUBLE) / CAST(n + m AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS dtw_per_step
+      FROM dp WHERE d = n + m ORDER BY type_a, type_b""",
     "q_ts_wow" -> """
       WITH weekly AS (
         SELECT event_type, CAST(isoyear(ts) AS INT) AS wyear,

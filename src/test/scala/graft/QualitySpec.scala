@@ -955,4 +955,213 @@ class QualitySpec extends SparkSpec {
       assert(x * 2 >= med * 3, s"$t peak below 1.5x baseline")
     }
   }
+
+  // ---- round-12 wave: DTW / SAX / Hurst / SPRT / kappa / t-closeness
+  //      / random walks / lake restore ----
+
+  /** Reference row-major DTW DP — the O(n·m) textbook recurrence the
+    * anti-diagonal fold in ops.dtwCost must equal cell-for-cell. */
+  private def refDtw(a: Array[Long], b: Array[Long]): Long = {
+    val n = a.length; val m = b.length
+    val big = Long.MaxValue / 4
+    val dp = Array.fill(n + 1, m + 1)(big)
+    dp(0)(0) = 0L
+    for (i <- 1 to n; j <- 1 to m)
+      dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+        math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+    dp(n)(m)
+  }
+
+  private def sparkDtw(a: Array[Long], b: Array[Long]): Long = {
+    import spark.implicits._
+    Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(graft.api.ops.dtwCost(col("a"), col("b"),
+        lit(a.length), lit(b.length)).as("d"))
+      .head.getLong(0)
+  }
+
+  test("dtwCost equals the reference DP on planted series") {
+    val cases = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),            // identical → 0
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L)),
+      (Array(0L, 0L, 10L, 0L), Array(0L, 10L, 0L)),       // phase shift
+      (Array(5L), Array(1L, 9L)),                         // min lengths
+      (Array(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L), Array(2L, 7L, 1L, 8L)),
+      (Array.tabulate(31)(i => (i * 7 % 13).toLong),      // calendar-sized
+        Array.tabulate(30)(i => (i * 5 % 11).toLong)))
+    cases.foreach { case (a, b) =>
+      assert(sparkDtw(a, b) === refDtw(a, b),
+        s"dtw mismatch on ${a.toSeq} vs ${b.toSeq}")
+      assert(sparkDtw(b, a) === refDtw(a, b), "dtw not symmetric")
+    }
+    assert(sparkDtw(Array(1L, 2L, 3L), Array(1L, 2L, 3L)) === 0L)
+  }
+
+  test("q_ts_dtw emits one row per unordered type pair, dtw >= 0") {
+    val rows = SparkEntry.queries("q_ts_dtw")(spark, sfDir).collect()
+    val types = Tables(spark, sfDir, "events")
+      .select("event_type").distinct().count()
+    assert(rows.length === (types * (types - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("dtw") >= 0L)
+      assert(r.getAs[Long]("dtw") < 1000000000000L, "INF leaked out")
+    }
+  }
+
+  test("q_ts_sax: 8 segments per type, each symbol exactly twice, " +
+      "symbol order follows mean order") {
+    val rows = SparkEntry.queries("q_ts_sax")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.length === 8, s"$t has ${rs.length} segments")
+      val syms = rs.map(_.getAs[String]("sym"))
+      assert(syms.forall(s => s >= "a" && s <= "d"))
+      assert(syms.groupBy(identity).values.forall(_.length == 2),
+        s"$t symbol histogram not 2/2/2/2")
+      // ranking property: sort by (mean, seg) must give the
+      // non-decreasing symbol sequence ntile assigned
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Double]("seg_mean"), r.getAs[Long]("seg")))
+      val seq = sorted.map(_.getAs[String]("sym"))
+      assert(seq.sameElements(seq.sorted), s"$t syms not mean-ordered")
+    }
+  }
+
+  test("q_ts_hurst: positive R/S means, hurst in a sane band") {
+    val rows = SparkEntry.queries("q_ts_hurst")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("avg_rs_30", "avg_rs_60", "avg_rs_120").foreach { c =>
+        assert(r.getAs[Double](c) > 0.0, s"$c not positive")
+      }
+      val h = r.getAs[Double]("hurst")
+      assert(h > -1.0 && h < 2.0, s"hurst $h outside sanity band")
+      assert(r.getAs[Long]("n_chunks") > 0)
+    }
+  }
+
+  test("q_stats_sprt decision matches a driver-side replay of the walk") {
+    val e = Tables(spark, sfDir, "events")
+      .select("event_type", "ts", "event_id", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = SparkEntry.queries("q_stats_sprt")(spark, sfDir).collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val walk = e(t).sortBy(x =>
+          (x.getAs[java.sql.Timestamp]("ts").getTime,
+            x.getAs[Long]("event_id")))
+        .map(x => if (x.getAs[Double]("value") >= 35) 1L else -1L)
+      val cums = walk.scanLeft(0L)(_ + _).drop(1)
+      val up = cums.indexWhere(_ >= 12L)
+      val dn = cums.indexWhere(_ <= -12L)
+      val expDecision =
+        if (up >= 0 && (dn < 0 || up < dn)) "h1"
+        else if (dn >= 0) "h0" else "continue"
+      assert(r.getAs[String]("decision") === expDecision, s"$t decision")
+      if (expDecision != "continue") {
+        val expT = (if (expDecision == "h1") up else dn) + 1L
+        assert(r.getAs[Long]("t_decide") === expT, s"$t t_decide")
+      }
+      assert(r.getAs[Long]("s_final") === cums.last, s"$t s_final")
+    }
+  }
+
+  test("q_stats_cohens_kappa matches an independent confusion-matrix " +
+      "recompute; bounds hold") {
+    val d = Tables(spark, sfDir, "documents")
+    val ra = (col("n_chars") >= 306).cast("long")
+    val rb = (length(col("text"))
+      - length(regexp_replace(col("text"), " ", "")) + 1 >= 46)
+      .cast("long")
+    val ref = d.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum(ra * rb).as("n11"),
+        sum((lit(1) - ra) * (lit(1) - rb)).as("n00"),
+        sum(ra).as("na"), sum(rb).as("nb"))
+      .collect().map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val po = (r.getAs[Long]("n11") + r.getAs[Long]("n00")) / n
+        val pa = r.getAs[Long]("na") / n; val pb = r.getAs[Long]("nb") / n
+        val pe = pa * pb + (1 - pa) * (1 - pb)
+        r.getAs[String]("lang") -> ((po - pe) / (1 - pe))
+      }.toMap
+    val got = SparkEntry.queries("q_stats_cohens_kappa")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = r.getAs[Double]("kappa")
+      assert(k <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("p_o") >= 0 && r.getAs[Double]("p_o") <= 1)
+      assert(r.getAs[Double]("p_e") > 0 && r.getAs[Double]("p_e") < 1)
+      assert(math.abs(k - ref(r.getAs[String]("lang"))) < 1e-4,
+        s"${r.getAs[String]("lang")} kappa vs recompute")
+    }
+  }
+
+  test("q_privacy_tclose matches a brute-force EMD for every group; " +
+      "t in [0,1]") {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("b")).collect()
+    val buckets = d.map(_.getAs[Long]("b")).distinct.sorted
+    val m = buckets.length
+    val total = d.length.toDouble
+    val globCum = buckets.map(bk =>
+      bk -> d.count(_.getAs[Long]("b") <= bk) / total).toMap
+    val ref = d.groupBy(r =>
+        (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .map { case (key, rows) =>
+        val ng = rows.length.toDouble
+        val t = buckets.map { bk =>
+          math.abs(rows.count(_.getAs[Long]("b") <= bk) / ng
+            - globCum(bk))
+        }.sum / (m - 1)
+        key -> t
+      }
+    val got = SparkEntry.queries("q_privacy_tclose")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[Double]("t")
+      assert(t >= 0.0 && t <= 1.0)
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      assert(math.abs(t - ref(key)) < 1e-4, s"$key EMD vs brute force")
+    }
+  }
+
+  test("q_graph_random_walks: walks start at their seed and every " +
+      "step follows a real edge") {
+    val rows = SparkEntry.queries("q_graph_random_walks")(spark, sfDir)
+      .collect()
+    val bySeed = rows.groupBy(_.getAs[Long]("seed"))
+    assert(bySeed.size === 10)
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("cu"), (-col("l_suppkey")).as("su"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("cu"), r.getAs[Long]("su"))).toSet
+    def isEdge(a: Long, b: Long) =
+      edges.contains((a, b)) || edges.contains((b, a))
+    bySeed.foreach { case (seed, ws) =>
+      assert(ws.length === 5, s"seed $seed walk length")
+      val path = ws.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("node"))
+      assert(path.head === seed)
+      path.sliding(2).foreach { case Array(u, v) =>
+        assert(isEdge(u, v), s"walk step $u→$v is not an edge")
+      }
+    }
+  }
+
+  test("q_lake_restore: the restored head (v3) equals the v0 snapshot " +
+      "and v2 stays readable") {
+    val rows = SparkEntry.queries("q_lake_restore")(spark, sfDir)
+      .collect()
+    def snap(v: Int) = rows.filter(_.getAs[Int]("version") == v)
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_price"))).toSet
+    assert(snap(0).nonEmpty)
+    assert(snap(0) === snap(3), "restore head != v0 snapshot")
+    assert(snap(2).nonEmpty, "v2 unreadable after restore")
+    assert(snap(2) !== snap(0), "fixture degenerate: v2 == v0")
+  }
 }
