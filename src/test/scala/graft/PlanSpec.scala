@@ -1347,4 +1347,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("q_graph_random_walks: per-step argmin is an aggregate, " +
+      "not a window; no cartesian") {
+    val p = plan("q_graph_random_walks")
+    // the per-seed neighbor pick must be min(struct(h,dst)) — a
+    // partial-agg'd aggregate with map-side combine — never a
+    // sort-the-candidates window
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Aggregate"), p)
+  }
+
+  test("q_ts_dtw: broadcast pair join over calendar-bounded arrays") {
+    val p = plan("q_ts_dtw")
+    // |types|²-row pair frame: the B side must broadcast; the DP fold
+    // itself is a projection, so no shuffle beyond the daily agg
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_privacy_tclose never reads document text") {
+    val p = plan("q_privacy_tclose")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(reads.nonEmpty, p)
+    assert(!reads.contains("text"), reads)
+  }
+
+  test("q_stats_sprt: one events scan feeds walk, crossings and total") {
+    val p = plan("q_stats_sprt")
+    assert(countOcc(p, "Scan parquet") === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ts_hurst and q_ts_sax: events reduce to hourly before any " +
+      "window or explode") {
+    Seq("q_ts_hurst", "q_ts_sax").foreach { q =>
+      val p = plan(q)
+      // the 3x size-explode (hurst) / segment windows (sax) must sit
+      // ABOVE the hourly aggregate: exactly one events scan, and the
+      // scan's ReadSchema carries only ts/event_type
+      assert(countOcc(p, "Scan parquet") === 1, s"$q\n$p")
+      val rs = p.linesIterator.find(_.contains("ReadSchema"))
+        .getOrElse("")
+      assert(!rs.contains("props") && !rs.contains("value"), s"$q $rs")
+    }
+  }
 }
