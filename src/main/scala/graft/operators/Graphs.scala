@@ -367,7 +367,11 @@ object Graphs extends QueryModule {
     val adj = e.select(col("cu").as("src"), col("su").as("dst"))
       .unionByName(e.select(col("su").as("src"), col("cu").as("dst")))
       .localCheckpoint(eager = false)
-    val seeds = e.select(col("cu")).distinct()
+    // seeds derive from the checkpointed adjacency (src > 0 ⇔
+    // customer side), not from `e` — deriving from `e` would rebuild
+    // the fact join a second time
+    val seeds = adj.filter(col("src") > 0).select(col("src").as("cu"))
+      .distinct()
       .orderBy(md5(col("cu").cast("string")), col("cu"))
       .limit(10)
       .select(col("cu").as("seed"), col("cu").as("node"))
