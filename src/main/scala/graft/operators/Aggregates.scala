@@ -2075,6 +2075,61 @@ object Aggregates extends QueryModule {
         Norm.r4tie(cov * cov / (vx * vy) * 100).as("var_reduction_pct"))
   }
 
+  /** TOST equivalence test (two one-sided tests) — the inference
+    * q_abtest/q_stats_ttest cannot give: "are these two groups the
+    * SAME to within ±δ?" (failing to reject difference ≠ proving
+    * equivalence). Groups are the md5-half user split (the
+    * embed_drift discipline — content-derived, engine-portable);
+    * metric is per-user purchase spend in exact integer cents; the
+    * two one-sided z statistics z_lo = (Δ+δ)/se and z_hi = (δ−Δ)/se
+    * (Welch se) must BOTH clear the one-sided 5% critical value
+    * 1.645 (a plan literal). The verdict compares the ROUNDED
+    * min(z_lo, z_hi), the PSI alert discipline.
+    *
+    * Scale: one user rollup + one 2-row moment aggregate — the same
+    * sufficient-statistics shape as q_abtest; nothing beyond the
+    * first shuffle grows with data.
+    */
+  val statsTost: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+    val u = e.groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .withColumn("grp",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "a")
+          .otherwise("b"))
+    val m = u.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(col("cents") * col("cents")).as("ss"))
+    val w = m.groupBy().agg(
+      max(when(col("grp") === "a", col("n"))).as("na"),
+      max(when(col("grp") === "a", col("s"))).as("sa"),
+      max(when(col("grp") === "a", col("ss"))).as("ssa"),
+      max(when(col("grp") === "b", col("n"))).as("nb"),
+      max(when(col("grp") === "b", col("s"))).as("sb"),
+      max(when(col("grp") === "b", col("ss"))).as("ssb"))
+    def d(c: String) = col(c).cast("double")
+    val ma = d("sa") / d("na") / 100.0
+    val mb = d("sb") / d("nb") / 100.0
+    // Welch se in dollars: per-group sample variance of cent totals
+    val va = (d("ssa") - d("sa") * d("sa") / d("na")) /
+      (d("na") - 1) / 10000.0
+    val vb = (d("ssb") - d("sb") * d("sb") / d("nb")) /
+      (d("nb") - 1) / 10000.0
+    val se = sqrt(va / d("na") + vb / d("nb"))
+    val delta = lit(2.0) // equivalence margin: ±$2 mean spend
+    val zLo = ((ma - mb) + delta) / se
+    val zHi = (delta - (ma - mb)) / se
+    w.select(col("na"), col("nb"),
+        Norm.r4tie(ma).as("mean_a"), Norm.r4tie(mb).as("mean_b"),
+        Norm.r4s(ma - mb).as("diff"),
+        Norm.r4tie(se).as("se"),
+        Norm.r4s(zLo).as("z_lower"), Norm.r4s(zHi).as("z_upper"))
+      .withColumn("equivalent",
+        least(col("z_lower"), col("z_upper")) >= 1.645)
+  }
+
   /** Cohen's kappa between two deterministic document "raters" — the
     * inter-annotator-agreement number every labeling pipeline reports
     * before trusting auto-labels. Rater A flags long docs
@@ -2156,6 +2211,7 @@ object Aggregates extends QueryModule {
   val queries: Map[String, Q] = Map(
     "q_stats_cohens_kappa" -> statsCohensKappa,
     "q_stats_sprt" -> statsSprt,
+    "q_stats_tost" -> statsTost,
     "q_stats_cuped" -> statsCuped,
     "q_stats_bowley" -> statsBowley,
     "q_sql_analytics" -> sqlAnalytics,
@@ -2220,6 +2276,56 @@ object Aggregates extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stats_tost" -> """
+      WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+                    THEN 'a' ELSE 'b' END AS grp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      m AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM u GROUP BY grp),
+      w AS (
+        SELECT max(CASE WHEN grp = 'a' THEN n END) AS na,
+               max(CASE WHEN grp = 'a' THEN s END) AS sa,
+               max(CASE WHEN grp = 'a' THEN ss END) AS ssa,
+               max(CASE WHEN grp = 'b' THEN n END) AS nb,
+               max(CASE WHEN grp = 'b' THEN s END) AS sb,
+               max(CASE WHEN grp = 'b' THEN ss END) AS ssb
+        FROM m),
+      c AS (
+        SELECT na, nb,
+               CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS ma,
+               CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mb,
+               sqrt(((CAST(ssa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                        / CAST(na AS DOUBLE))
+                     / (CAST(na AS DOUBLE) - 1) / 10000.0)
+                    / CAST(na AS DOUBLE)
+                  + ((CAST(ssb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                        / CAST(nb AS DOUBLE))
+                     / (CAST(nb AS DOUBLE) - 1) / 10000.0)
+                    / CAST(nb AS DOUBLE)) AS se
+        FROM w)
+      SELECT na, nb,
+             floor(ma * 10000 + 0.5) / 10000 AS mean_a,
+             floor(mb * 10000 + 0.5) / 10000 AS mean_b,
+             floor((ma - mb) * 10000 + 0.5) / 10000 AS diff,
+             floor(se * 10000 + 0.5) / 10000 AS se,
+             floor(((ma - mb) + 2.0) / se * 10000 + 0.5) / 10000
+               AS z_lower,
+             floor((2.0 - (ma - mb)) / se * 10000 + 0.5) / 10000
+               AS z_upper,
+             least(floor(((ma - mb) + 2.0) / se * 10000 + 0.5) / 10000,
+                   floor((2.0 - (ma - mb)) / se * 10000 + 0.5) / 10000)
+               >= 1.645 AS equivalent
+      FROM c""",
     "q_stats_cohens_kappa" -> """
       WITH r AS (
         SELECT lang,

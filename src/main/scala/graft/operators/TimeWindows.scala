@@ -1585,6 +1585,50 @@ object TimeWindows extends QueryModule {
       .orderBy("event_type", "wyear", "week")
   }
 
+  /** VaR/CVaR of day-over-day revenue drops per type — the tail-risk
+    * pair every ops dashboard wants next to the mean: loss_t =
+    * cents_{t−1} − cents_t (positive = revenue fell), VaR95 is the
+    * positional 95th-percentile loss (exact integer ranks, the IQR
+    * op's index arithmetic — no interpolation) and CVaR95 the exact
+    * integer mean of losses ≥ VaR (Expected Shortfall, the coherent
+    * one of the two). All losses are exact BIGINT cents; the only
+    * doubles are the two final /100 rescales and the CVaR division.
+    *
+    * Scale: events pre-aggregate to (type, day) — the lag/rank
+    * windows run on calendar-sized frames; the rank pass is per-type
+    * (bounded partitions), never a global sort.
+    */
+  val tsVarCvar: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    val losses = daily
+      .withColumn("loss", lag(col("cents"), 1).over(wl) - col("cents"))
+      .filter(col("loss").isNotNull)
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("loss"), col("day"))
+    val ranked = losses
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("k",
+        least(greatest(expr("(19 * (n + 1)) div 20"), lit(1)), col("n")))
+    val varPer = ranked.filter(col("rn") === col("k"))
+      .select(col("event_type"), col("loss").as("var_cents"), col("n"))
+    ranked.join(varPer.select(col("event_type"),
+        col("var_cents")), Seq("event_type"))
+      .filter(col("loss") >= col("var_cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_tail"), sum("loss").as("tail_cents"))
+      .join(varPer, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        (col("var_cents").cast("double") / 100.0).as("var95_usd"),
+        Norm.r4s(col("tail_cents").cast("double")
+          / col("n_tail").cast("double") / 100.0).as("cvar95_usd"),
+        col("n_tail"))
+      .orderBy("event_type")
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis of the hourly
     * series per type — the long-memory diagnostic (H ≈ 0.5 random
     * walk, H > 0.5 trending/persistent, H < 0.5 mean-reverting) that
@@ -1756,6 +1800,7 @@ object TimeWindows extends QueryModule {
     "q_ts_sax" -> tsSax,
     "q_ts_dtw" -> tsDtw,
     "q_ts_hurst" -> tsHurst,
+    "q_ts_var_cvar" -> tsVarCvar,
     "q_ts_wow" -> tsWow,
     "q_ts_intervention" -> tsIntervention,
     "q_ts_rate_limit" -> tsRateLimit,
@@ -1844,6 +1889,45 @@ object TimeWindows extends QueryModule {
                  0.0)) * 10000 + 0.5) / 10000"""
 
   val oracle: Map[String, String] = Map(
+    "q_ts_var_cvar" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      losses AS (
+        SELECT event_type, day,
+               lag(cents, 1) OVER (PARTITION BY event_type
+                 ORDER BY day) - cents AS loss
+        FROM daily),
+      l2 AS (SELECT event_type, day, CAST(loss AS BIGINT) AS loss
+             FROM losses WHERE loss IS NOT NULL),
+      ranked AS (
+        SELECT event_type, loss,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY loss, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM l2),
+      k AS (
+        SELECT event_type, loss, rn, n,
+               least(greatest((19 * (n + 1)) // 20, 1), n) AS kk
+        FROM ranked),
+      vp AS (
+        SELECT event_type, loss AS var_cents, n FROM k WHERE rn = kk),
+      tail AS (
+        SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_tail,
+               CAST(sum(r.loss) AS BIGINT) AS tail_cents
+        FROM ranked r JOIN vp ON r.event_type = vp.event_type
+        WHERE r.loss >= vp.var_cents
+        GROUP BY r.event_type)
+      SELECT t.event_type, vp.n AS n_days,
+             CAST(vp.var_cents AS DOUBLE) / 100.0 AS var95_usd,
+             floor(CAST(t.tail_cents AS DOUBLE)
+                   / CAST(t.n_tail AS DOUBLE) / 100.0
+                   * 10000 + 0.5) / 10000 AS cvar95_usd,
+             t.n_tail
+      FROM tail t JOIN vp ON t.event_type = vp.event_type
+      ORDER BY t.event_type""",
     "q_ts_hurst" -> s"""
       WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -1152,6 +1152,60 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_stats_tost: z bounds replay from an independent rollup; " +
+      "verdict consistent") {
+    val r = SparkEntry.queries("q_stats_tost")(spark, sfDir).head()
+    val zl = r.getAs[Double]("z_lower"); val zh = r.getAs[Double]("z_upper")
+    assert(r.getAs[Boolean]("equivalent") === (math.min(zl, zh) >= 1.645))
+    // independent replay of means and Welch se from raw rows
+    val rows = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("c")))
+    def grp(u: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ((("%02x".format(h(0) & 0xff)).charAt(0)) <= '7') "a" else "b"
+    }
+    val a = rows.filter(x => grp(x._1) == "a").map(_._2.toDouble / 100)
+    val b = rows.filter(x => grp(x._1) == "b").map(_._2.toDouble / 100)
+    val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+    def svar(xs: Array[Double], m: Double) =
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    val se = math.sqrt(svar(a, ma) / a.length + svar(b, mb) / b.length)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mean_b") - mb) < 1e-3)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-3)
+    assert(math.abs(zl - ((ma - mb) + 2.0) / se) < 1e-2)
+  }
+
+  test("q_ts_var_cvar: VaR/CVaR replay from the collected daily series") {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = SparkEntry.queries("q_ts_var_cvar")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(_.getAs[Long]("c"))
+      val losses = series.sliding(2).map(p => p(0) - p(1)).toArray.sorted
+      val n = losses.length
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      val k = math.min(math.max(19 * (n + 1) / 20, 1), n)
+      val v = losses(k - 1)
+      assert(r.getAs[Double]("var95_usd") === v.toDouble / 100.0, t)
+      val tail = losses.filter(_ >= v)
+      val cvar = tail.sum.toDouble / tail.length / 100.0
+      assert(math.abs(r.getAs[Double]("cvar95_usd") - cvar) < 1e-4, t)
+      assert(r.getAs[Long]("n_tail") === tail.length.toLong)
+    }
+  }
+
   test("q_lake_restore: the restored head (v3) equals the v0 snapshot " +
       "and v2 stays readable") {
     val rows = SparkEntry.queries("q_lake_restore")(spark, sfDir)
