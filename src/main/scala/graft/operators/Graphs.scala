@@ -391,7 +391,24 @@ object Graphs extends QueryModule {
       .orderBy("seed", "step")
   }
 
+  /** Bipartite butterfly census over customer↔supplier — the 2×2
+    * biclique count that measures co-purchase cohesion WITHOUT the
+    * densifying co-supply projection (the q_graph_triangles lesson:
+    * the projection is ~91% dense, the bipartite original is not).
+    * Wedge apex = supplier; cap maxDeg = 1000 (non-binding at these
+    * SFs — `n_capped_hubs` = 0 proves the count exact in-result).
+    * See [[graft.api.ops.GraftDataFrameOps.butterflyCount]].
+    */
+  val graphButterflies: Q = (spark, dir) => {
+    import graft.api.ops._
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .butterflyCount(col("l_suppkey"), col("o_custkey"), maxDeg = 1000)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_butterflies" -> graphButterflies,
     "q_graph_random_walks" -> graphRandomWalks,
     "q_graph_jaccard" -> graphJaccard,
     "q_graph_profile" -> graphProfile,
@@ -406,6 +423,25 @@ object Graphs extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_butterflies" -> """
+      WITH edges AS (
+        SELECT DISTINCT l_suppkey AS a, o_custkey AS l
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+      capped AS (
+        SELECT CAST(sum(CASE WHEN d > 1000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_capped_hubs FROM deg),
+      ok AS (SELECT a FROM deg WHERE d BETWEEN 2 AND 1000),
+      pairs AS (
+        SELECT e1.l AS l1, e2.l AS l2, CAST(count(*) AS BIGINT) AS k
+        FROM edges e1 JOIN ok USING (a)
+        JOIN edges e2 ON e1.a = e2.a AND e1.l < e2.l
+        GROUP BY e1.l, e2.l)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS n_butterflies,
+             CAST(max(k) AS BIGINT) AS max_shared,
+             (SELECT n_capped_hubs FROM capped) AS n_capped_hubs
+      FROM pairs""",
     "q_graph_random_walks" -> """
       WITH e AS (
         SELECT DISTINCT o_custkey AS cu, -l_suppkey AS su

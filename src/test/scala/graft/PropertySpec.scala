@@ -666,6 +666,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("butterflyCount maxDeg cuts a planted mega-hub and reports it") {
+    import spark.implicits._
+    import graft.api.ops._
+    val rnd = new scala.util.Random(11)
+    val honest = for (a <- 1 to 25; l <- rnd.shuffle((1 to 20).toList)
+      .take(2 + rnd.nextInt(5))) yield (s"a$a", s"l$l")
+    // mega-hub apex touching every leaf: C(20,2) = 190 poisoned wedges
+    val hub = for (l <- 1 to 20) yield ("a_hub", s"l$l")
+    val base = honest.toDF("apex", "leaf")
+    val withHub = (honest ++ hub).toDF("apex", "leaf")
+    val clean = base.butterflyCount(col("apex"), col("leaf")).head()
+    val capped = withHub
+      .butterflyCount(col("apex"), col("leaf"), maxDeg = 10).head()
+    // cap below the hub's degree (20), above every honest apex's (≤7):
+    // the capped census over poisoned data equals the clean census,
+    // and the exclusion is REPORTED, never silent
+    assert(clean.getAs[Long]("n_capped_hubs") === 0L)
+    assert(capped.getAs[Long]("n_capped_hubs") === 1L)
+    assert(capped.getAs[Long]("n_butterflies") ===
+      clean.getAs[Long]("n_butterflies"))
+    assert(capped.getAs[Long]("n_pairs") === clean.getAs[Long]("n_pairs"))
+    intercept[IllegalArgumentException] {
+      base.butterflyCount(col("apex"), col("leaf"), maxDeg = 1)
+    }
+  }
+
   test("minhash flags and kmeans rollups are invariant under repartitioning") {
     // The exact-arithmetic claims (md5+affine signatures, BIGINT
     // centroid sums) imply results cannot depend on how the input is

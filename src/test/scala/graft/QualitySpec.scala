@@ -1206,6 +1206,31 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_graph_butterflies matches a driver-side biclique census; " +
+      "cap not binding") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_suppkey").as("a"), col("o_custkey").as("l"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("l")))
+    val byApex = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairCounts = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    byApex.values.filter(_.length >= 2).foreach { ls =>
+      for (i <- ls.indices; j <- (i + 1) until ls.length) {
+        val (x, y) = (math.min(ls(i), ls(j)), math.max(ls(i), ls(j)))
+        pairCounts((x, y)) += 1L
+      }
+    }
+    val expButterflies = pairCounts.values.map(k => k * (k - 1) / 2).sum
+    val r = SparkEntry.queries("q_graph_butterflies")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_capped_hubs") === 0L, "cap binds at sf0.001")
+    assert(r.getAs[Long]("n_pairs") === pairCounts.size.toLong)
+    assert(r.getAs[Long]("n_butterflies") === expButterflies)
+    assert(r.getAs[Long]("max_shared") === pairCounts.values.max)
+  }
+
   test("q_lake_restore: the restored head (v3) equals the v0 snapshot " +
       "and v2 stays readable") {
     val rows = SparkEntry.queries("q_lake_restore")(spark, sfDir)
