@@ -320,6 +320,52 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** KMV sketch MERGE — the scored proof of the property that makes
+    * sketches work at 100 TB: bottom-k sketches are a COMMUTATIVE
+    * MONOID (bottom-k of a union = bottom-k of the concatenated
+    * per-partition bottom-ks), so a 1000-executor job ships k hashes
+    * per partition, never rows. The query builds one KMV per event
+    * type, merges the five sketches, and emits the merged estimate
+    * NEXT TO the direct whole-corpus sketch plus the
+    * `merged_equals_direct` flag — the monoid law itself is a
+    * hash-checked output, not a code comment. Estimates use the
+    * [[aggDistinctKmv]] form ((K−1)/normalized-kth-hash).
+    *
+    * Scale: per-type sketches partial-agg (≤ k hashes cross the
+    * shuffle per group); the merge input is ≤ |types|·k ids — bytes.
+    * The direct control is one more bounded bottom-k pass.
+    */
+  val aggKmvMerge: Q = (spark, dir) => {
+    import graft.functions.BottomKAgg
+    val K = 64
+    val du = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val perType = du.groupBy("event_type")
+      .agg(BottomKAgg.bottomK(K)(
+        md5(col("user_id").cast("string")), col("user_id")).as("ids"))
+    val merged = perType
+      .select(explode(col("ids")).as("user_id")).distinct()
+      .agg(BottomKAgg.bottomK(K)(
+        md5(col("user_id").cast("string")), col("user_id")).as("m_ids"))
+    val direct = du.select("user_id").distinct()
+      .agg(BottomKAgg.bottomK(K)(
+          md5(col("user_id").cast("string")), col("user_id")).as("d_ids"),
+        count(lit(1)).as("n_exact"))
+    def est(ids: Column, nExact: Column): Column = {
+      val kth = conv(substring(
+        md5(element_at(ids, K).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      when(size(ids) < K, nExact.cast("double"))
+        .otherwise(Norm.r4tie(lit(63.0) /
+          (kth.cast("double") / lit(1.152921504606846976e18))))
+    }
+    merged.crossJoin(broadcast(direct))
+      .select(col("n_exact"),
+        est(col("d_ids"), col("n_exact")).as("est_direct"),
+        est(col("m_ids"), col("n_exact")).as("est_merged"),
+        (col("m_ids") === col("d_ids")).as("merged_equals_direct"))
+  }
+
   /** Count-Min frequency sketch — the DETERMINISTIC md5-bucketed twin
     * of `q_agg_count_min`: a d = 4 × w = 64 grid where row j buckets
     * item x by 16 md5 bits of "j:x", each event increments its 4
@@ -2258,6 +2304,7 @@ object Aggregates extends QueryModule {
     "q_agg_hll_sketch" -> aggHllSketch,
     "q_agg_kmv_intersect" -> aggKmvIntersect,
     "q_agg_distinct_kmv" -> aggDistinctKmv,
+    "q_agg_kmv_merge" -> aggKmvMerge,
     "q_agg_count_min_twin" -> aggCountMinTwin,
     "q_agg_quantile_twin" -> aggQuantileTwin,
     "q_subquery_correlated" -> subqueryCorrelated,
@@ -3507,6 +3554,42 @@ object Aggregates extends QueryModule {
              END AS kmv_est
       FROM n LEFT JOIN kth ON n.event_type = kth.event_type
       ORDER BY n.event_type""",
+    "q_agg_kmv_merge" -> """
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      pt AS (SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+             FROM du),
+      un AS (SELECT DISTINCT user_id FROM pt WHERE rn <= 64),
+      mr AS (SELECT user_id, row_number() OVER (
+               ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+             FROM un),
+      mi AS (SELECT list(user_id ORDER BY md5(CAST(user_id AS VARCHAR)),
+               user_id) AS ids FROM mr WHERE rn <= 64),
+      gd AS (SELECT DISTINCT user_id FROM du),
+      dr AS (SELECT user_id, row_number() OVER (
+               ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+             FROM gd),
+      di AS (SELECT list(user_id ORDER BY md5(CAST(user_id AS VARCHAR)),
+               user_id) AS ids FROM dr WHERE rn <= 64),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM gd),
+      c AS (SELECT n.n_exact, di.ids AS d_ids, mi.ids AS m_ids,
+              CAST(('0x' || substring(md5(CAST(di.ids[64] AS VARCHAR)),
+                1, 15)) AS BIGINT) AS dh,
+              CAST(('0x' || substring(md5(CAST(mi.ids[64] AS VARCHAR)),
+                1, 15)) AS BIGINT) AS mh
+            FROM n, di, mi)
+      SELECT n_exact,
+             CASE WHEN len(d_ids) < 64 THEN CAST(n_exact AS DOUBLE)
+                  ELSE floor(63.0 / (CAST(dh AS DOUBLE)
+                    / 1152921504606846976.0) * 10000 + 0.5) / 10000
+             END AS est_direct,
+             CASE WHEN len(m_ids) < 64 THEN CAST(n_exact AS DOUBLE)
+                  ELSE floor(63.0 / (CAST(mh AS DOUBLE)
+                    / 1152921504606846976.0) * 10000 + 0.5) / 10000
+             END AS est_merged,
+             m_ids = d_ids AS merged_equals_direct
+      FROM c""",
     "q_agg_count_min_twin" -> """
       WITH u AS (SELECT user_id FROM events),
       js AS (SELECT unnest([0, 1, 2, 3]) AS j),

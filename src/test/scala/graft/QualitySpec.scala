@@ -1206,6 +1206,17 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("q_agg_kmv_merge: the monoid law holds — merged sketch equals " +
+      "the direct one") {
+    val r = SparkEntry.queries("q_agg_kmv_merge")(spark, sfDir).head()
+    assert(r.getAs[Boolean]("merged_equals_direct"),
+      "bottom-k merge != direct bottom-k")
+    assert(r.getAs[Double]("est_merged") === r.getAs[Double]("est_direct"))
+    val n = r.getAs[Long]("n_exact").toDouble
+    val est = r.getAs[Double]("est_merged")
+    assert(math.abs(est - n) / n < 0.5, s"KMV est $est vs exact $n")
+  }
+
   test("q_graph_butterflies matches a driver-side biclique census; " +
       "cap not binding") {
     val li = Tables(spark, sfDir, "lineitem")
