@@ -877,25 +877,61 @@ object Similarity extends QueryModule {
       d.withSignLshBucket(col("emb"),
         planes.slice(t * bits, (t + 1) * bits), s"b$t")
     }
-    val cells = withBuckets.select(col("vec_id"), col("cluster"),
+    val cells0 = withBuckets.select(col("vec_id"), col("cluster"),
       col("emb"),
       posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
         .as(Seq("tbl", "bkt")))
+    // Occupancy-bounded sub-bucketing — the third-decade guard the
+    // sf10 rehearsal demanded: fixed plane counts mean bucket
+    // occupancy grows ∝ n, so in-bucket all-pairs is n² again past
+    // the band fix's design scale (measured: 4.35 s at sf3 →
+    // 258.8 s at sf10). Each (cluster, table, bucket) cell with cnt
+    // members splits into nsub = ⌈cnt/128⌉ deterministic md5
+    // sub-cells — pair work per cell becomes O(cnt·128), linear in n
+    // at every scale. nsub = 1 (a no-op, bit-identical results)
+    // whenever occupancy ≤ 128, which holds through sf3; past that,
+    // a true near-dup pair collides in a sub-cell with prob 1/nsub
+    // per table, so T tables keep recall ≈ 1−(1−1/nsub)^T (~94% at
+    // nsub = 2, T = 4). The production knob remains growing
+    // bits/tables with the corpus; this cap is the engine default
+    // that refuses to go quadratic when nobody turns the knob. The
+    // oracle replays cnt, nsub and the md5 sub-cell exactly.
+    val occ = Window.partitionBy("cluster", "tbl", "bkt")
+    val cells = cells0
+      .withColumn("cnt", count(lit(1)).over(occ))
+      .withColumn("sub",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % expr("(cnt + 127) div 128"))
     val ca = cells.select(col("cluster"), col("tbl"), col("bkt"),
-      col("vec_id").as("v1"), col("emb").as("e1"))
+      col("sub"), col("vec_id").as("v1"), col("emb").as("e1"))
     val cb = cells.select(col("cluster").as("cluster_b"),
       col("tbl").as("tbl_b"), col("bkt").as("bkt_b"),
-      col("vec_id").as("v2"), col("emb").as("e2"))
+      col("sub").as("sub_b"), col("vec_id").as("v2"), col("emb").as("e2"))
     val cand = ca.join(cb, ca("cluster") === cb("cluster_b") &&
         ca("tbl") === cb("tbl_b") && ca("bkt") === cb("bkt_b") &&
+        ca("sub") === cb("sub_b") &&
         ca("v1") < cb("v2"))
-      .select(col("cluster"), col("v1"), col("v2"), col("e1"), col("e2"))
+      .select(col("cluster"), col("tbl"), col("bkt"), col("sub"),
+        col("v1"), col("v2"),
+        Norm.r4(cosine(col("e1"), col("e2"))).as("cos_sim"))
+    // Distributive pre-reduction: the cluster's top-2 pairs are top-2
+    // within SOME cell that contains them (if two better pairs shared
+    // every cell, those two would be the cluster top-2), so ranking
+    // ≤ 2 per (cluster, table, bucket, sub) FIRST — with the identical
+    // (cos desc, v1, v2) total order — is exact, and shrinks the
+    // cluster-level window input from O(candidate pairs) to
+    // O(cells·2). Without it the final per-cluster sort ate ~100M
+    // rows in |clusters| partitions at sf10.
+    val wCell = Window.partitionBy("cluster", "tbl", "bkt", "sub")
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+    val reduced = cand
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= 2)
       .dropDuplicates("cluster", "v1", "v2")
     val wPair = Window.partitionBy("cluster")
       .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
-    cand
-      .select(col("cluster"), col("v1"), col("v2"),
-        Norm.r4(cosine(col("e1"), col("e2"))).as("cos_sim"))
+    reduced
+      .select(col("cluster"), col("v1"), col("v2"), col("cos_sim"))
       .withColumn("rank", row_number().over(wPair))
       .filter(col("rank") <= 2)
       .withColumn("would_drop", col("cos_sim") >= 0.9)
@@ -2294,14 +2330,22 @@ object Similarity extends QueryModule {
                sum(CASE WHEN d > 0
                         THEN 1 << (7 - ((k - 1) % 8)) ELSE 0 END) AS bkt
         FROM dots GROUP BY vec_id, (k - 1) // 8),
-      cells AS (
+      cells0 AS (
         SELECT b.cluster, b.vec_id, k.tbl, k.bkt
         FROM best b JOIN buck k USING (vec_id)),
+      cells AS (
+        SELECT cluster, vec_id, tbl, bkt,
+               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                 1, 8)) AS BIGINT)
+                 % ((count(*) OVER (PARTITION BY cluster, tbl, bkt)
+                     + 127) // 128) AS sub
+        FROM cells0),
       cand AS (
         SELECT DISTINCT a.cluster, a.vec_id AS v1, b.vec_id AS v2
         FROM cells a JOIN cells b
           ON a.cluster = b.cluster AND a.tbl = b.tbl
-             AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+             AND a.bkt = b.bkt AND a.sub = b.sub
+             AND a.vec_id < b.vec_id),
       pairs AS (
         SELECT c.cluster, c.v1, c.v2,
                round(
