@@ -49,13 +49,20 @@ object ops {
     * O(n·m) per row with O(min(n,m)) state. `n`/`m` must be the exact
     * lengths of `a`/`b`. Out-of-range lookups resolve to +INF via an
     * explicit bounds guard (ANSI element_at throws on index 0).
+    *
+    * Empty-vs-empty (n+m = 0) short-circuits to 0 BEFORE the fold:
+    * `sequence(1, 0)` infers step −1 and yields [1, 0] rather than an
+    * empty array, so the unguarded fold would run two bogus diagonals
+    * and return +INF for the one input whose DTW distance is exactly
+    * 0. (Empty-vs-NONempty still resolves to +INF through the fold —
+    * no alignment exists — which is the intended semantics.)
     */
   def dtwCost(a: Column, b: Column, n: Column, m: Column): Column = {
     val inf = lit(1000000000000L)
     def at(arr: Column, idx: Column): Column =
       when(idx >= 1 && idx <= size(arr),
         element_at(arr, idx.cast("int"))).otherwise(inf)
-    aggregate(
+    when((n + m) < 1, lit(0L)).otherwise(aggregate(
       sequence(lit(1L), (n + m).cast("long")),
       struct(array().cast("array<bigint>").as("p2"),
         array(lit(0L)).as("p1")),
@@ -78,7 +85,7 @@ object ops {
         })
         struct(st.getField("p1").as("p2"), nd.as("p1"))
       },
-      st => element_at(st.getField("p1"), 1))
+      st => element_at(st.getField("p1"), 1)))
   }
 
   /** Deterministic hyperplane matrix for sign-LSH: `numPlanes` rows of

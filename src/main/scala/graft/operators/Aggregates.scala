@@ -929,13 +929,18 @@ object Aggregates extends QueryModule {
     val users = e.groupBy("t", "user_id")
       .agg(sum(col("c")).as("x"), count(lit(1)).as("y"))
     // Cross moments in decimal(38,0), not LongType: the DuckDB twin
-    // sums in HUGEINT and its BIGINT cast ERRORS on overflow, while a
-    // LongType sum here would silently wrap — the worst cross-engine
-    // divergence (plausible wrong number vs loud failure). Every input
-    // to these sums is non-null by construction and each group has
-    // >= 1 row, so a NULL out of the sum can ONLY mean decimal
-    // overflow — convert it into a loud task failure (the
-    // embedPcaPower discipline).
+    // sums in HUGEINT, so the 38-digit budget keeps the two engines
+    // agreeing exactly across ~19 more digits than a BIGINT sum
+    // would. Failure is loud under EITHER ANSI setting: with ANSI on
+    // (the Spark 4 default this build runs) a decimal-sum overflow
+    // throws inside the aggregate itself and the raise_error below is
+    // never reached; with ANSI off the overflowed sum comes out NULL
+    // — and since every input is non-null by construction and each
+    // group has >= 1 row, a NULL can ONLY mean overflow, which the
+    // guard converts into the same loud task failure (the
+    // embedPcaPower discipline). Belt and suspenders, not dead code:
+    // the guard is what keeps the query loud if a caller's session
+    // disables ANSI.
     def d19(c: Column) = c.cast("decimal(19,0)")
     def orOverflow(c: Column, what: String): Column =
       when(c.isNotNull, c).otherwise(raise_error(lit(
@@ -2145,9 +2150,20 @@ object Aggregates extends QueryModule {
         when(substring(md5(col("user_id").cast("string")), 1, 1)
           .isin("0", "1", "2", "3", "4", "5", "6", "7"), "a")
           .otherwise("b"))
+    // Second moment in decimal(38,0), the statsDeltaMethod discipline:
+    // per-user cent totals around 3e9 square to ~9e18 ≈ 2^63, so a
+    // LongType sum(cents²) aborts under ANSI well before the 38-digit
+    // budget. d19×d19 → decimal(38,0) matches the HUGEINT the DuckDB
+    // twin already sums in, and the orOverflow guard keeps the
+    // failure loud if a caller's session disables ANSI.
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def orOverflow(c: Column): Column =
+      when(c.isNotNull, c).otherwise(raise_error(lit(
+        "decimal(38,0) overflow in statsTost (ss) — per-user cent " +
+          "totals exceed the 38-digit moment budget")))
     val m = u.groupBy("grp").agg(
       count(lit(1)).as("n"), sum("cents").as("s"),
-      sum(col("cents") * col("cents")).as("ss"))
+      orOverflow(sum(d19(col("cents")) * d19(col("cents")))).as("ss"))
     val w = m.groupBy().agg(
       max(when(col("grp") === "a", col("n"))).as("na"),
       max(when(col("grp") === "a", col("s"))).as("sa"),

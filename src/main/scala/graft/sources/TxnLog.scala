@@ -54,8 +54,9 @@ object TxnLog {
     * line per file — the same line shape as the log, so the reader is
     * shared. Checkpoints are DERIVED, idempotent data: two racing
     * writers produce byte-identical content (the live set is a pure
-    * function of the immutable log prefix), so overwrite-create is
-    * safe, and deleting one only costs read-time replay, never
+    * function of the immutable log prefix), published atomically via
+    * temp-file + rename so a concurrent reader never sees a torn
+    * file, and deleting one only costs read-time replay, never
     * correctness. This is what bounds read cost on a long-lived
     * table: a real lake accretes thousands of commits, and without
     * checkpoints every read replays O(versions) log files (the Delta
@@ -64,13 +65,20 @@ object TxnLog {
   private def checkpointFile(base: String, v: Int): Path =
     new Path(logDir(base), f"$v%08d.checkpoint.json")
 
-  /** Latest committed version, or -1 for an empty/absent log. */
+  /** Latest committed version, or -1 for an empty/absent log.
+    *
+    * Only names shaped exactly `NNNNNNNN.json` count as commits: a
+    * bare `endsWith(".json")` filter would also admit
+    * `00000003.checkpoint.json` (and any foreign `.json` a tool drops
+    * in the directory), and `"00000003.checkpoint".toInt` throws —
+    * which would break every default-version read on a table that has
+    * ever checkpointed. */
   def latestVersion(spark: SparkSession, base: String): Int = {
     val f = fs(spark, base)
     val d = logDir(base)
     if (!f.exists(d)) -1
     else f.listStatus(d).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      .filter(_.matches("""\d{8}\.json"""))
       .map(_.stripSuffix(".json").toInt)
       .foldLeft(-1)(math.max)
   }
@@ -184,23 +192,36 @@ object TxnLog {
     replayRange(spark, base, 0, upTo)(apply)
   }
 
-  /** Latest checkpoint version ≤ `atOrBefore`, or None. */
+  /** Latest checkpoint version ≤ `atOrBefore`, or None. Same strict
+    * name shape as [[latestVersion]]: a foreign or partially-written
+    * file whose name merely ends in `.checkpoint.json` (editor
+    * backup, tmp artifact) is skipped, not a `NumberFormatException`
+    * that takes down every read of the table. */
   def latestCheckpoint(spark: SparkSession, base: String,
                        atOrBefore: Int): Option[Int] = {
     val f = fs(spark, base)
     val d = logDir(base)
     if (!f.exists(d)) None
     else f.listStatus(d).map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.json"))
+      .filter(_.matches("""\d{8}\.checkpoint\.json"""))
       .map(_.stripSuffix(".checkpoint.json").toInt)
       .filter(_ <= atOrBefore)
       .reduceOption(math.max)
   }
 
   /** Write a checkpoint of the live file set as of `version` (latest
-    * when negative). Returns the checkpointed version. Idempotent and
-    * race-safe: content is a pure function of the immutable log
-    * prefix, so overwrite-create can only rewrite identical bytes.
+    * when negative). Returns the checkpointed version.
+    *
+    * Writer-writer races are safe because content is a pure function
+    * of the immutable log prefix (two racing writers produce
+    * byte-identical files) — but a READER concurrent with a rewrite
+    * must never glimpse a torn file, or [[filesAsOfRel]] silently
+    * seeds a WRONG live set (worse than the loud failures everywhere
+    * else in this log). So publication is write-temp-then-rename: on
+    * the local filesystem `Files.move(ATOMIC_MOVE)` (rename(2) — a
+    * reader sees either the old complete file or the new complete
+    * file, never bytes in between); on HDFS-like filesystems
+    * `FileSystem.rename`, which is atomic on HDFS by contract.
     */
   def checkpoint(spark: SparkSession, base: String,
                  version: Int = -1): Int = {
@@ -211,8 +232,28 @@ object TxnLog {
       .map(p => s"""{"action":"add","file":"$p"}""")
       .mkString("", "\n", "\n")
     val f = fs(spark, base)
-    val out = f.create(checkpointFile(base, upTo), /* overwrite = */ true)
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    val target = checkpointFile(base, upTo)
+    if ("file" == f.getUri.getScheme) {
+      val dir = java.nio.file.Paths.get(
+        f.makeQualified(logDir(base)).toUri)
+      val tmp = dir.resolve(
+        s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+      java.nio.file.Files.write(tmp, payload.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, dir.resolve(target.getName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(logDir(base),
+        s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, /* overwrite = */ false)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+      // HDFS rename does not replace an existing destination; the
+      // content is idempotent, so losing the race to an identical
+      // file is success, not failure.
+      try { f.delete(target, false); f.rename(tmp, target) }
+      finally f.delete(tmp, false)
+    }
     upTo
   }
 

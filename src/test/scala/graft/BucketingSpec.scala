@@ -229,6 +229,91 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("txn log: default-version HEAD reads work on a checkpointed " +
+      "table (checkpoint names must not poison latestVersion)") {
+    // Regression: latestVersion once filtered with endsWith(".json"),
+    // so `00000002.checkpoint.json` survived the filter and
+    // `"00000002.checkpoint".toInt` threw NumberFormatException —
+    // breaking readAsOf()/filesAsOf()/unreferencedFiles()/checkpoint()
+    // at their default version = -1 on ANY table that had ever
+    // checkpointed. The most common lake call (read at head) must not
+    // depend on the caller knowing the head version number.
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_head_after_cp")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    import spark.implicits._
+    var v = -1
+    (0 to 4).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.parquet(s"$base/d$i")
+      v = TxnLog.commit(spark, base, v,
+        TxnLog.partFiles(spark, base, s"d$i"), checkpointEvery = 3)
+    }
+    assert(TxnLog.latestCheckpoint(spark, base, v) === Some(2))
+    // every default-version entry point, on the checkpointed table:
+    assert(TxnLog.latestVersion(spark, base) === 4)
+    assert(TxnLog.readAsOf(spark, base).count() === 5)
+    assert(TxnLog.filesAsOf(spark, base).size === 5)
+    assert(TxnLog.unreferencedFiles(spark, base).isEmpty)
+    assert(TxnLog.checkpoint(spark, base) === 4)
+    // foreign junk in _graft_log (editor backups, partial tmp files)
+    // must be SKIPPED by the name filters, not crash every read
+    val junk = Seq("notes.json", "00000001.json.bak",
+      "x0000001.checkpoint.json", "0000000a.checkpoint.json")
+    junk.foreach { n =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "_graft_log", n),
+        "garbage".getBytes("UTF-8"))
+    }
+    assert(TxnLog.latestVersion(spark, base) === 4)
+    assert(TxnLog.latestCheckpoint(spark, base, 99) === Some(4))
+    assert(TxnLog.readAsOf(spark, base).count() === 5)
+  }
+
+  test("txn log: checkpoint publication is atomic — a reader racing " +
+      "repeated rewrites never sees a torn file set") {
+    // checkpoint() once used create(overwrite=true): a reader opening
+    // the file mid-rewrite could read a PREFIX of the live set and
+    // silently under-read the table. Publication is now temp-file +
+    // ATOMIC_MOVE; this hammers the window from a racing thread.
+    import graft.sources.TxnLog
+    import graft.operators.Scans
+    val base = Scans.tmpPath(spark, "txnlog_cp_race")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(base))
+    import spark.implicits._
+    var v = -1
+    (0 to 7).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("k", "s").write.parquet(s"$base/d$i")
+      v = TxnLog.commit(spark, base, v,
+        TxnLog.partFiles(spark, base, s"d$i"))
+    }
+    TxnLog.checkpoint(spark, base, 7)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      var n = 0
+      while (!stop.get() && n < 2000 && bad.get() == null) {
+        val sz = TxnLog.filesAsOf(spark, base, 7).size
+        if (sz != 8) bad.set(s"torn read: saw $sz of 8 live files")
+        n += 1
+      }
+    })
+    reader.start()
+    // rewrite the same (idempotent) checkpoint continuously under it
+    (1 to 200).foreach { _ => TxnLog.checkpoint(spark, base, 7) }
+    stop.set(true)
+    reader.join(30000)
+    assert(bad.get() == null, String.valueOf(bad.get()))
+  }
+
   test("txn log: checkpoint sees through removes (checkpoint seed + " +
       "remove suffix)") {
     import graft.sources.TxnLog

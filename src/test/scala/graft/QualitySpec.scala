@@ -995,6 +995,13 @@ class QualitySpec extends SparkSpec {
       assert(sparkDtw(b, a) === refDtw(a, b), "dtw not symmetric")
     }
     assert(sparkDtw(Array(1L, 2L, 3L), Array(1L, 2L, 3L)) === 0L)
+    // empty-vs-empty is distance 0 (regression: sequence(1, 0) infers
+    // step -1 → [1, 0], so the unguarded fold returned +INF here);
+    // empty-vs-nonempty has no alignment → +INF by design
+    assert(sparkDtw(Array.empty[Long], Array.empty[Long]) === 0L)
+    assert(sparkDtw(Array.empty[Long], Array(1L, 2L)) ===
+      1000000000000L)
+    assert(sparkDtw(Array(7L), Array.empty[Long]) === 1000000000000L)
   }
 
   test("q_ts_dtw emits one row per unordered type pair, dtw >= 0") {
