@@ -449,6 +449,64 @@ object Scans extends QueryModule {
       .orderBy("version", "o_orderpriority")
   }
 
+  /** SQL time travel through the DataSource-V2 catalog
+    * ([[graft.sources.LakeCatalog]]) — the same 3-version
+    * copy-on-write history as [[lakeTimetravel]], but every read is
+    * PLAIN SQL using Spark's native `VERSION AS OF` syntax, plus one
+    * UNVERSIONED head read (labelled version 3, provably ≡ v2): the
+    * SQL-only user gets the identical lake the DataFrame user has.
+    * The head read resolves through `TxnLog.latestVersion` on a table
+    * that HAS a checkpoint (checkpointEvery = 2 fires at v1), pinning
+    * the r13 regression fix on the hot SQL path. Scan execution
+    * delegates to Spark's own ParquetTable, so pushdown/pruning are
+    * the stock parquet ones (PlanSpec pins PushedFilters through a
+    * versioned SQL read).
+    *
+    * Scale: identical to [[lakeTimetravel]] — O(log suffix) driver
+    * metadata per version resolution, then exactly the live files
+    * are scanned; the catalog adds nothing per-row.
+    */
+  val sqlTimetravel: Q = (spark, dir) => {
+    import graft.sources.{LakeCatalog, TxnLog}
+    val root = tmpPath(spark, "graft_lake_root")
+    val base = s"$root/orders_tt"
+    deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$base/d0")
+    val v0 = TxnLog.commit(spark, base, -1,
+      TxnLog.partFiles(spark, base, "d0"), checkpointEvery = 2)
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.parquet(s"$base/d1")
+    val v1 = TxnLog.commit(spark, base, v0,
+      TxnLog.partFiles(spark, base, "d1"), checkpointEvery = 2)
+    TxnLog.readAsOf(spark, base, v0)
+      .filter(col("o_totalprice") >= 100000.0)
+      .write.parquet(s"$base/d2")
+    TxnLog.commit(spark, base, v1,
+      adds = TxnLog.partFiles(spark, base, "d2"),
+      removes = TxnLog.partFiles(spark, base, "d0"),
+      checkpointEvery = 2)
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lake.root", root)
+    def block(label: Int, suffix: String) = s"""
+      SELECT $label AS version, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
+      FROM graft_lake.orders_tt$suffix
+      GROUP BY o_orderpriority"""
+    spark.sql(s"""
+      SELECT version, o_orderpriority, n, sum_price FROM (
+        ${block(0, " VERSION AS OF 0")}
+        UNION ALL ${block(1, " VERSION AS OF 1")}
+        UNION ALL ${block(2, " VERSION AS OF 2")}
+        UNION ALL ${block(3, "")}
+      ) ORDER BY version, o_orderpriority""")
+  }
+
   /** RESTORE TABLE ... TO VERSION — roll the table head back to an
     * earlier snapshot as a NEW commit (Delta's RESTORE semantics):
     * the restore commit's file set IS version 0's, computed as a
@@ -623,6 +681,7 @@ object Scans extends QueryModule {
     "q_lake_checkpoint" -> lakeCheckpoint,
     "q_lake_vacuum" -> lakeVacuum,
     "q_lake_timetravel" -> lakeTimetravel,
+    "q_sql_timetravel" -> sqlTimetravel,
     "q_lake_restore" -> lakeRestore,
     "q_lake_compact" -> lakeCompact,
     "q_lake_incremental" -> lakeIncremental,
@@ -691,6 +750,33 @@ object Scans extends QueryModule {
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                AS DOUBLE) / 100.0
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderpriority
+      ORDER BY version, o_orderpriority""",
+    "q_sql_timetravel" -> """
+      SELECT 0 AS version, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 1, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 2, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders
+      WHERE o_orderkey % 2 <> 0 OR o_totalprice >= 100000.0
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 3, o_orderpriority, count(*),
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0
+      FROM orders
+      WHERE o_orderkey % 2 <> 0 OR o_totalprice >= 100000.0
       GROUP BY o_orderpriority
       ORDER BY version, o_orderpriority""",
     "q_lake_timetravel" -> """

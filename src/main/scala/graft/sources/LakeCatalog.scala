@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 catalog over [[TxnLog]] tables — the SQL front door
+  * to the lake layer. Registering it
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft_lake",
+  *   classOf[graft.sources.LakeCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft_lake.root", "/lake/root")
+  * }}}
+  *
+  * gives plain SQL the same versioned reads the DataFrame user gets
+  * from [[TxnLog.readAsOf]], through Spark's NATIVE time-travel
+  * syntax — no custom parser, no view rewriting:
+  *
+  * {{{
+  * SELECT * FROM graft_lake.orders VERSION AS OF 2   -- log replay 0..2
+  * SELECT * FROM graft_lake.orders                   -- head (latest)
+  * }}}
+  *
+  * `VERSION AS OF n` arrives via the analyzer's `TimeTravelSpec` at
+  * [[loadTable(ident:org\.apache\.spark\.sql\.connector\.catalog\.Identifier,version:String)*]];
+  * an unversioned reference takes the head path through
+  * [[TxnLog.latestVersion]] (which is why that method tolerating
+  * checkpoint files in the log directory is a correctness load-bearing
+  * fix, not a nicety).
+  *
+  * Scan execution is DELEGATED, not reimplemented: each load resolves
+  * the version's live file set from the log (O(commits since last
+  * checkpoint) metadata, zero data listing) and hands the exact file
+  * list to Spark's own `ParquetTable` — so a versioned SQL read gets
+  * the identical scan machinery as `spark.read.parquet(files)`:
+  * column pruning, predicate pushdown into the parquet footers,
+  * vectorized decode, whole-stage codegen. At 100 TB the catalog adds
+  * KBs of metadata replay on the driver and nothing per-row.
+  *
+  * Read-only by design: writes go through [[TxnLog.commit]]'s OCC
+  * protocol, which SQL DML cannot express atomically against this
+  * log; the mutating entry points throw rather than pretend.
+  */
+class LakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  private def basePath(ident: Identifier): String =
+    (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def load(ident: Identifier, version: Int): Table = {
+    val spark = SparkSession.active
+    val base = basePath(ident)
+    if (TxnLog.latestVersion(spark, base) < 0)
+      throw new NoSuchTableException(ident)
+    val files = TxnLog.filesAsOf(spark, base, version)
+    val label = if (version >= 0) s"$catalogName.${ident.name}@v$version"
+      else s"$catalogName.${ident.name}"
+    ParquetTable(label, spark, CaseInsensitiveStringMap.empty(),
+      files, None, classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, -1)
+
+  /** `VERSION AS OF n` — the analyzer passes the literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$catalogName.${ident.name} VERSION AS OF $version " +
+          "— versions are integers"))
+    load(ident, v)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val dir = new org.apache.hadoop.fs.Path(
+      (root +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => TxnLog.latestVersion(spark,
+        (root +: namespace.toSeq :+ n).mkString("/")) >= 0)
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft lake tables mutate through TxnLog.commit (OCC), not SQL DDL")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft lake tables mutate through TxnLog.commit (OCC), not SQL DDL")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft lake tables mutate through TxnLog.commit (OCC), not SQL DDL")
+}

@@ -21,6 +21,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(l_shipdate") || p.contains("l_shipdate"), p)
   }
 
+  test("LakeCatalog: a VERSION AS OF SQL read pushes filters and " +
+      "prunes columns like a stock parquet scan") {
+    import graft.sources.{LakeCatalog, TxnLog}
+    import graft.operators.Scans
+    val root = Scans.tmpPath(spark, "graft_lake_plan")
+    val base = s"$root/li"
+    graft.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$base/d0")
+    TxnLog.commit(spark, base, TxnLog.latestVersion(spark, base),
+      TxnLog.partFiles(spark, base, "d0"))
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lake.root", root)
+    val v = TxnLog.latestVersion(spark, base)
+    val df = spark.sql(
+      s"""SELECT l_orderkey, l_quantity FROM graft_lake.li
+          VERSION AS OF $v WHERE l_quantity < 5""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_returnflag"),
+      s"versioned read must prune unused columns: $rs")
+    assert(df.count() > 0)
+  }
+
   test("q_scan_project prunes the scan to the projected columns") {
     val p = plan("q_scan_project")
     // ReadSchema must not include wide unused columns.
