@@ -988,14 +988,20 @@ object ops {
       * real clusters.
       */
     def kCore(a: String, b: String, k: Int, maxRounds: Int = 50,
-              reliable: Boolean = false): DataFrame = {
+              reliable: Boolean = false,
+              preparedSym: Boolean = false): DataFrame = {
       require(k >= 1, s"k must be >= 1, got $k")
       require(maxRounds >= 1 && maxRounds <= 500,
         s"maxRounds must be in [1,500], got $maxRounds")
       val half = df.select(col(a).as("s"), col(b).as("t"))
-      var edges = pinLineage(half
-        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-        .distinct().repartition(col("s")), reliable)
+      // preparedSym: the caller vouches `df` is ALREADY the symmetric
+      // deduped materialized (s, t) adjacency (GraphSpine.symSigned) —
+      // skip the per-query symmetrize+distinct+checkpoint.
+      var edges =
+        if (preparedSym) half
+        else pinLineage(half
+          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+          .distinct().repartition(col("s")), reliable)
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -1038,13 +1044,17 @@ object ops {
       * `checkpoint()` for real-cluster runs.
       */
     def bfsHops(a: String, b: String, seed: Long, maxHops: Int,
-                reliable: Boolean = false): DataFrame = {
+                reliable: Boolean = false,
+                preparedSym: Boolean = false): DataFrame = {
       require(maxHops >= 1 && maxHops <= 50,
         s"maxHops must be in [1,50]: $maxHops")
       val half = df.select(col(a).as("s"), col(b).as("t"))
-      val edges = pinLineage(half
-        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-        .distinct().repartition(col("s")), reliable)
+      // preparedSym: same GraphSpine.symSigned contract as [[kCore]].
+      val edges =
+        if (preparedSym) half
+        else pinLineage(half
+          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+          .distinct().repartition(col("s")), reliable)
       val spark = df.sparkSession
       var dist = spark.range(1)
         .select(lit(seed).as("id"), lit(0L).as("dist"))
@@ -1063,16 +1073,20 @@ object ops {
 
     def pageRank(a: String, b: String, iters: Int = 3,
                  damping: Double = 0.85,
-                 reliable: Boolean = false): DataFrame = {
+                 reliable: Boolean = false,
+                 preparedSym: Boolean = false): DataFrame = {
       require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
       val half = df.select(col(a).as("s"), col(b).as("t"))
       // Hash-partition the checkpointed edges on the join key ONCE:
       // LogicalRDD keeps the physical partitioning, so none of the
       // `iters` joins below re-exchanges the (large) edge side — only
       // the rank side (O(nodes)) shuffles per iteration.
-      val edges = pinLineage(half
-        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-        .distinct().repartition(col("s")), reliable)
+      // preparedSym: same GraphSpine.symSigned contract as [[kCore]].
+      val edges =
+        if (preparedSym) half
+        else pinLineage(half
+          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+          .distinct().repartition(col("s")), reliable)
       val deg = edges.groupBy("s").agg(count(lit(1)).as("_deg"))
       val withDeg = pinLineage(edges.join(deg, "s"), reliable)
       // Lineage pinning is only needed when the loop is long: each
@@ -1117,12 +1131,16 @@ object ops {
       * `iters` rounds form the community.
       */
     def labelPropagation(a: String, b: String, iters: Int = 2,
-                         reliable: Boolean = false): DataFrame = {
+                         reliable: Boolean = false,
+                         preparedSym: Boolean = false): DataFrame = {
       require(iters >= 1 && iters <= 20, s"iters must be in [1,20]: $iters")
       val half = df.select(col(a).as("s"), col(b).as("t"))
-      val edges = pinLineage(half
-        .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-        .distinct().repartition(col("s")), reliable)
+      // preparedSym: same GraphSpine.symSigned contract as [[kCore]].
+      val edges =
+        if (preparedSym) half
+        else pinLineage(half
+          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+          .distinct().repartition(col("s")), reliable)
       val pin: DataFrame => DataFrame =
         if (iters > 5) pinLineage(_, reliable) else identity
       var labels = pin(edges.select(col("s").as("id")).distinct()
@@ -2766,16 +2784,22 @@ object ops {
       * value-neutral).
       */
     def adamicAdar(src: Column, dst: Column, topK: Int,
-                   maxDeg: Int = Int.MaxValue): DataFrame = {
+                   maxDeg: Int = Int.MaxValue,
+                   assumeDistinct: Boolean = false): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
       // distinct first (duplicate edges partial-aggregate away
       // MAP-SIDE), then checkpoint: the edge list feeds THREE
       // consumers (degree rollup + both join sides) whose upstream
       // filters differ enough that ReuseExchange misses — without the
       // checkpoint the scan→join→distinct subtree runs three times
-      // (measured 1.8 s → 1.3 s min-of-3 at sf0.1 with it)
-      val edges = df.select(src.as("src"), dst.as("dst")).distinct()
-        .localCheckpoint()
+      // (measured 1.8 s → 1.3 s min-of-3 at sf0.1 with it).
+      // `assumeDistinct` skips both: the caller vouches the input is
+      // already a deduped, materialized edge list (the GraphSpine
+      // shared-spine contract) — duplicate input edges would
+      // overcount wedges, hence opt-in, never inferred.
+      val raw = df.select(src.as("src"), dst.as("dst"))
+      val edges =
+        if (assumeDistinct) raw else raw.distinct().localCheckpoint()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d").between(2, maxDeg))
         .select(col("src"),
@@ -2810,10 +2834,13 @@ object ops {
       * BIGINTs — C(k,2) via (k·(k−1)) div 2, no doubles anywhere.
       */
     def butterflyCount(apex: Column, leaf: Column,
-                       maxDeg: Int = Int.MaxValue): DataFrame = {
+                       maxDeg: Int = Int.MaxValue,
+                       assumeDistinct: Boolean = false): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-      val edges = df.select(apex.as("a"), leaf.as("l")).distinct()
-        .localCheckpoint()
+      // assumeDistinct: same GraphSpine contract as [[adamicAdar]].
+      val rawE = df.select(apex.as("a"), leaf.as("l"))
+      val edges =
+        if (assumeDistinct) rawE else rawE.distinct().localCheckpoint()
       val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
       val capped = deg.agg(
         sum(when(col("d") > maxDeg, 1L).otherwise(0L))
@@ -2854,10 +2881,13 @@ object ops {
       * every shuffle carries id pairs, never adjacency lists.
       */
     def neighborJaccard(src: Column, dst: Column, topK: Int,
-                        maxDeg: Int = Int.MaxValue): DataFrame = {
+                        maxDeg: Int = Int.MaxValue,
+                        assumeDistinct: Boolean = false): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-      val edges = df.select(src.as("src"), dst.as("dst")).distinct()
-        .localCheckpoint()
+      // assumeDistinct: same GraphSpine contract as [[adamicAdar]].
+      val rawE = df.select(src.as("src"), dst.as("dst"))
+      val edges =
+        if (assumeDistinct) rawE else rawE.distinct().localCheckpoint()
       val degDst = edges.groupBy("dst").agg(count(lit(1)).as("deg"))
       val srcDeg = edges.groupBy("src").agg(count(lit(1)).as("sd"))
       val hub = srcDeg.filter(col("sd").between(2, maxDeg)).select("src")

@@ -31,13 +31,12 @@ object Graphs extends QueryModule {
     */
   val graphPagerank: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val edges = li
-      .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (-col("l_suppkey")).as("supp"))
-    edges.pageRank("cust", "supp", iters = 3, damping = 0.85)
+    // Shared-spine form: the symmetric signed adjacency builds once
+    // per session+dir (GraphSpine.symSigned) instead of once per
+    // query — identical edge set to the fact-join build it replaced.
+    GraphSpine.symSigned(spark, dir)
+      .pageRank("s", "t", iters = 3, damping = 0.85,
+        preparedSym = true)
       .select(col("id"), Norm.r4tie(col("rank")).as("rank"))
       .orderBy("id")
   }
@@ -111,11 +110,8 @@ object Graphs extends QueryModule {
     */
   val graphKcore: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
-      .kCore("cust", "supp", k = 8)
+    GraphSpine.symSigned(spark, dir)
+      .kCore("s", "t", k = 8, preparedSym = true)
       .orderBy("id")
   }
 
@@ -127,11 +123,8 @@ object Graphs extends QueryModule {
     */
   val graphLpa: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
-      .labelPropagation("cust", "supp", iters = 2)
+    GraphSpine.symSigned(spark, dir)
+      .labelPropagation("s", "t", iters = 2, preparedSym = true)
       .orderBy("id")
   }
 
@@ -144,13 +137,8 @@ object Graphs extends QueryModule {
     */
   val graphBfs: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val edges = li
-      .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (-col("l_suppkey")).as("supp"))
-    edges.bfsHops("cust", "supp", seed = 1L, maxHops = 3)
+    GraphSpine.symSigned(spark, dir)
+      .bfsHops("s", "t", seed = 1L, maxHops = 3, preparedSym = true)
       .orderBy("id")
   }
 
@@ -179,11 +167,9 @@ object Graphs extends QueryModule {
     */
   val graphAdamicAdar: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .adamicAdar(col("o_custkey"), col("l_suppkey"), topK = 20,
-        maxDeg = 1000)
+    GraphSpine.coPurchase(spark, dir)
+      .adamicAdar(col("cust"), col("supp"), topK = 20,
+        maxDeg = 1000, assumeDistinct = true)
       .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
         Norm.r4tie(col("score_int").cast("double") / lit(1000000.0))
           .as("aa_score"))
@@ -204,12 +190,8 @@ object Graphs extends QueryModule {
     * the bounded degree histogram.
     */
   val graphProfile: Q = (spark, dir) => {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
-      .distinct()
-      .localCheckpoint()
+    val edges = GraphSpine.coPurchase(spark, dir)
+      .select(col("cust").as("cu"), col("supp").as("su"))
     val m = edges.agg(count(lit(1)).as("m"))
     val dc = edges.groupBy("cu").agg(count(lit(1)).as("d"))
     val ds = edges.groupBy("su").agg(count(lit(1)).as("d"))
@@ -248,14 +230,10 @@ object Graphs extends QueryModule {
     * moment aggregate.
     */
   val graphAssortativity: Q = (spark, dir) => {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    // pin: edges feed THREE consumers (the join spine + both degree
-    // rollups) — without the checkpoint each rebuilds the fact join
-    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cu"), col("l_suppkey").as("su"))
-      .distinct()
-      .localCheckpoint()
+    // edges feed THREE consumers (the join spine + both degree
+    // rollups) — the shared checkpointed spine serves all three
+    val edges = GraphSpine.coPurchase(spark, dir)
+      .select(col("cust").as("cu"), col("supp").as("su"))
     val degc = edges.groupBy("cu").agg(count(lit(1)).as("dc"))
     val degs = edges.groupBy("su").agg(count(lit(1)).as("ds"))
     val e2 = edges.join(degc, "cu").join(broadcast(degs), "su")
@@ -287,14 +265,9 @@ object Graphs extends QueryModule {
     */
   val graphModularity: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val edges0 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (-col("l_suppkey")).as("supp"))
-      .distinct()
-      .localCheckpoint()
-    val labels = edges0.labelPropagation("cust", "supp", iters = 2)
+    val edges0 = GraphSpine.signedHalf(spark, dir)
+    val labels = GraphSpine.symSigned(spark, dir)
+      .labelPropagation("s", "t", iters = 2, preparedSym = true)
     val sym = edges0.select(col("cust").as("u"))
       .unionByName(edges0.select(col("supp").as("u")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
@@ -327,11 +300,9 @@ object Graphs extends QueryModule {
     */
   val graphJaccard: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .neighborJaccard(col("o_custkey"), col("l_suppkey"), topK = 20,
-        maxDeg = 1000)
+    GraphSpine.coPurchase(spark, dir)
+      .neighborJaccard(col("cust"), col("supp"), topK = 20,
+        maxDeg = 1000, assumeDistinct = true)
       .select(col("d1").as("s1"), col("d2").as("s2"), col("n_common"),
         Norm.r4tie(col("jacc_int").cast("double") / lit(1000000.0))
           .as("jaccard"),
@@ -359,17 +330,10 @@ object Graphs extends QueryModule {
     * instead of broadcasting, same plan otherwise.
     */
   val graphRandomWalks: Q = (spark, dir) => {
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    val e = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cu"), (-col("l_suppkey")).as("su"))
-      .distinct()
-    val adj = e.select(col("cu").as("src"), col("su").as("dst"))
-      .unionByName(e.select(col("su").as("src"), col("cu").as("dst")))
-      .localCheckpoint(eager = false)
+    val adj = GraphSpine.symSigned(spark, dir)
+      .select(col("s").as("src"), col("t").as("dst"))
     // seeds derive from the checkpointed adjacency (src > 0 ⇔
-    // customer side), not from `e` — deriving from `e` would rebuild
-    // the fact join a second time
+    // customer side) — the shared spine, built once per session+dir
     val seeds = adj.filter(col("src") > 0).select(col("src").as("cu"))
       .distinct()
       .orderBy(md5(col("cu").cast("string")), col("cu"))
@@ -401,10 +365,9 @@ object Graphs extends QueryModule {
     */
   val graphButterflies: Q = (spark, dir) => {
     import graft.api.ops._
-    val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .butterflyCount(col("l_suppkey"), col("o_custkey"), maxDeg = 1000)
+    GraphSpine.coPurchase(spark, dir)
+      .butterflyCount(col("supp"), col("cust"), maxDeg = 1000,
+        assumeDistinct = true)
   }
 
   val queries: Map[String, Q] = Map(

@@ -18,7 +18,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * gives plain SQL the same versioned reads the DataFrame user gets
   * from [[TxnLog.readAsOf]], through Spark's NATIVE time-travel
-  * syntax — no custom parser, no view rewriting:
+  * syntax — no custom parser, no view rewriting.
+  *
+  * One name ↔ one root, per session: Spark's CatalogManager caches
+  * the catalog INSTANCE on first use and `initialize` snapshots the
+  * options, so re-setting `spark.sql.catalog.<name>.root` after the
+  * catalog has resolved a table is silently ignored for that session.
+  * Point different roots at DIFFERENT catalog names (this is stock
+  * DSv2 catalog semantics, same as Delta's or Iceberg's catalogs):
   *
   * {{{
   * SELECT * FROM graft_lake.orders VERSION AS OF 2   -- log replay 0..2

@@ -32,12 +32,17 @@ class PlanSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$base/d0")
     TxnLog.commit(spark, base, TxnLog.latestVersion(spark, base),
       TxnLog.partFiles(spark, base, "d0"))
-    spark.conf.set("spark.sql.catalog.graft_lake",
+    // Catalog name is unique to this test: Spark caches the catalog
+    // INSTANCE per name at first use (options snapshot at initialize),
+    // so sharing q_sql_timetravel's "graft_lake" name in the shared
+    // test session would silently resolve against whichever root was
+    // registered first (the full-suite flake this comment pins).
+    spark.conf.set("spark.sql.catalog.graft_lake_plan",
       classOf[LakeCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_lake.root", root)
+    spark.conf.set("spark.sql.catalog.graft_lake_plan.root", root)
     val v = TxnLog.latestVersion(spark, base)
     val df = spark.sql(
-      s"""SELECT l_orderkey, l_quantity FROM graft_lake.li
+      s"""SELECT l_orderkey, l_quantity FROM graft_lake_plan.li
           VERSION AS OF $v WHERE l_quantity < 5""")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: ["), p)

@@ -26,6 +26,36 @@ class QueriesSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
   }
 
+  test("GraphSpine-backed builds match the inline per-query edge builds") {
+    import graft.api.ops._
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    val fact = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    // wedge op: shared distinct spine vs the op's own distinct+checkpoint
+    val aaInline = fact
+      .adamicAdar(col("o_custkey"), col("l_suppkey"), topK = 20,
+        maxDeg = 1000)
+      .collect().toSeq
+    val aaSpine = operators.GraphSpine.coPurchase(spark, sfDir)
+      .adamicAdar(col("cust"), col("supp"), topK = 20,
+        maxDeg = 1000, assumeDistinct = true)
+      .collect().toSeq
+    assert(aaSpine === aaInline)
+    // iterative op: preparedSym spine vs the op's internal symmetrize.
+    // Ranks are float sums whose partial-agg order may differ between
+    // the two (identically-partitioned but differently-ordered) edge
+    // builds — compare at the 4dp the scored query emits.
+    val half = fact.select(col("o_custkey").as("cust"),
+      (-col("l_suppkey")).as("supp"))
+    def r4(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Norm.r4tie(col("rank")).as("rank"))
+      .orderBy("id").collect().toSeq
+    val prInline = r4(half.pageRank("cust", "supp", iters = 3))
+    val prSpine = r4(operators.GraphSpine.symSigned(spark, sfDir)
+      .pageRank("s", "t", iters = 3, preparedSym = true))
+    assert(prSpine === prInline)
+  }
+
   test("approx_count_distinct within 5% of exact on events.user_id") {
     val e = Tables(spark, sfDir, "events")
     val approx = e.agg(approx_count_distinct("user_id")).head.getLong(0)
