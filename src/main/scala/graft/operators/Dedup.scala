@@ -12,43 +12,38 @@ import org.apache.spark.sql.functions._
   * `embeddings` tables for the DuckDB oracle gate; scale notes live on
   * the API methods.
   */
-/** Shared, memoized near-dup spine (the [[GraphSpine]] pattern for the
+/** Shared near-dup spine BUILDERS (the [[GraphSpine]] pattern for the
   * dedup family): three scored queries — components, components-star,
   * keep-best — consume the IDENTICAL Jaccard ≥ 0.8 pair graph over
   * `documents` (source+lang blocking, maxDf = 1000), and two of them
-  * the identical min-label components fixpoint on top of it. Each used
-  * to rebuild both from the raw corpus: tokenize → explode → wedge
-  * join → filter, then an O(diameter) label-propagation loop, per
-  * query. Now the pair graph and the labels each materialize ONCE per
-  * (session, sf-dir); consumers read checkpointed blocks. Results are
-  * byte-identical (the spine IS the subtree each query built
-  * privately). components-star shares only the pairs — its
-  * star-contraction fixpoint is the point of that query, so it must
-  * keep computing its own labels.
+  * the identical min-label components fixpoint on top of it. This
+  * object is the single implementation of those builds; like
+  * [[GraphSpine]] they are deliberately NOT memoized across queries
+  * (a cross-query cache would let a timed bench query skip the
+  * tokenize → wedge-join work because a warm-up pass already did it —
+  * every per-query timing must reflect a from-parquet computation).
+  * `localCheckpoint` pins the pair graph within ONE query so its
+  * components loop iterates over materialized blocks.
+  * components-star shares only the pairs — its star-contraction
+  * fixpoint is the point of that query, so it computes its own labels.
   */
 object DedupSpine {
-  import SpineCache.memo
 
   /** Jaccard ≥ 0.8 near-dup pairs (d1, d2, jaccard) over `documents`,
     * blocked by (source, lang), token df capped at 1000. */
   def pairs08(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "dedupPairs08") {
-      Tables(spark, dir, "documents")
-        .withColumn("tokset", array_distinct(split(col("text"), " ")))
-        .jaccardPairs(col("doc_id"), col("tokset"),
-          struct(col("source"), col("lang")), threshold = 0.8,
-          maxDf = 1000)
-        .localCheckpoint()
-    }
+    Tables(spark, dir, "documents")
+      .withColumn("tokset", array_distinct(split(col("text"), " ")))
+      .jaccardPairs(col("doc_id"), col("tokset"),
+        struct(col("source"), col("lang")), threshold = 0.8,
+        maxDf = 1000)
+      .localCheckpoint()
 
   /** Min-label connected components of [[pairs08]]: (doc_id, comp). */
   def components08(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "dedupComponents08") {
-      pairs08(spark, dir)
-        .connectedComponents("d1", "d2")
-        .withColumnRenamed("id", "doc_id")
-        .localCheckpoint()
-    }
+    pairs08(spark, dir)
+      .connectedComponents("d1", "d2")
+      .withColumnRenamed("id", "doc_id")
 }
 
 object Dedup extends QueryModule {

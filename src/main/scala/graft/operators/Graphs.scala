@@ -31,9 +31,9 @@ object Graphs extends QueryModule {
     */
   val graphPagerank: Q = (spark, dir) => {
     import graft.api.ops._
-    // Shared-spine form: the symmetric signed adjacency builds once
-    // per session+dir (GraphSpine.symSigned) instead of once per
-    // query — identical edge set to the fact-join build it replaced.
+    // Shared-spine form: the symmetric signed adjacency builds via the
+    // family-wide GraphSpine.symSigned builder — identical edge set to
+    // the private fact-join build it replaced.
     GraphSpine.symSigned(spark, dir)
       .pageRank("s", "t", iters = 3, damping = 0.85,
         preparedSym = true)
@@ -265,8 +265,12 @@ object Graphs extends QueryModule {
     */
   val graphModularity: Q = (spark, dir) => {
     import graft.api.ops._
-    val edges0 = GraphSpine.signedHalf(spark, dir)
-    val labels = GraphSpine.symSigned(spark, dir)
+    // One fact-join spine build for BOTH consumers: the raw half list
+    // and the symmetric adjacency LPA iterates over derive from the
+    // same checkpointed co-purchase edge list within this query.
+    val co = GraphSpine.coPurchase(spark, dir)
+    val edges0 = GraphSpine.signedHalfFrom(co)
+    val labels = GraphSpine.symSignedFrom(co)
       .labelPropagation("s", "t", iters = 2, preparedSym = true)
     val sym = edges0.select(col("cust").as("u"))
       .unionByName(edges0.select(col("supp").as("u")))
@@ -333,7 +337,7 @@ object Graphs extends QueryModule {
     val adj = GraphSpine.symSigned(spark, dir)
       .select(col("s").as("src"), col("t").as("dst"))
     // seeds derive from the checkpointed adjacency (src > 0 ⇔
-    // customer side) — the shared spine, built once per session+dir
+    // customer side) — no second fact join for the seed list
     val seeds = adj.filter(col("src") > 0).select(col("src").as("cu"))
       .distinct()
       .orderBy(md5(col("cu").cast("string")), col("cu"))
