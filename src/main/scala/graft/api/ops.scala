@@ -339,15 +339,107 @@ object ops {
     * pinned state survives executor loss. Requires
     * `sc.setCheckpointDir(...)` — enforced loudly here, because
     * `checkpoint()` without a dir fails deep inside the job instead.
+    *
+    * The pin preserves the materialized hash LAYOUT on the returned
+    * scan (see [[org.apache.spark.sql.graft.PinBridge.pin]] — the
+    * stock `Dataset.checkpoint` records `UnknownPartitioning` under
+    * AQE, and a broken attribute mapping besides, so a spine carefully
+    * `repartition(key)`-ed for reuse came back unpartitioned and EVERY
+    * downstream join/agg re-exchanged it; the r13 plan audit found the
+    * pinned PageRank edge list re-shuffled on every one of its joins).
+    * A pin that needs its layout claimable ends in
+    * [[byKey]] — an explicit-count repartition AQE never coalesces
+    * (coalesced hash buckets would falsify the claim, so PinBridge
+    * refuses to record them).
     */
-  private def pinLineage(d: DataFrame, reliable: Boolean): DataFrame =
-    if (!reliable) d.localCheckpoint()
-    else {
-      require(
-        d.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "reliable=true requires SparkContext.setCheckpointDir(<fault-tolerant dir>)")
-      d.checkpoint()
-    }
+  private[graft] def pinLineage(d: DataFrame, reliable: Boolean): DataFrame = {
+    if (reliable) require(
+      d.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires SparkContext.setCheckpointDir(<fault-tolerant dir>)")
+    org.apache.spark.sql.graft.PinBridge.pin(d, reliable)
+  }
+
+  /** [[pinLineage]] for the shared spine builders and operator-local
+    * multi-consumer pins: memory-backed, partitioning-preserving.
+    */
+  private[graft] def pinLocal(d: DataFrame): DataFrame =
+    pinLineage(d, reliable = false)
+
+  /** Hash layout for a frame about to be pinned: repartition on `keys`
+    * with an EXPLICIT partition count — AQE coalesces a count-less
+    * `repartition(cols)` (REPARTITION_BY_COL), after which the blocks
+    * are no longer a true HashPartitioning and the pin cannot claim
+    * them; an explicit count (REPARTITION_BY_NUM) is never coalesced,
+    * while AQE stays live for everything else in the build.
+    *
+    * The count is SIZE-ADAPTIVE (guide §2: derive partitioning from
+    * input size, never a constant tuned for one box): estimated bytes /
+    * the session's AQE advisory partition size, clamped to
+    * [1, spark.sql.shuffle.partitions]. A tiny pinned frame (an
+    * iterative round's label table) gets 1-2 partitions — the same
+    * shape AQE coalescing would have produced — instead of paying
+    * shuffle-partition-count task launches per consumer stage; a big
+    * one saturates the session's configured parallelism, which itself
+    * scales with the cluster. A stats-less frame estimates huge and
+    * lands on the cap — the safe side.
+    */
+  /** Size-derived partition count for a frame: estimated bytes over
+    * the pin grain, clamped to [1, spark.sql.shuffle.partitions]. The
+    * grain defaults to the AQE advisory / 16 (4 MB): finer than the
+    * I/O-oriented advisory because pinned frames feed CPU-heavy
+    * multi-consumer operators (wedge expansion, iterative joins) that
+    * want parallel reads of blocks far smaller than a scan split.
+    * Overridable via spark.graft.pin.targetPartitionBytes.
+    */
+  private[graft] def sizeParts(d: DataFrame): Int = {
+    val conf = d.sparkSession.conf
+    val maxN = conf.get("spark.sql.shuffle.partitions").toInt
+    val grain = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.graft.pin.targetPartitionBytes",
+        (org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "64MB")) / 16).toString))
+    val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((est / grain.max(1L)) + 1).min(BigInt(maxN)).max(BigInt(1)).toInt
+  }
+
+  private[graft] def byKey(d: DataFrame, keys: Column*): DataFrame =
+    d.repartition(sizeParts(d), keys: _*)
+
+  /** Layout-claiming pin for a frame whose size ESTIMATE is garbage
+    * (anything derived from a join without CBO multiplies its inputs):
+    * materialize once with AQE fully free (cheap — coalesced stages),
+    * which makes the TRUE size known via the block manager, then —
+    * when the frame is big enough that per-consumer re-exchanges cost
+    * more than one extra pass (its size-derived partition count
+    * exceeds HALF the session parallelism) — lay the materialized
+    * blocks out by `keys` and pin that. Below the threshold the staged
+    * pin is returned as-is: a small frame's coalesced re-exchanges are
+    * cheaper than a second materialization, and the trade flips
+    * automatically as the data (or the configured parallelism's grain)
+    * grows — no constant tuned to one box.
+    */
+  private[graft] def pinKeyed(d: DataFrame, keys: Column*): DataFrame = {
+    val staged = pinLineage(d, reliable = false)
+    val fresh = reuse(staged)
+    val maxN = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (sizeParts(fresh) * 2 <= maxN) staged
+    else pinLineage(fresh.repartition(sizeParts(fresh), keys: _*),
+      reliable = false)
+  }
+
+  /** Fresh reference to a pinned frame for a consumer site. Each call
+    * yields a new scan of the same materialized blocks with its own
+    * attribute ids AND the hash layout rewritten onto them — required
+    * because the analyzer's relation dedup drops a pinned scan's
+    * partitioning on every re-aliased occurrence (see
+    * [[org.apache.spark.sql.graft.PinBridge]]), which re-introduced a
+    * full exchange of the pinned side at every join/agg that was
+    * designed to be shuffle-free. Use one `reuse(pin)` per reference
+    * when a pin feeds several subtrees of ONE plan.
+    */
+  private[graft] def reuse(d: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PinBridge.refresh(d)
 
   /** Shared core of [[GraftDataFrameOps.triangleCount]] and the
     * scored `q_graph_triangles` (whose edge build pre-filters colors
@@ -368,7 +460,7 @@ object ops {
                                   broadcastEdges: Boolean = true): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (broadcastEdges) broadcast(_) else identity
-    val pairs = rawPairs.distinct().localCheckpoint()
+    val pairs = pinLocal(rawPairs.distinct())
     val deg = pairs.select(col("s1").as("s"))
       .unionAll(pairs.select(col("s2").as("s")))
       .groupBy("s").agg(count(lit(1)).as("d"))
@@ -396,6 +488,12 @@ object ops {
   }
 
   implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    /** Extension form of [[byKey]]: explicit-count hash layout for a
+      * frame about to be pinned (AQE never coalesces it, so the pin
+      * can claim the layout).
+      */
+    def keyedBy(keys: Column*): DataFrame = byKey(df, keys: _*)
 
     // ───────────────────────── dedup ─────────────────────────
 
@@ -438,12 +536,20 @@ object ops {
       val sizes = base.select(col("did"), size(col("ts")).as("sz"))
       val tokAll = base.select(col("blk"), col("did"),
         explode(col("ts")).as("tok"))
+      // df counts come from a partial-agg'd groupBy joined back, not a
+      // count-over-window: the window form sorted the ENTIRE exploded
+      // token stream by (blk, tok) — and because the frame feeds both
+      // wedge-join sides, that sort ran twice per query. The count
+      // table is (distinct tokens per block)-sized, so the join back is
+      // a broadcast at sane vocabularies and a plain hash join beyond.
       val flagged =
         if (maxDf == Int.MaxValue) tokAll.withColumn("_cut", lit(false))
-        else tokAll
-          .withColumn("_df",
-            count(lit(1)).over(Window.partitionBy("blk", "tok")))
-          .withColumn("_cut", col("_df") > maxDf).drop("_df")
+        else {
+          val dfc = tokAll.groupBy("blk", "tok")
+            .agg(count(lit(1)).as("_df"))
+          tokAll.join(dfc, Seq("blk", "tok"))
+            .withColumn("_cut", col("_df") > maxDf).drop("_df")
+        }
       val tok = flagged.filter(!col("_cut")).drop("_cut")
       val a = tok.select(col("blk"), col("tok"), col("did").as("d1"))
       val b = tok.select(col("blk").as("blk_b"), col("tok").as("tok_b"),
@@ -839,9 +945,13 @@ object ops {
     def connectedComponents(a: String, b: String,
                             maxIter: Int = 25,
                             reliable: Boolean = false): DataFrame = {
+      // Hash-partition the pinned edges on the per-round join key `t`
+      // (pinLineage preserves the layout): every round's edges ⋈ labels
+      // then satisfies its distribution from the pin, so the O(E) side
+      // never re-exchanges — only the O(V) label frame moves per round.
       val edges = pinLineage(df.select(col(a).as("s"), col(b).as("t"))
         .unionByName(df.select(col(b).as("s"), col(a).as("t")))
-        .distinct(), reliable)
+        .distinct().keyedBy(col("t")), reliable)
       var labels = pinLineage(edges.select(col("s").as("id")).distinct()
         .withColumn("comp", col("id")), reliable)
       var it = 0
@@ -853,8 +963,12 @@ object ops {
         // checkpointed result — NOT a second edges-sized join per
         // round, which previously cost each iteration an extra
         // shuffle of the whole label frame.
-        val next = pinLineage(edges
-          .join(labels.select(col("id").as("t"), col("comp")), "t")
+        // `labels` appears twice in this plan (join + carry-over
+        // union): reuse() on the join side keeps its pinned hash
+        // layout through relation dedup, and edges are pre-partitioned
+        // on `t`, so the join moves nothing.
+        val next = pinLineage(reuse(edges)
+          .join(reuse(labels).select(col("id").as("t"), col("comp")), "t")
           .select(col("s").as("id"), col("comp"),
             when(lit(false), col("comp")).as("prev"))
           .unionByName(labels.select(col("id"), col("comp"),
@@ -899,30 +1013,45 @@ object ops {
                                 reliable: Boolean = false): DataFrame = {
       val verts = df.select(col(a).cast("long").as("id"))
         .unionByName(df.select(col(b).cast("long").as("id"))).distinct()
-      // Orient child > parent; self-loops carry no connectivity.
+      // Orient child > parent; self-loops carry no connectivity. ONE
+      // exchange establishes both the dedup and the hash(u) layout
+      // (hash(u) clusters every (u, v) duplicate), which the per-round
+      // min-child aggregate and small-star join then consume
+      // shuffle-free off the pin.
       var e = pinLineage(df
         .select(greatest(col(a), col(b)).cast("long").as("u"),
           least(col(a), col(b)).cast("long").as("v"))
-        .filter(col("u") =!= col("v")).distinct(), reliable)
+        .filter(col("u") =!= col("v")).keyedBy(col("u")).distinct(),
+        reliable)
       var eCount = e.count()
       var it = 0
       var done = false
       while (!done && it < maxIter) {
-        // Large-star over the symmetric neighbor view.
-        val nb = e.unionByName(
-          e.select(col("v").as("u"), col("u").as("v")))
-        val mins = nb.groupBy("u").agg(min("v").as("mn"))
-          .select(col("u"), least(col("mn"), col("u")).as("m"))
-        val large = nb.filter(col("v") > col("u"))
-          .join(mins, "u")
-          .select(col("v").as("u"), col("m").as("v")).distinct()
-        // Small-star on the oriented (child > parent) edges.
+        // Large-star from the ORIENTED edges alone: over u > v,
+        // min(N(c) ∪ {c}) = least(min-child(c), c) — every parent of
+        // c is > c, so the symmetric 2E neighbor view the round used
+        // to aggregate contributes nothing to the minimum. m rides a
+        // left join keyed on the child (least() skips the null for
+        // childless c), and each reference takes a reuse() scan so
+        // the pinned layout survives relation dedup.
+        val mn = reuse(e).groupBy("u").agg(min("v").as("_mn"))
+          .select(col("u").as("_c"), col("_mn"))
+        // `large` stays UN-pinned: it is referenced twice below, but
+        // its keyedBy exchange is reused across the two references,
+        // while a per-round materialization job costs more than the
+        // one re-read it saves (measured on the r13 hot-set bench).
+        val large = reuse(e)
+          .join(mn, col("v") === col("_c"), "left")
+          .select(col("u"), least(col("_mn"), col("v")).as("v"))
+          .keyedBy(col("u")).distinct()
+        // Small-star on the oriented (child > parent) edges — both
+        // consumers (min rollup + join) read the keyed layout.
         val smins = large.groupBy("u").agg(min(col("v")).as("m"))
         val small = large.join(smins, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .unionByName(smins.select(col("u"), col("m").as("v")))
-          .distinct()
+          .keyedBy(col("u")).distinct()
         val next = pinLineage(small, reliable)
         // One count job per round (the previous round's count is
         // carried over); the exact `except` confirmation runs only
@@ -1001,7 +1130,7 @@ object ops {
         if (preparedSym) half
         else pinLineage(half
           .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-          .distinct().repartition(col("s")), reliable)
+          .distinct().keyedBy(col("s")), reliable)
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -1012,14 +1141,18 @@ object ops {
         val nBad = bad.count()
         if (nBad == 0) converged = true
         else {
-          // No broadcast hint on purpose: the first peel's sub-k set
-          // can be a large fraction of the nodes (hints bypass the
-          // size threshold — the triangleCount lesson); the pinned
-          // frame carries size stats, so AQE picks broadcast-anti
-          // itself whenever `bad` is actually small.
+          // The convergence probe just COUNTED the peel set at the
+          // driver, so the broadcast decision is made on the exact
+          // cardinality, not a size estimate (a blind hint was the
+          // triangleCount lesson; an estimate-driven plan shuffled the
+          // O(E) edge side by `t` every round when the estimate missed).
+          // Past the bound — a first peel that removes most of a huge
+          // graph — fall back to the shuffled anti join.
+          val badSide =
+            if (nBad <= 5000000L) broadcast(bad) else bad
           edges = pinLineage(edges
-            .join(bad, col("s") === col("_bad"), "left_anti")
-            .join(bad.withColumnRenamed("_bad", "_badt"),
+            .join(badSide, col("s") === col("_bad"), "left_anti")
+            .join(badSide.withColumnRenamed("_bad", "_badt"),
               col("t") === col("_badt"), "left_anti"),
             reliable)
         }
@@ -1054,7 +1187,7 @@ object ops {
         if (preparedSym) half
         else pinLineage(half
           .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-          .distinct().repartition(col("s")), reliable)
+          .distinct().keyedBy(col("s")), reliable)
       val spark = df.sparkSession
       var dist = spark.range(1)
         .select(lit(seed).as("id"), lit(0L).as("dist"))
@@ -1076,17 +1209,23 @@ object ops {
                  reliable: Boolean = false,
                  preparedSym: Boolean = false): DataFrame = {
       require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
-      val half = df.select(col(a).as("s"), col(b).as("t"))
-      // Hash-partition the checkpointed edges on the join key ONCE:
-      // LogicalRDD keeps the physical partitioning, so none of the
+      // Hash-partition the checkpointed edges on the join key ONCE;
+      // every consumer site takes a `reuse(...)` scan so the pinned
+      // layout survives relation dedup (see [[reuse]]) and none of the
       // `iters` joins below re-exchanges the (large) edge side — only
       // the rank side (O(nodes)) shuffles per iteration.
       // preparedSym: same GraphSpine.symSigned contract as [[kCore]].
-      val edges =
-        if (preparedSym) half
-        else pinLineage(half
-          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-          .distinct().repartition(col("s")), reliable)
+      val pinned =
+        if (preparedSym) df
+        else {
+          val half = df.select(col(a).as("s"), col(b).as("t"))
+          pinLineage(half
+            .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+            .distinct().keyedBy(col("s")), reliable)
+        }
+      def edges: DataFrame =
+        if (preparedSym) reuse(pinned).select(col(a).as("s"), col(b).as("t"))
+        else reuse(pinned)
       val deg = edges.groupBy("s").agg(count(lit(1)).as("_deg"))
       val withDeg = pinLineage(edges.join(deg, "s"), reliable)
       // Lineage pinning is only needed when the loop is long: each
@@ -1100,7 +1239,10 @@ object ops {
       var ranks = pin(edges.select(col("s").as("id")).distinct()
         .withColumn("rank", lit(1.0)))
       for (_ <- 1 to iters) {
-        ranks = pin(withDeg
+        // reuse(): one fresh scan of the pinned edge+degree frame per
+        // iteration — without it the nested plan re-aliases the shared
+        // scan and re-exchanges the O(E) side every round.
+        ranks = pin(reuse(withDeg)
           .join(ranks.withColumnRenamed("id", "s"), "s")
           .select(col("t").as("id"),
             (col("rank") / col("_deg")).as("_c"))
@@ -1134,13 +1276,20 @@ object ops {
                          reliable: Boolean = false,
                          preparedSym: Boolean = false): DataFrame = {
       require(iters >= 1 && iters <= 20, s"iters must be in [1,20]: $iters")
-      val half = df.select(col(a).as("s"), col(b).as("t"))
-      // preparedSym: same GraphSpine.symSigned contract as [[kCore]].
-      val edges =
-        if (preparedSym) half
-        else pinLineage(half
-          .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-          .distinct().repartition(col("s")), reliable)
+      // preparedSym: same GraphSpine.symSigned contract as [[kCore]];
+      // consumer sites take `reuse(...)` scans so the pinned hash
+      // layout survives relation dedup (see [[reuse]]).
+      val pinned =
+        if (preparedSym) df
+        else {
+          val half = df.select(col(a).as("s"), col(b).as("t"))
+          pinLineage(half
+            .unionByName(half.select(col("t").as("s"), col("s").as("t")))
+            .distinct().keyedBy(col("s")), reliable)
+        }
+      def edges: DataFrame =
+        if (preparedSym) reuse(pinned).select(col(a).as("s"), col(b).as("t"))
+        else reuse(pinned)
       val pin: DataFrame => DataFrame =
         if (iters > 5) pinLineage(_, reliable) else identity
       var labels = pin(edges.select(col("s").as("id")).distinct()
@@ -1151,10 +1300,17 @@ object ops {
         // instead of a row_number window, which costs a full
         // per-id-partition SORT each round (measured 2.3 s → 2.1 s LPA,
         // 3.4 s → 2.5 s modularity min-of-3 at sf0.1); negating
-        // the count is safe (it is bounded by the edge count)
+        // the count is safe (it is bounded by the edge count).
+        // The label join keys on `s` — the key the edge list is
+        // hash-partitioned on — and relabels `t`: over a SYMMETRIC
+        // edge set {(u,v)} = {(v,u)} the (t, label(s)) pairs are the
+        // identical multiset as (s, label(t)), so the result is
+        // byte-identical while the O(E) side never re-exchanges
+        // (joining on `t` re-shuffled the whole edge list per round).
+        // `edges` is a def: each round takes a fresh reuse() scan.
         labels = pin(edges
-          .join(labels.withColumnRenamed("id", "t"), "t")
-          .groupBy(col("s").as("id"), col("label"))
+          .join(labels.withColumnRenamed("id", "s"), "s")
+          .groupBy(col("t").as("id"), col("label"))
           .agg(count(lit(1)).as("_c"))
           .groupBy("id")
           .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
@@ -1668,12 +1824,18 @@ object ops {
             (0 until n).map(j =>
               element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
         .otherwise(array().cast("array<string>"))
+      // The pin is hash-partitioned on the digest `_g` — the key of
+      // every downstream operation: distinct (hash(_g) clusters the
+      // (doc_id, _g) duplicates), the df aggregate, and the join back
+      // all run on the pinned layout without re-exchanging the
+      // instance table; only the final per-doc rollup shuffles.
       val inst = pinLineage(df.select(id.as("doc_id"), tokens.as("_t"))
         .select(col("doc_id"), explode(grams).as("_gs"))
-        .select(col("doc_id"), md5(col("_gs")).as("_g")), reliable)
-      val dfreq = inst.distinct()
+        .select(col("doc_id"), md5(col("_gs")).as("_g"))
+        .keyedBy(col("_g")), reliable)
+      val dfreq = reuse(inst).distinct()
         .groupBy("_g").agg(count(lit(1)).as("_df"))
-      inst.join(dfreq, "_g")
+      reuse(inst).join(dfreq, "_g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -1714,15 +1876,19 @@ object ops {
             (0 until n).map(j =>
               element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
         .otherwise(array().cast("array<string>"))
+      // Same digest-keyed pin layout as [[dupNgramStats]]: the dup-gram
+      // aggregate and the join back both consume the pinned hash(_g)
+      // blocks shuffle-free; only the per-doc island window exchanges.
       val inst = pinLineage(df.select(id.as("doc_id"), tokens.as("_t"))
         .select(col("doc_id"), size(col("_t")).as("n_tokens"),
           posexplode(grams).as(Seq("start", "_gs")))
         .select(col("doc_id"), col("n_tokens"), col("start"),
-          md5(col("_gs")).as("_g")), reliable)
-      val dup = inst.groupBy("_g").agg(count(lit(1)).as("_c"))
+          md5(col("_gs")).as("_g"))
+        .keyedBy(col("_g")), reliable)
+      val dup = reuse(inst).groupBy("_g").agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= 2).select("_g")
       val w = Window.partitionBy("doc_id").orderBy("start")
-      val spans = inst.join(dup, "_g")
+      val spans = reuse(inst).join(dup, "_g")
         .withColumn("_prev", lag(col("start"), 1).over(w))
         .withColumn("_brk",
           when(col("_prev").isNull ||
@@ -2797,9 +2963,14 @@ object ops {
       // already a deduped, materialized edge list (the GraphSpine
       // shared-spine contract) — duplicate input edges would
       // overcount wedges, hence opt-in, never inferred.
-      val raw = df.select(src.as("src"), dst.as("dst"))
-      val edges =
-        if (assumeDistinct) raw else raw.distinct().localCheckpoint()
+      val pinned = if (assumeDistinct) df
+        else pinLocal(df.select(src.as("src"), dst.as("dst")).distinct())
+      // One fresh scan per consumer site (degree rollup + both wedge
+      // sides) so the pin's hash layout survives relation dedup —
+      // see [[reuse]].
+      def edges: DataFrame =
+        if (assumeDistinct) reuse(pinned).select(src.as("src"), dst.as("dst"))
+        else reuse(pinned)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d").between(2, maxDeg))
         .select(col("src"),
@@ -2837,10 +3008,13 @@ object ops {
                        maxDeg: Int = Int.MaxValue,
                        assumeDistinct: Boolean = false): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-      // assumeDistinct: same GraphSpine contract as [[adamicAdar]].
-      val rawE = df.select(apex.as("a"), leaf.as("l"))
-      val edges =
-        if (assumeDistinct) rawE else rawE.distinct().localCheckpoint()
+      // assumeDistinct: same GraphSpine contract as [[adamicAdar]];
+      // fresh scan per consumer site (see [[reuse]]).
+      val pinned = if (assumeDistinct) df
+        else pinLocal(df.select(apex.as("a"), leaf.as("l")).distinct())
+      def edges: DataFrame =
+        if (assumeDistinct) reuse(pinned).select(apex.as("a"), leaf.as("l"))
+        else reuse(pinned)
       val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
       val capped = deg.agg(
         sum(when(col("d") > maxDeg, 1L).otherwise(0L))
@@ -2884,10 +3058,13 @@ object ops {
                         maxDeg: Int = Int.MaxValue,
                         assumeDistinct: Boolean = false): DataFrame = {
       require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
-      // assumeDistinct: same GraphSpine contract as [[adamicAdar]].
-      val rawE = df.select(src.as("src"), dst.as("dst"))
-      val edges =
-        if (assumeDistinct) rawE else rawE.distinct().localCheckpoint()
+      // assumeDistinct: same GraphSpine contract as [[adamicAdar]];
+      // fresh scan per consumer site (see [[reuse]]).
+      val pinned = if (assumeDistinct) df
+        else pinLocal(df.select(src.as("src"), dst.as("dst")).distinct())
+      def edges: DataFrame =
+        if (assumeDistinct) reuse(pinned).select(src.as("src"), dst.as("dst"))
+        else reuse(pinned)
       val degDst = edges.groupBy("dst").agg(count(lit(1)).as("deg"))
       val srcDeg = edges.groupBy("src").agg(count(lit(1)).as("sd"))
       val hub = srcDeg.filter(col("sd").between(2, maxDeg)).select("src")
@@ -2940,7 +3117,11 @@ object ops {
     def basketPairs(basket: Column, item: Column,
                     maxBasket: Int = 1000): DataFrame = {
       require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-      val baskets = df.select(basket.as("o"), item.as("p")).distinct()
+      // No pre-distinct: collect_set IS the dedup (its partial
+      // aggregation buffers are sets, so duplicate memberships also
+      // collapse map-side) — the separate distinct cost one extra
+      // full exchange of the membership frame for nothing.
+      val baskets = df.select(basket.as("o"), item.as("p"))
         .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
         .filter(size(col("ps")).between(2, maxBasket))
       baskets

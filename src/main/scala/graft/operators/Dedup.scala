@@ -32,12 +32,11 @@ object DedupSpine {
   /** Jaccard ≥ 0.8 near-dup pairs (d1, d2, jaccard) over `documents`,
     * blocked by (source, lang), token df capped at 1000. */
   def pairs08(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    graft.api.ops.pinLocal(Tables(spark, dir, "documents")
       .withColumn("tokset", array_distinct(split(col("text"), " ")))
       .jaccardPairs(col("doc_id"), col("tokset"),
         struct(col("source"), col("lang")), threshold = 0.8,
-        maxDf = 1000)
-      .localCheckpoint()
+        maxDf = 1000))
 
   /** Min-label connected components of [[pairs08]]: (doc_id, comp). */
   def components08(spark: SparkSession, dir: String): DataFrame =
@@ -163,9 +162,9 @@ object Dedup extends QueryModule {
     */
   val dedupThresholdSweep: Q = (spark, dir) => {
     val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
-    val pairs = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
-        threshold = 0.7, maxDf = 1000)
-      .localCheckpoint() // feeds one agg + one explode per τ via explode
+    val pairs = graft.api.ops.pinLocal(
+      d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+        threshold = 0.7, maxDf = 1000)) // feeds one agg + one explode per τ
     val nDocs = d.agg(count(lit(1)).as("n_sample"))
     val taus = array(lit(0.7), lit(0.8), lit(0.9))
     val byTau = pairs
@@ -239,20 +238,25 @@ object Dedup extends QueryModule {
     */
   val graphClustering: Q = (spark, dir) => {
     val d = docsWithTokens(spark, dir).filter(col("doc_id") % 5 === 0)
-    // pin: the edge list feeds FOUR consumers (two degree legs, the
-    // wedge join's both sides, the closure probe)
-    val edges = d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
-        threshold = 0.8, maxDf = 1000)
-      .select(col("d1").as("a"), col("d2").as("b"))
-      .localCheckpoint()
-    val deg = edges.select(col("a").as("v"))
-      .unionAll(edges.select(col("b").as("v")))
+    // pin: the edge list feeds FIVE consumer sites (two degree legs,
+    // the wedge join's both sides, the closure probe) — it is
+    // hash-partitioned on the wedge apex `a` so both wedge sides read
+    // the pinned layout shuffle-free, and every site takes a reuse()
+    // scan so the layout survives relation dedup.
+    val edges = graft.api.ops.pinKeyed(
+      d.jaccardPairs(col("doc_id"), col("tokset"), col("lang"),
+          threshold = 0.8, maxDf = 1000)
+        .select(col("d1").as("a"), col("d2").as("b")),
+      col("a"))
+    def E = graft.api.ops.reuse(edges)
+    val deg = E.select(col("a").as("v"))
+      .unionAll(E.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val e1 = edges.select(col("a").as("u"), col("b").as("v"))
-    val e2 = edges.select(col("a").as("u2"), col("b").as("w"))
+    val e1 = E.select(col("a").as("u"), col("b").as("v"))
+    val e2 = E.select(col("a").as("u2"), col("b").as("w"))
     val tris = e1.join(e2, col("u") === col("u2") && col("w") > col("v"))
       .select(col("u"), col("v"), col("w"))
-      .join(edges.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+      .join(E.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
     val perNode = tris.select(col("u").as("v0"))
       .unionAll(tris.select(col("v").as("v0")))
       .unionAll(tris.select(col("w").as("v0")))
@@ -314,9 +318,8 @@ object Dedup extends QueryModule {
     * semantic check.
     */
   val dedupSimhash: Q = (spark, dir) =>
-    docsWithTokens(spark, dir)
-      .simhash64(col("doc_id"), col("tokset"))
-      .localCheckpoint()
+    graft.api.ops.pinLocal(docsWithTokens(spark, dir)
+      .simhash64(col("doc_id"), col("tokset")))
       .simhashPairs(maxHamming = 3, tables = 4)
       .orderBy("d1", "d2")
 

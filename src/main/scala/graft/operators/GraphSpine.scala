@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.api.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,11 +42,11 @@ object GraphSpine {
   def coPurchase(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val ord = Tables(spark, dir, "orders")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-      .repartition(col("cust"))
-      .localCheckpoint()
+    graft.api.ops.pinKeyed(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct(),
+      col("cust"))
   }
 
   /** The signed HALF edge list (cust, −supp) the iterative ops
@@ -68,11 +69,10 @@ object GraphSpine {
   def symSignedFrom(coPurchase: DataFrame): DataFrame = {
     val half = signedHalfFrom(coPurchase)
       .select(col("cust").as("s"), col("supp").as("t"))
-    half
+    graft.api.ops.pinKeyed(half
       .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-      .distinct()
-      .repartition(col("s"))
-      .localCheckpoint()
+      .distinct(),
+      col("s"))
   }
 
   /** Symmetric signed adjacency built directly from the fact join —
@@ -88,10 +88,9 @@ object GraphSpine {
     val ord = Tables(spark, dir, "orders")
     val half = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("o_custkey").as("s"), (-col("l_suppkey")).as("t"))
-    half
+    graft.api.ops.pinKeyed(half
       .unionByName(half.select(col("t").as("s"), col("s").as("t")))
-      .distinct()
-      .repartition(col("s"))
-      .localCheckpoint()
+      .distinct(),
+      col("s"))
   }
 }

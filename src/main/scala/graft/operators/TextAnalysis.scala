@@ -1309,20 +1309,29 @@ object TextAnalysis extends QueryModule {
     * the join back is digest-keyed.
     */
   val textNovelty: Q = (spark, dir) => {
+    import graft.api.ops._
     val n = 3
     val grams = when(size(col("_t")) >= n,
       transform(sequence(lit(0), size(col("_t")) - n),
         i => concat_ws(" ", (0 until n).map(j =>
           element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
-    val inst = docs(spark, dir)
+    // ONE exchange keyed on the gram digest `g` does triple duty: the
+    // repartition colocates (doc_id, g) so the distinct needs no
+    // second exchange (hash(g) clusters every (doc_id, g) duplicate),
+    // and the pinned layout then feeds BOTH the first-doc aggregate
+    // and the join back shuffle-free (pinLocal keeps the layout —
+    // the bare localCheckpoint dropped it and every consumer
+    // re-exchanged).
+    val inst = graft.api.ops.pinLocal(docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("_t"))
       .select(col("doc_id"), explode(grams).as("_gs"))
       .select(col("doc_id"), md5(col("_gs")).as("g"))
-      .distinct()
-      .localCheckpoint() // two consumers: first-doc agg + join back
-    val first = inst.groupBy("g").agg(min("doc_id").as("first_doc"))
-    inst.join(first, "g")
+      .keyedBy(col("g"))
+      .distinct())
+    def instRef = graft.api.ops.reuse(inst)
+    val first = instRef.groupBy("g").agg(min("doc_id").as("first_doc"))
+    instRef.join(first, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L)

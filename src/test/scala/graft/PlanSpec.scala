@@ -453,8 +453,13 @@ class PlanSpec extends SparkSpec {
     val aboveWindow = p.substring(0, p.indexOf("Window"))
     assert(!aboveWindow.contains("Exchange hashpartitioning"),
       s"a groupBy re-shuffled above the doc window:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"duplicated-gram set not broadcast onto the instance table:\n$p")
+    // r13: the instance table is PINNED hash(digest), so the dup-gram
+    // aggregate and the join back consume the pinned layout with no
+    // exchange at all (stronger than the broadcast the pre-r13 plan
+    // needed) — the island window's doc_id shuffle is the ONLY hash
+    // exchange in the plan.
+    assert(countOcc(p, "Exchange hashpartitioning") === 1,
+      s"expected the doc window to be the only hash exchange:\n$p")
   }
 
   test("q_sim_pq: encode is shuffle-free; search broadcasts query LUTs") {
@@ -1016,7 +1021,11 @@ class PlanSpec extends SparkSpec {
     // partial aggregation precedes the only pair-keyed exchange: the
     // O(sum deg^2) pair stream itself never shuffles
     assert(p.contains("partial_count"), p)
-    assert(countOcc(p, "Exchange hashpartitioning") === 4, p)
+    // r13: the spine's pinned hash(src) layout survives into all three
+    // consumer scans (reuse() + the PinBridge layout fix), so the
+    // degree rollup and BOTH wedge-join sides are exchange-free — the
+    // pair aggregate's is the only hash exchange left (was 4).
+    assert(countOcc(p, "Exchange hashpartitioning") === 1, p)
   }
 
   test("q_text_readability: pure projection — no shuffle, no agg, text pruned scan") {
