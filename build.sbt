@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from stdout. sbt's
+// default strategy for forked runs pipes the child's output through
+// the sbt logger, which prefixes every line with "[info] " — that
+// decoration is what kept BENCH_r10..r13's JSON unparseable. Writing
+// the forked process's stdout straight through keeps the contract's
+// line intact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

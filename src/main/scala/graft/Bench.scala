@@ -29,12 +29,25 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Session hygiene between queries (NOT inside any timed region):
+    // every pin (localCheckpoint) a query materialized and did not
+    // already release stays in the block store until driver GC happens
+    // to collect its wrapper — across a 324-query session that is
+    // hundreds of leaked persisted RDDs, storage fills, and whichever
+    // queries run after the cliff pay 10-70× (the r13 282 s → 1004 s
+    // full-bench collapse). Each query recomputes from parquet either
+    // way (pins are built inside the query's own timed region), so the
+    // sweep changes memory pressure only, never what is measured.
+    def sweepPins(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     // Untimed warm-up pass: JVM/codegen JIT, parquet footer caches, and
     // broadcast paths all pay first-use costs that would otherwise land
     // on whichever query happens to run first (observed: +4 s on a
     // 0.4 s query). The timed pass below measures steady state.
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      sweepPins()
     }
     // SPARK_GRAFT_BENCH_RUNS > 1 (dev-only; the driver leaves it unset
     // → 1, identical behavior) times each query N times and reports
@@ -53,7 +66,9 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweepPins() // after the clock stops; see above
+        dt
       }.min
       name -> best
     }
@@ -78,8 +93,15 @@ object Bench {
     // stays auditable. BENCH_FULL_latest.json sits at the repo root on
     // purpose: the driver's round-end commit sweeps it up, so the full
     // 270+-entry per-query map survives even though the driver's own
-    // BENCH_r*.json keeps only a truncated stdout tail.
-    for (p <- Seq("target/bench.json", "BENCH_FULL_latest.json")) {
+    // BENCH_r*.json keeps only a truncated stdout tail. A
+    // SPARK_GRAFT_BENCH_ONLY hot-set run must NOT overwrite it (the
+    // r13 mistake: a 19-query run clobbered the full-bench artifact
+    // and broke cross-round drift comparison) — partial runs write
+    // only target/bench.json.
+    val sinks =
+      if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL_latest.json")
+      else Seq("target/bench.json")
+    for (p <- sinks) {
       try {
         val out = java.nio.file.Paths.get(p)
         if (out.getParent != null)

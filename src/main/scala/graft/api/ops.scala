@@ -406,26 +406,56 @@ object ops {
   private[graft] def byKey(d: DataFrame, keys: Column*): DataFrame =
     d.repartition(sizeParts(d), keys: _*)
 
-  /** Layout-claiming pin for a frame whose size ESTIMATE is garbage
-    * (anything derived from a join without CBO multiplies its inputs):
-    * materialize once with AQE fully free (cheap — coalesced stages),
-    * which makes the TRUE size known via the block manager, then —
-    * when the frame is big enough that per-consumer re-exchanges cost
-    * more than one extra pass (its size-derived partition count
-    * exceeds HALF the session parallelism) — lay the materialized
-    * blocks out by `keys` and pin that. Below the threshold the staged
-    * pin is returned as-is: a small frame's coalesced re-exchanges are
-    * cheaper than a second materialization, and the trade flips
+  /** Release a pinned frame's materialized blocks — see
+    * [[org.apache.spark.sql.graft.PinBridge.release]]. Only for pins
+    * provably never read again (a loop's round N−1 state once round N
+    * is materialized; a staged pin once its keyed re-layout is
+    * pinned): localCheckpoint truncates lineage, so a released pin
+    * cannot be recomputed. Pins alive at the end of a query are the
+    * session owner's job (Bench/Verify sweep all persistent RDDs
+    * between queries).
+    */
+  private[graft] def releasePin(d: DataFrame): Unit =
+    org.apache.spark.sql.graft.PinBridge.release(d)
+
+  /** Layout-claiming pin for a frame about to be reused from several
+    * consumer sites. When the optimizer's size estimate is CREDIBLE
+    * (no join in the plan — scans and row-preserving ops estimate
+    * sanely), the layout decision is made up front and the frame is
+    * materialized exactly ONCE: laid out by `keys` when big enough
+    * that per-consumer re-exchanges cost more than the layout pass
+    * (its size-derived partition count exceeds HALF the session
+    * parallelism), pinned as-built otherwise. A frame derived from a
+    * join estimates garbage (a stats-less join multiplies its inputs),
+    * so it stages first: materialize with AQE fully free (cheap —
+    * coalesced stages), read the TRUE size from the block manager,
+    * then re-lay-out + re-pin only when warranted — and the staged
+    * pin's blocks are RELEASED the moment the keyed pin exists, so the
+    * two-pass form never doubles storage. The small/large trade flips
     * automatically as the data (or the configured parallelism's grain)
     * grows — no constant tuned to one box.
     */
   private[graft] def pinKeyed(d: DataFrame, keys: Column*): DataFrame = {
-    val staged = pinLineage(d, reliable = false)
-    val fresh = reuse(staged)
     val maxN = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (sizeParts(fresh) * 2 <= maxN) staged
-    else pinLineage(fresh.repartition(sizeParts(fresh), keys: _*),
-      reliable = false)
+    val joinFree = !d.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _ => false
+    }
+    if (joinFree) {
+      val n = sizeParts(d)
+      if (n * 2 <= maxN) pinLineage(d, reliable = false)
+      else pinLineage(d.repartition(n, keys: _*), reliable = false)
+    } else {
+      val staged = pinLineage(d, reliable = false)
+      val fresh = reuse(staged)
+      if (sizeParts(fresh) * 2 <= maxN) staged
+      else {
+        val keyed = pinLineage(fresh.repartition(sizeParts(fresh), keys: _*),
+          reliable = false)
+        releasePin(staged)
+        keyed
+      }
+    }
   }
 
   /** Fresh reference to a pinned frame for a consumer site. Each call
@@ -778,7 +808,7 @@ object ops {
           .agg(sum("freq").as("pair_count"))
           .orderBy(col("pair_count").desc, col("p1"), col("p2"))
           .limit(1)
-        dict = pinLineage(dict
+        val next = pinLineage(dict
           .crossJoin(broadcast(top.select(col("p1").as("_p1"),
             col("p2").as("_p2"))))
           .select(col("word"),
@@ -790,6 +820,11 @@ object ops {
                   array(concat(col("_p1"), col("_p2")))))
                 .otherwise(concat(acc, array(x)))).as("syms"),
             col("freq")), reliable)
+        // Unlike bpeMergeTable (whose lazy merge-row union still
+        // references every round's dict), nothing here reads round
+        // N−1's dict once round N is pinned — release it.
+        releasePin(dict)
+        dict = next
       }
       val enc = dict.select(col("word"), size(col("syms")).as("n_sym"))
       words.join(broadcast(enc), "word")
@@ -976,6 +1011,10 @@ object ops {
           .groupBy("id").agg(min("comp").as("comp"),
             min("prev").as("prev")), reliable)
         done = next.filter(col("comp") =!= col("prev")).isEmpty
+        // `next` is materialized (pins are eager), so round N−1's label
+        // blocks are dead — release them now instead of letting every
+        // round's O(V) pin accumulate until driver GC.
+        releasePin(labels)
         labels = next.select(col("id"), col("comp"))
         it += 1
       }
@@ -1058,6 +1097,9 @@ object ops {
         // when the counts already agree.
         val nextCount = next.count()
         done = nextCount == eCount && next.exceptAll(e).isEmpty
+        // The convergence probe above was the last read of round N−1's
+        // edge pin — release its O(E) blocks before the next round.
+        releasePin(e)
         e = next
         eCount = nextCount
         it += 1
@@ -1126,39 +1168,84 @@ object ops {
       // preparedSym: the caller vouches `df` is ALREADY the symmetric
       // deduped materialized (s, t) adjacency (GraphSpine.symSigned) —
       // skip the per-query symmetrize+distinct+checkpoint.
-      var edges =
+      val edges0 =
         if (preparedSym) half
         else pinLineage(half
           .unionByName(half.select(col("t").as("s"), col("s").as("t")))
           .distinct().keyedBy(col("s")), reliable)
+      // The O(E) edge list is pinned exactly ONCE. Each round filters
+      // it AT READ against the ACCUMULATED peel set (`removed`, a
+      // node-sized pin rebuilt per round) — removing nodes is
+      // idempotent and order-independent, so "edges minus every node
+      // peeled so far" equals the classic per-round re-filtered edge
+      // list, without re-materializing O(E) blocks every round (the
+      // r13 storage leak: one full edge pin per peel round). Round
+      // state is ONE small pin, released as soon as the next exists.
+      //
+      // Broadcast bound for the peel set: derived from the session's
+      // autoBroadcastJoinThreshold at ~16 bytes per hashed long row —
+      // the probe just COUNTED the exact cardinality at the driver, so
+      // the decision never trusts a size estimate (a blind 5M-row hint
+      // here could OOM a constrained driver). Past the bound — a first
+      // peel removing most of a huge graph — fall back to the shuffled
+      // anti join.
+      // ("-1" — broadcast disabled — does not parse as a byte string;
+      // treat any unparseable/non-positive setting as "never broadcast")
+      val bcRows = try {
+        val b = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(df.sparkSession.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        if (b <= 0) 0L else b / 16
+      } catch { case _: NumberFormatException => 0L }
+      def liveEdges(removed: Option[DataFrame], nRemoved: Long)
+          : DataFrame = {
+        val base = reuse(edges0)
+        removed match {
+          case None => base
+          case Some(r) =>
+            val hint: DataFrame => DataFrame =
+              if (nRemoved <= bcRows) broadcast(_) else identity
+            base
+              .join(hint(reuse(r).withColumnRenamed("_bad", "_bads")),
+                col("s") === col("_bads"), "left_anti")
+              .join(hint(reuse(r).withColumnRenamed("_bad", "_badt")),
+                col("t") === col("_badt"), "left_anti")
+        }
+      }
+      var removed: Option[DataFrame] = None
+      var nRemoved = 0L
       var round = 0
+      var lastDeg: DataFrame = null
       var converged = false
       while (!converged && round < maxRounds) {
         round += 1
-        val deg = pinLineage(
-          edges.groupBy("s").agg(count(lit(1)).as("_deg")), reliable)
+        // Broadcast anti joins preserve the pinned hash(s) layout, so
+        // the degree rollup never re-exchanges the O(E) side.
+        val deg = pinLineage(liveEdges(removed, nRemoved)
+          .groupBy("s").agg(count(lit(1)).as("_deg")), reliable)
         val bad = deg.filter(col("_deg") < k).select(col("s").as("_bad"))
         val nBad = bad.count()
-        if (nBad == 0) converged = true
+        if (nBad == 0) { converged = true; lastDeg = deg }
         else {
-          // The convergence probe just COUNTED the peel set at the
-          // driver, so the broadcast decision is made on the exact
-          // cardinality, not a size estimate (a blind hint was the
-          // triangleCount lesson; an estimate-driven plan shuffled the
-          // O(E) edge side by `t` every round when the estimate missed).
-          // Past the bound — a first peel that removes most of a huge
-          // graph — fall back to the shuffled anti join.
-          val badSide =
-            if (nBad <= 5000000L) broadcast(bad) else bad
-          edges = pinLineage(edges
-            .join(badSide, col("s") === col("_bad"), "left_anti")
-            .join(badSide.withColumnRenamed("_bad", "_badt"),
-              col("t") === col("_badt"), "left_anti"),
-            reliable)
+          val nextRemoved = pinLineage(removed match {
+            case None => bad
+            case Some(r) => reuse(r).unionByName(bad)
+          }, reliable)
+          removed.foreach(releasePin)
+          releasePin(deg)
+          removed = Some(nextRemoved)
+          nRemoved += nBad
         }
       }
-      edges.groupBy("s").agg(count(lit(1)).as("deg"))
-        .select(col("s").as("id"), col("deg"))
+      // The converged round's degree table IS the answer: every
+      // surviving node with its within-core degree (identical to
+      // re-aggregating the live edges, minus one full pass). A
+      // maxRounds-capped unconverged peel returns the current live
+      // degrees, exactly as the per-round-refiltered form did.
+      if (lastDeg == null)
+        lastDeg = liveEdges(removed, nRemoved)
+          .groupBy("s").agg(count(lit(1)).as("_deg"))
+      lastDeg.select(col("s").as("id"), col("_deg").as("deg"))
     }
 
     /** Breadth-first hop distances from `seed` over the undirected
@@ -1192,13 +1279,21 @@ object ops {
       var dist = spark.range(1)
         .select(lit(seed).as("id"), lit(0L).as("dist"))
       var frontier = dist.select("id")
+      var prevFrontierPin: DataFrame = null
       for (k <- 1 to maxHops) {
         val next = pinLineage(edges
           .join(frontier.withColumnRenamed("id", "s"), "s")
           .select(col("t").as("id")).distinct()
           .join(dist, Seq("id"), "left_anti")
           .select(col("id"), lit(k.toLong).as("dist")), reliable)
-        dist = pinLineage(dist.unionByName(next), reliable)
+        val newDist = pinLineage(dist.unionByName(next), reliable)
+        // Both hop-k pins are now materialized: hop k−1's dist table
+        // and frontier pin are dead — release instead of accumulating
+        // two O(V) pins per hop until driver GC.
+        releasePin(dist)
+        if (prevFrontierPin != null) releasePin(prevFrontierPin)
+        prevFrontierPin = next
+        dist = newDist
         frontier = next.select("id")
       }
       dist
@@ -1242,13 +1337,18 @@ object ops {
         // reuse(): one fresh scan of the pinned edge+degree frame per
         // iteration — without it the nested plan re-aliases the shared
         // scan and re-exchanges the O(E) side every round.
-        ranks = pin(reuse(withDeg)
+        val next = pin(reuse(withDeg)
           .join(ranks.withColumnRenamed("id", "s"), "s")
           .select(col("t").as("id"),
             (col("rank") / col("_deg")).as("_c"))
           .groupBy("id")
           .agg((lit(1.0 - damping) + lit(damping) * sum(col("_c")))
             .as("rank")))
+        // Pinned-rounds path only (short loops compile into one lazy
+        // DAG — nothing to release): round N is materialized, so round
+        // N−1's rank pin is dead.
+        if (iters > 5) releasePin(ranks)
+        ranks = next
       }
       ranks
     }
@@ -1308,13 +1408,17 @@ object ops {
         // byte-identical while the O(E) side never re-exchanges
         // (joining on `t` re-shuffled the whole edge list per round).
         // `edges` is a def: each round takes a fresh reuse() scan.
-        labels = pin(edges
+        val next = pin(edges
           .join(labels.withColumnRenamed("id", "s"), "s")
           .groupBy(col("t").as("id"), col("label"))
           .agg(count(lit(1)).as("_c"))
           .groupBy("id")
           .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
           .select(col("id"), col("_m.label").as("label")))
+        // Pinned-rounds path only: release round N−1's label pin once
+        // round N is materialized (see pageRank).
+        if (iters > 5) releasePin(labels)
+        labels = next
       }
       labels
     }

@@ -111,12 +111,28 @@ object PinBridge {
           case a: AdaptiveSparkPlanExec => a.executedPlan
           case p => p
         }
-        val assoc: Map[Attribute, Attribute] =
-          phys.output.zip(l.output).toMap
-        val outSet = AttributeSet(l.output)
-        val part = remapPartitioning(phys.outputPartitioning, assoc, outSet)
-        val ord = phys.outputOrdering.flatMap(
-          remap(_, assoc, outSet).map(_.asInstanceOf[SortOrder]))
+        // The physical→analyzed map is positional; the optimizer must
+        // preserve output arity, order, names and types (the final plan
+        // produces the analyzed schema). If that invariant ever breaks,
+        // a mis-zipped map could "prove" a HashPartitioning onto the
+        // wrong attribute and let the planner SKIP a required exchange
+        // — so verify it per pair and claim nothing on any mismatch.
+        val aligned = phys.output.length == l.output.length &&
+          phys.output.zip(l.output).forall { case (p, o) =>
+            p.name == o.name && p.dataType == o.dataType
+          }
+        val (part, ord) =
+          if (!aligned)
+            (UnknownPartitioning(phys.outputPartitioning.numPartitions),
+              Nil)
+          else {
+            val assoc: Map[Attribute, Attribute] =
+              phys.output.zip(l.output).toMap
+            val outSet = AttributeSet(l.output)
+            (remapPartitioning(phys.outputPartitioning, assoc, outSet),
+              phys.outputOrdering.flatMap(
+                remap(_, assoc, outSet).map(_.asInstanceOf[SortOrder])))
+          }
         Dataset.ofRows(spark,
           LogicalRDD(l.output, l.rdd, part, ord, l.isStreaming,
             l.stream)(spark, trueStats(spark, l.rdd.id)))
@@ -141,6 +157,26 @@ object PinBridge {
       fresh.isStreaming, fresh.stream)(spark,
         trueStats(spark, fresh.rdd.id)), assoc)
   }
+
+  /** Release a pin's materialized blocks (async). A localCheckpoint's
+    * lineage is TRUNCATED, so a released pin can never be read again —
+    * callers release only pins provably dead: an iterative loop's
+    * round N−1 state once round N has materialized, or a staged pin
+    * once its keyed re-layout is pinned. Pins that survive to the end
+    * of a query are swept by the session owner (Bench/Verify unpersist
+    * all persistent RDDs between queries) — without either release the
+    * blocks live until driver GC, and a long session (the driver's
+    * full bench; a real cluster's workload sequence) fills the block
+    * store and degrades every query after the cliff (the r13 282 s →
+    * 1004 s full-bench collapse). No-op for non-pinned frames and for
+    * reliable checkpoints (whose data lives in files, not blocks).
+    */
+  def release(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case Project(_, l: LogicalRDD) => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   def refresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession.asInstanceOf[SparkSession]

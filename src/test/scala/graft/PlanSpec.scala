@@ -12,6 +12,32 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** [[plan]] with the LARGE-DATA pin shape forced: a 1-byte pin grain
+    * makes the size-adaptive pin (ops.sizeParts / pinKeyed) take its
+    * keyed-layout branch, and auto-broadcast is disabled so pinned
+    * frames — tiny at test scale, with truthful block-manager stats —
+    * plan the co-partitioned joins they plan at 100 TB. Without the
+    * forcing, assertions about the pinned layout being consumed
+    * shuffle-free test sf0.001's small-pin plan, not the shape that
+    * matters (the r13 lesson: these two pins held at bench scale and
+    * failed in the test session).
+    */
+  private def planLarge(name: String): String = {
+    val conf = spark.conf
+    val oldPin = conf.getOption("spark.graft.pin.targetPartitionBytes")
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.graft.pin.targetPartitionBytes", "1")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try plan(name)
+    finally {
+      oldPin match {
+        case Some(v) => conf.set("spark.graft.pin.targetPartitionBytes", v)
+        case None => conf.unset("spark.graft.pin.targetPartitionBytes")
+      }
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
   private def countOcc(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
@@ -446,7 +472,7 @@ class PlanSpec extends SparkSpec {
     // downstream groupBys key on supersets of doc_id, so subset
     // clustering must plan NO further exchange — and the join side
     // shuffles digests, never text (same contract as dup_ngrams).
-    val p = plan("q_text_dup_spans")
+    val p = planLarge("q_text_dup_spans")
     // Plans print top-down, so the operators ABOVE the island window
     // (both span groupBys + the final sort) are the text BEFORE the
     // first "Window" line — that segment must hold no hash exchange.
@@ -457,7 +483,9 @@ class PlanSpec extends SparkSpec {
     // aggregate and the join back consume the pinned layout with no
     // exchange at all (stronger than the broadcast the pre-r13 plan
     // needed) — the island window's doc_id shuffle is the ONLY hash
-    // exchange in the plan.
+    // exchange in the plan. (planLarge: the claim only engages on the
+    // size-adaptive pin's keyed branch; sf0.001's small-pin plan
+    // legitimately keeps the digest aggregate's own exchange.)
     assert(countOcc(p, "Exchange hashpartitioning") === 1,
       s"expected the doc window to be the only hash exchange:\n$p")
   }
@@ -1008,7 +1036,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_graph_adamic_adar: codegen pair join over checkpointed edges, heap top-20") {
-    val p = plan("q_graph_adamic_adar")
+    // planLarge: at sf0.001 the pinned spine's truthful stats make
+    // every join broadcast — the assertions below pin the at-scale
+    // shape (co-partitioned SMJs off the pinned hash(src) layout).
+    val p = planLarge("q_graph_adamic_adar")
     assert(p.contains("TakeOrderedAndProject(limit=20"), p)
     // no interpreted array-lambda expansion (the pre-r9 shape: 3x
     // slower than the codegen'd join it was replaced by)

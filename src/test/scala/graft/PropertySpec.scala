@@ -1243,4 +1243,60 @@ class PropertySpec extends SparkSpec {
     assert(versions.size === 2 * perWriter)
     info(s"observed ${conflicts.get()} OCC conflicts across the race")
   }
+
+  test("PinBridge: pin through an aliased-key join keeps layout, rows, " +
+      "and releases its blocks") {
+    // The RemoveRedundantAliases shape: the pin's plan joins on an
+    // ALIASED key, so the optimizer rewrites attribute ids inside the
+    // checkpointed plan — exactly the gap that made the stock
+    // Dataset.checkpoint record a partitioning its own output can't
+    // satisfy. The pin must (a) claim a HashPartitioning that maps
+    // onto ITS OWN output attributes, (b) let a keyed consumer plan
+    // with no exchange, (c) return byte-identical rows, and (d) free
+    // its blocks on releasePin.
+    import spark.implicits._
+    import graft.api.ops._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val conf = spark.conf
+    val oldPin = conf.getOption("spark.graft.pin.targetPartitionBytes")
+    conf.set("spark.graft.pin.targetPartitionBytes", "1") // force >1 part
+    try {
+      val left = (0L until 200L).map(i => (i, i % 7)).toDF("k", "v")
+        .select(col("k").as("kk"), col("v")) // the alias under test
+      val right = (0L until 200L by 2L).map(i => (i, i * 3)).toDF("kk", "w")
+      val joined = left.join(right, "kk")
+      val expected = joined.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val pinned = pinLineage(byKey(joined, col("kk")), reliable = false)
+      // (a) claimed layout is a hash layout over the pin's own output
+      val lrdd = pinned.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+      lrdd.outputPartitioning match {
+        case h: HashPartitioning =>
+          assert(h.references.subsetOf(lrdd.outputSet),
+            s"claimed layout references foreign attrs: $h vs ${lrdd.output}")
+        case p => fail(s"expected a claimed HashPartitioning, got $p")
+      }
+      // (b) a keyed consumer off a reuse() scan plans no exchange
+      val agg = reuse(pinned).groupBy("kk").agg(sum("w").as("sw"))
+      val pp = agg.queryExecution.executedPlan.toString
+      assert(!pp.contains("Exchange hashpartitioning"),
+        s"consumer re-exchanged the pinned frame:\n$pp")
+      // (c) row identity through the pin
+      val got = pinned.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got === expected)
+      // (d) release drops the blocks from the persistent-RDD registry
+      val rddId = lrdd.rdd.id
+      assert(spark.sparkContext.getPersistentRDDs.contains(rddId))
+      releasePin(pinned)
+      assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+        "releasePin left the pin's RDD registered")
+    } finally {
+      oldPin match {
+        case Some(v) => conf.set("spark.graft.pin.targetPartitionBytes", v)
+        case None => conf.unset("spark.graft.pin.targetPartitionBytes")
+      }
+    }
+  }
 }
