@@ -38,9 +38,14 @@ object Bench {
     // full-bench collapse). Each query recomputes from parquet either
     // way (pins are built inside the query's own timed region), so the
     // sweep changes memory pressure only, never what is measured.
+    // blocking = true: the sweep runs outside the timed region, so
+    // waiting the few ms for block removal is free — and it guarantees
+    // the NEXT query starts with an empty block store instead of
+    // racing the async cleaner (observed: pin-heavy queries ran 2-3x
+    // slower mid-session than isolated while async removals lagged).
     def sweepPins(): Unit =
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     // Untimed warm-up pass: JVM/codegen JIT, parquet footer caches, and
     // broadcast paths all pay first-use costs that would otherwise land
     // on whichever query happens to run first (observed: +4 s on a

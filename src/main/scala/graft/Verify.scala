@@ -35,9 +35,10 @@ object Verify {
       }
       // Session hygiene: release the query's surviving pins so a
       // 324-query session never accumulates leaked persisted RDDs
-      // (same sweep as Bench, same rationale).
+      // (same sweep as Bench, same rationale — blocking, so the next
+      // query never runs under the async cleaner's backlog).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
