@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, NamedExpression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Project, Statistics}
-import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, PartitioningCollection, UnknownPartitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, PartitioningCollection, SinglePartition, UnknownPartitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -84,6 +84,11 @@ object PinBridge {
         remap(h, assoc, outSet)
           .map(_.asInstanceOf[Partitioning])
           .getOrElse(UnknownPartitioning(p.numPartitions))
+      // A one-partition pin (the size-adaptive layout's small case) is
+      // trivially claimable: SinglePartition references no attributes
+      // and satisfies every clustered distribution, so consumers skip
+      // their exchanges instead of re-shuffling a 1-partition frame.
+      case SinglePartition => SinglePartition
       case other => UnknownPartitioning(other.numPartitions)
     }
 
